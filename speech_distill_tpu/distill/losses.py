@@ -1,0 +1,159 @@
+"""Distillation losses, pure JAX with static shapes.
+
+Semantics match reference ``distillation_loss.py:6-128`` exactly, but the
+torch code filters valid rows with a boolean index (dynamic shapes); here
+every reduction is a *masked mean* over the same row set, which XLA compiles
+to fixed-shape code:
+
+  * causal shift: logits[t] predicts labels[t+1]
+  * valid = speech_token_mask[1:] AND labels[1:] != -100
+  * task_loss          = CE(student, labels)            mean over valid rows
+  * dense distill      = KLDiv(batchmean) at temperature T, x T^2
+  * sparse distill     = teacher top-K renormalised KL at T, x T^2
+  * teacher_task_loss  = dense: teacher CE; sparse: -mean top-K logprob of
+                         the gold label over rows where it appears in top-K
+  * total = alpha * task + (1 - alpha) * distill
+
+All math in fp32 regardless of input dtype (the reference upcasts fp16
+top-K values at distillation_loss.py:79-84).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_INDEX = -100
+
+
+class DistillLossOutput(NamedTuple):
+    total: jax.Array
+    task: jax.Array
+    distill: jax.Array
+    teacher: jax.Array
+
+
+def _shift_and_mask(labels: jax.Array,
+                    speech_token_mask: Optional[jax.Array]):
+    """Return (shifted labels [B,T-1], valid fp32 mask [B,T-1])."""
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    if speech_token_mask is not None:
+        valid = jnp.logical_and(valid, speech_token_mask[:, 1:] != 0)
+    return shift_labels, valid.astype(jnp.float32)
+
+
+def _masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
+    n = jnp.sum(mask)
+    return jnp.where(n > 0, jnp.sum(values * mask) / jnp.maximum(n, 1.0), 0.0)
+
+
+def _ce_per_pos(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Cross entropy per position; labels may contain IGNORE_INDEX (result
+    at those positions is arbitrary — masked by the caller)."""
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    safe = jnp.maximum(labels, 0)
+    gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    return lse - gold
+
+
+def dense_distill_loss(student_logits: jax.Array,
+                       teacher_logits: jax.Array,
+                       labels: jax.Array,
+                       speech_token_mask: Optional[jax.Array] = None,
+                       temperature: float = 2.0,
+                       alpha: float = 0.5) -> DistillLossOutput:
+    """Dense path (reference distillation_loss.py:56-71)."""
+    T = temperature
+    s = student_logits[:, :-1, :].astype(jnp.float32)
+    t = jax.lax.stop_gradient(teacher_logits[:, :-1, :].astype(jnp.float32))
+    shift_labels, valid = _shift_and_mask(labels, speech_token_mask)
+
+    log_q = jax.nn.log_softmax(s / T, axis=-1)
+    log_p = jax.nn.log_softmax(t / T, axis=-1)
+    p = jnp.exp(log_p)
+    kl_per_pos = jnp.sum(p * (log_p - log_q), axis=-1)
+    distill = _masked_mean(kl_per_pos, valid) * (T * T)
+
+    task = _masked_mean(_ce_per_pos(s, shift_labels), valid)
+    teacher = _masked_mean(_ce_per_pos(t, shift_labels), valid)
+    total = alpha * task + (1.0 - alpha) * distill
+    return DistillLossOutput(total, task, distill, teacher)
+
+
+def sparse_distill_loss(student_logits: jax.Array,
+                        teacher_top_k_v: jax.Array,
+                        teacher_top_k_i: jax.Array,
+                        labels: jax.Array,
+                        speech_token_mask: Optional[jax.Array] = None,
+                        temperature: float = 2.0,
+                        alpha: float = 0.5) -> DistillLossOutput:
+    """Sparse top-K path (reference distillation_loss.py:73-118).
+
+    teacher_top_k_v: [B, T, K] teacher logprobs (any float dtype),
+    teacher_top_k_i: [B, T, K] int indices into the student vocab.
+    """
+    T = temperature
+    s = student_logits[:, :-1, :].astype(jnp.float32)
+    v = jax.lax.stop_gradient(teacher_top_k_v[:, :-1, :].astype(jnp.float32))
+    idx = teacher_top_k_i[:, :-1, :].astype(jnp.int32)
+    shift_labels, valid = _shift_and_mask(labels, speech_token_mask)
+
+    # Teacher distribution renormalised over its top-K at temperature T.
+    log_p = jax.nn.log_softmax(v / T, axis=-1)
+    p = jnp.exp(log_p)
+
+    # Student full-vocab log-softmax, gathered at teacher indices.
+    log_q_all = jax.nn.log_softmax(s / T, axis=-1)
+    log_q = jnp.take_along_axis(log_q_all, idx, axis=-1)
+
+    kl_per_pos = jnp.sum(p * (log_p - log_q), axis=-1)
+    distill = _masked_mean(kl_per_pos, valid) * (T * T)
+
+    task = _masked_mean(_ce_per_pos(s, shift_labels), valid)
+
+    # Approximate teacher monitor: -mean stored logprob of the gold label
+    # over (row, k) hits where it appears in top-K, rows must be valid.
+    hits = (idx == shift_labels[..., None]).astype(jnp.float32)
+    hits = hits * valid[..., None]
+    n_hits = jnp.sum(hits)
+    teacher = jnp.where(
+        n_hits > 0, -jnp.sum(v * hits) / jnp.maximum(n_hits, 1.0), 0.0)
+
+    total = alpha * task + (1.0 - alpha) * distill
+    return DistillLossOutput(total, task, distill, teacher)
+
+
+def distillation_loss(student_logits: jax.Array,
+                      labels: jax.Array,
+                      teacher_logits: Optional[jax.Array] = None,
+                      teacher_top_k_v: Optional[jax.Array] = None,
+                      teacher_top_k_i: Optional[jax.Array] = None,
+                      speech_token_mask: Optional[jax.Array] = None,
+                      temperature: float = 2.0,
+                      alpha: float = 0.5) -> DistillLossOutput:
+    """Dispatching facade mirroring reference DistillationLoss.forward."""
+    if teacher_logits is not None:
+        return dense_distill_loss(student_logits, teacher_logits, labels,
+                                  speech_token_mask, temperature, alpha)
+    if teacher_top_k_v is not None and teacher_top_k_i is not None:
+        return sparse_distill_loss(student_logits, teacher_top_k_v,
+                                   teacher_top_k_i, labels,
+                                   speech_token_mask, temperature, alpha)
+    raise ValueError("Either teacher_logits or top_k values must be provided")
+
+
+def extract_top_k(teacher_logits: jax.Array, k: int,
+                  student_vocab_size: Optional[int] = None):
+    """On-the-fly sparse extraction (reference train.py:74-94).
+
+    Truncates to student vocab, log-softmaxes, takes top-K. Returns
+    (values fp16, indices int32) like the reference stores on disk.
+    """
+    if student_vocab_size is not None:
+        teacher_logits = teacher_logits[..., :student_vocab_size]
+    logprobs = jax.nn.log_softmax(teacher_logits.astype(jnp.float32), axis=-1)
+    v, i = jax.lax.top_k(logprobs, k)
+    return v.astype(jnp.float16), i.astype(jnp.int32)

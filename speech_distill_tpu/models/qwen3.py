@@ -1,0 +1,327 @@
+"""Qwen3 decoder, TPU-first functional JAX.
+
+One parameterized implementation covers both the SoulX-Podcast-1.7B teacher
+and the Qwen3-0.6B student (reference loads them via HF AutoModelForCausalLM,
+train.py:155-178). Architecture parity targets HF ``Qwen3ForCausalLM``:
+GQA + per-head q/k RMSNorm + NeoX RoPE + SwiGLU, RMS norms in fp32.
+
+TPU-first choices (not in the reference):
+  * layers stacked on a leading axis and driven by ``lax.scan`` — one compile
+    of one layer instead of 28 unrolled bodies
+  * ``jax.checkpoint`` per layer for rematerialisation
+  * params kept in bf16, norms/softmax accumulate in fp32
+  * static-shape KV cache pytree for decode (``lax.dynamic_update_slice``)
+  * sharding specs as data (see :func:`param_pspecs`): dp over batch,
+    tp over heads / mlp hidden / vocab
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from speech_distill_tpu.core.config import Qwen3Config
+from speech_distill_tpu.ops.attention import sdpa
+
+Params = Dict[str, Any]
+
+
+def _dtype(cfg: Qwen3Config):
+    return jnp.dtype(cfg.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, cfg: Qwen3Config) -> Params:
+    """Random init (normal, std=0.02 like HF initializer_range)."""
+    dt = _dtype(cfg)
+    L, D, F = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    QD, KVD, Dh = cfg.q_dim, cfg.kv_dim, cfg.head_dim
+    V = cfg.vocab_size
+    keys = jax.random.split(rng, 8)
+
+    def nrm(key, shape, std=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dt)
+
+    params: Params = {
+        "embed": {"weight": nrm(keys[0], (V, D))},
+        "layers": {
+            "input_ln": {"scale": jnp.ones((L, D), dt)},
+            "attn": {
+                "q": nrm(keys[1], (L, D, QD)),
+                "k": nrm(keys[2], (L, D, KVD)),
+                "v": nrm(keys[3], (L, D, KVD)),
+                "o": nrm(keys[4], (L, QD, D)),
+                "q_norm": jnp.ones((L, Dh), dt),
+                "k_norm": jnp.ones((L, Dh), dt),
+            },
+            "post_ln": {"scale": jnp.ones((L, D), dt)},
+            "mlp": {
+                "gate": nrm(keys[5], (L, D, F)),
+                "up": nrm(keys[6], (L, D, F)),
+                "down": nrm(keys[7], (L, F, D)),
+            },
+        },
+        "final_ln": {"scale": jnp.ones((D,), dt)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"weight": nrm(jax.random.fold_in(rng, 99), (V, D))}
+    return params
+
+
+def param_pspecs(cfg: Qwen3Config) -> Params:
+    """PartitionSpecs matching :func:`init_params` structure.
+
+    tp shards: vocab dim of embed/lm_head, head dim of q/k/v, mlp hidden.
+    Layer-stacked leaves get a leading None for the scan axis.
+    """
+    specs: Params = {
+        "embed": {"weight": P("tp", None)},
+        "layers": {
+            "input_ln": {"scale": P(None, None)},
+            "attn": {
+                "q": P(None, None, "tp"),
+                "k": P(None, None, "tp"),
+                "v": P(None, None, "tp"),
+                "o": P(None, "tp", None),
+                "q_norm": P(None, None),
+                "k_norm": P(None, None),
+            },
+            "post_ln": {"scale": P(None, None)},
+            "mlp": {
+                "gate": P(None, None, "tp"),
+                "up": P(None, None, "tp"),
+                "down": P(None, "tp", None),
+            },
+        },
+        "final_ln": {"scale": P(None)},
+    }
+    if not cfg.tie_word_embeddings:
+        specs["lm_head"] = {"weight": P("tp", None)}
+    return specs
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_angles(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables [..., T, head_dim] in NeoX half-rotation layout."""
+    half = head_dim // 2
+    freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    ang = positions.astype(jnp.float32)[..., None] * freq  # [..., T, half]
+    ang = jnp.concatenate([ang, ang], axis=-1)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, T, N, Dh]; cos/sin: [B, T, Dh] or [T, Dh]."""
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    xf = x.astype(jnp.float32)
+    rf = rotated.astype(jnp.float32)
+    return (xf * cos + rf * sin).astype(x.dtype)
+
+
+class KVCache(NamedTuple):
+    """Static-shape decode cache: [L, B, S_max, KV, Dh] + current length."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array  # scalar int32: tokens already written
+
+    @classmethod
+    def create(cls, cfg: Qwen3Config, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, max_len,
+                 cfg.num_key_value_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((), jnp.int32))
+
+
+def _attention_block(lp: Params, x: jax.Array, cos, sin, mask_bias,
+                     cfg: Qwen3Config, kv_slice=None, cache_len=None):
+    """One attention sub-block. Returns (out, (k, v)) for cache update."""
+    B, T, D = x.shape
+    H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    q = (x @ lp["q"]).reshape(B, T, H, Dh)
+    k = (x @ lp["k"]).reshape(B, T, KV, Dh)
+    v = (x @ lp["v"]).reshape(B, T, KV, Dh)
+
+    q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+    k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_kv = (k, v)
+    if kv_slice is not None:
+        # Decode: merge fresh k/v into the preallocated cache slice.
+        ck, cv = kv_slice
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+        k, v = ck, cv
+        new_kv = (ck, cv)
+
+    out = sdpa(q, k, v, mask_bias, impl=cfg.attn_impl)  # [B, T, H, Dh]
+    out = out.reshape(B, T, H * Dh) @ lp["o"]
+    return out, new_kv
+
+
+def _layer(lp: Params, x: jax.Array, cos, sin, mask_bias, cfg: Qwen3Config,
+           kv_slice=None, cache_len=None):
+    h, new_kv = _attention_block(
+        lp["attn"], rms_norm(x, lp["input_ln"]["scale"], cfg.rms_norm_eps),
+        cos, sin, mask_bias, cfg, kv_slice, cache_len)
+    x = x + h
+    y = rms_norm(x, lp["post_ln"]["scale"], cfg.rms_norm_eps)
+    g = jax.nn.silu((y @ lp["mlp"]["gate"]).astype(jnp.float32)).astype(y.dtype)
+    y = (g * (y @ lp["mlp"]["up"])) @ lp["mlp"]["down"]
+    return x + y, new_kv
+
+
+def _restructure_layer(stacked: Params, i: Optional[int] = None) -> Params:
+    """Select layer i (or identity when already sliced by scan)."""
+    if i is None:
+        return stacked
+    return jax.tree.map(lambda a: a[i], stacked)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _causal_bias(attention_mask: Optional[jax.Array], B: int, T: int) -> jax.Array:
+    """[B, 1, T, T] additive fp32 bias: 0 keep, -inf drop."""
+    q_pos = jnp.arange(T)[:, None]
+    k_pos = jnp.arange(T)[None, :]
+    causal = k_pos <= q_pos                          # [T, T]
+    keep = jnp.broadcast_to(causal, (B, 1, T, T))
+    if attention_mask is not None:
+        pad = attention_mask.astype(bool)[:, None, None, :]  # [B,1,1,T]
+        keep = jnp.logical_and(keep, pad)
+    return jnp.where(keep, 0.0, -jnp.inf).astype(jnp.float32)
+
+
+def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
+            attention_mask: Optional[jax.Array] = None,
+            positions: Optional[jax.Array] = None,
+            cache: Optional[KVCache] = None,
+            inputs_embeds: Optional[jax.Array] = None,
+            return_hidden: bool = False):
+    """Run the decoder.
+
+    Training/prefill: ``cache=None`` — full causal attention over [B, T].
+    Decode: pass a :class:`KVCache`; ``input_ids`` is the fresh chunk
+    (usually T=1) appended at ``cache.length``.
+
+    Returns logits [B, T, V] (in cfg.logits_dtype), or hidden states if
+    ``return_hidden`` (for fused lm-head losses), plus the new cache when one
+    was given.
+    """
+    if inputs_embeds is not None:
+        x = inputs_embeds
+        B, T = x.shape[:2]
+    else:
+        B, T = input_ids.shape
+        x = jnp.take(params["embed"]["weight"], input_ids, axis=0)
+
+    if cache is None:
+        if positions is None:
+            positions = jnp.arange(T)[None, :].repeat(B, axis=0)
+        cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+        mask_bias = _causal_bias(attention_mask, B, T)
+
+        layer_fn = partial(_layer, cfg=cfg)
+        if cfg.remat:
+            layer_fn = jax.checkpoint(layer_fn, static_argnums=())
+
+        if cfg.scan_layers:
+            def body(carry, lp):
+                h, _ = layer_fn(lp, carry, cos, sin, mask_bias)
+                return h, None
+            x, _ = jax.lax.scan(body, x, params["layers"])
+        else:
+            for i in range(cfg.num_hidden_layers):
+                x, _ = layer_fn(_restructure_layer(params["layers"], i),
+                                x, cos, sin, mask_bias)
+        new_cache = None
+    else:
+        S = cache.k.shape[2]
+        start = cache.length
+        positions = start + jnp.arange(T)[None, :].repeat(B, axis=0)
+        cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+        # keys live at absolute positions [0, S); queries at start+t
+        k_pos = jnp.arange(S)[None, :]                      # [1, S]
+        q_pos = (start + jnp.arange(T))[:, None]            # [T, 1]
+        keep = jnp.broadcast_to((k_pos <= q_pos)[None, None], (B, 1, T, S))
+        if attention_mask is not None:
+            # attention_mask covers the full cache window [B, S]
+            keep = jnp.logical_and(keep, attention_mask.astype(bool)[:, None, None, :])
+        mask_bias = jnp.where(keep, 0.0, -jnp.inf).astype(jnp.float32)
+
+        def body(carry, xs):
+            lp, ck, cv = xs
+            h, (nk, nv) = _layer(lp, carry, cos, sin, mask_bias, cfg,
+                                 kv_slice=(ck, cv), cache_len=start)
+            return h, (nk, nv)
+
+        x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(nk, nv, cache.length + T)
+
+    x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
+    if return_hidden:
+        return (x, new_cache) if cache is not None else x
+
+    logits = unembed(params, x, cfg)
+    return (logits, new_cache) if cache is not None else logits
+
+
+def unembed(params: Params, hidden: jax.Array, cfg: Qwen3Config) -> jax.Array:
+    w = lm_head_weight(params)
+    logits = hidden.astype(jnp.dtype(cfg.logits_dtype)) @ \
+        w.T.astype(jnp.dtype(cfg.logits_dtype))
+    return logits
+
+
+def lm_head_weight(params: Params) -> jax.Array:
+    """[V, D] unembedding matrix (tied or separate)."""
+    if "lm_head" in params:
+        return params["lm_head"]["weight"]
+    return params["embed"]["weight"]
+
+
+def num_params(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def flops_per_token(cfg: Qwen3Config, seq_len: int) -> float:
+    """Approximate fwd FLOPs/token (2*N matmul + attention term)."""
+    D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    QD, KVD = cfg.q_dim, cfg.kv_dim
+    per_layer = 2 * (D * QD + 2 * D * KVD + QD * D + 3 * D * F)
+    attn = 2 * 2 * QD * seq_len  # qk + av, causal ~ seq/2 * 2
+    lm = 2 * D * cfg.vocab_size
+    return L * (per_layer + attn) + lm

@@ -1,0 +1,71 @@
+"""Attention kernels.
+
+The reference gets fused attention from flash-attention-2 CUDA kernels
+(reference train.py:160,177; stage1.py:113). TPU equivalents here:
+
+  * ``sdpa_xla`` — einsum SDPA with fp32 softmax; XLA fuses this well and it
+    is the correctness reference, used on CPU meshes and for decode.
+  * ``flash_attention`` — blockwise Pallas causal flash attention (fwd +
+    custom VJP), used for long-sequence training on real TPU.
+
+``sdpa`` dispatches: explicit impl, else pallas on TPU when shapes allow.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_PALLAS_MIN_SEQ = 512          # below this XLA SDPA is as fast and simpler
+_PALLAS_BLOCK = 256
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array,
+             mask_bias: Optional[jax.Array]) -> jax.Array:
+    """Grouped-query SDPA.
+
+    q: [B, T, H, Dh], k/v: [B, S, KV, Dh], mask_bias: [B, 1, T, S] fp32
+    additive (0 keep / -inf drop). Returns [B, T, H, Dh] in q.dtype.
+    """
+    B, T, H, Dh = q.shape
+    S, KV = k.shape[1], k.shape[2]
+    G = H // KV
+    qf = q.reshape(B, T, KV, G, Dh)
+    scale = Dh ** -0.5
+    # [B, KV, G, T, S]
+    logits = jnp.einsum("btkgd,bskd->bkgts", qf, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask_bias is not None:
+        logits = logits + mask_bias[:, :, None, :, :]
+    # rows that are fully masked (e.g. padding queries) produce uniform
+    # attention after the max-subtraction; that is fine — their outputs are
+    # masked out downstream.
+    logits = jnp.where(jnp.isneginf(logits), jnp.float32(-1e30), logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs.astype(v.dtype), v)
+    return out.reshape(B, T, H, Dh)
+
+
+def sdpa(q, k, v, mask_bias, impl: str = "auto"):
+    if impl == "xla":
+        return sdpa_xla(q, k, v, mask_bias)
+    if impl == "pallas" or (impl == "auto" and _on_tpu()
+                            and q.shape[1] >= _PALLAS_MIN_SEQ
+                            and q.shape[1] == k.shape[1]
+                            and q.shape[1] % _PALLAS_BLOCK == 0):
+        try:
+            from speech_distill_tpu.ops.flash_attention import flash_attention
+            return flash_attention(q, k, v, mask_bias)
+        except Exception:
+            if impl == "pallas":
+                raise
+    return sdpa_xla(q, k, v, mask_bias)

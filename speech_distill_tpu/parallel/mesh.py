@@ -1,0 +1,67 @@
+"""Device mesh + sharding layer.
+
+The reference implements no parallelism at all (SURVEY §2.5: single process,
+``device_map="auto"``, no torch.distributed). This module is the green-field
+TPU-native replacement: a named ``jax.sharding.Mesh`` over ICI with GSPMD
+collectives inserted by XLA from ``NamedSharding`` annotations.
+
+Axes:
+  dp — data parallel (batch dim)
+  tp — tensor parallel (attention heads / mlp hidden / vocab)
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from speech_distill_tpu.core.config import MeshConfig
+
+DP_AXIS = "dp"
+TP_AXIS = "tp"
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a (dp, tp) mesh over the given devices (default: all)."""
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    tp = max(1, cfg.tp)
+    if n % tp != 0:
+        raise ValueError(f"device count {n} not divisible by tp={tp}")
+    dp = cfg.dp if cfg.dp > 0 else n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp={dp*tp} != device count {n}")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, (DP_AXIS, TP_AXIS))
+
+
+def single_device_mesh() -> Mesh:
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), (DP_AXIS, TP_AXIS))
+
+
+def shard(mesh: Mesh, spec: P) -> NamedSharding:
+    return NamedSharding(mesh, spec)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard leading batch dim over dp, replicate the rest."""
+    return NamedSharding(mesh, P(DP_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def put_batch(mesh: Mesh, tree):
+    """Device-put a host batch pytree with batch-dim sharded over dp."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def logical_constraint(x, mesh: Mesh, spec: P):
+    """Annotate an intermediate activation with a sharding constraint."""
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
