@@ -1,0 +1,106 @@
+"""Headline benchmark: stage-2 KD step throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the reference's hot path (train.py:43-116) rebuilt TPU-native:
+student Qwen3-0.6B + LoRA(r=32, rsLoRA) forward/backward + AdamW with
+sparse top-K distillation loss (precomputed-logits mode, the reference's
+recommended configuration) at bs=4 x seq=512, the reference defaults.
+
+The reference publishes no throughput numbers (BASELINE.json "published": {}),
+so ``vs_baseline`` reports measured-MFU / 0.35 — the driver-supplied
+north-star target of >=35% MFU.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="precomputed",
+                   choices=["precomputed", "online_sparse", "online_dense"])
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--seq", type=int, default=512)
+    p.add_argument("--top_k", type=int, default=128)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from speech_distill_tpu.core.config import (
+        DistillConfig, LoraConfig, qwen3_student_0p6b, qwen3_teacher_1p7b)
+    from speech_distill_tpu.distill import train_step
+    from speech_distill_tpu.distill.lora import init_lora
+    from speech_distill_tpu.models import qwen3
+
+    cfg = qwen3_student_0p6b()
+    dcfg = DistillConfig(top_k=args.top_k,
+                         lora=LoraConfig(init_weights="gaussian"))
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, dcfg.lora)
+    del params
+    opt = train_step.make_optimizer(5e-5, 10, 1000)
+    state = train_step.init_state(lora, opt)
+
+    teacher_params = None
+    teacher_cfg = None
+    if args.mode != "precomputed":
+        teacher_cfg = qwen3_teacher_1p7b()
+        teacher_params = qwen3.init_params(jax.random.PRNGKey(2), teacher_cfg)
+
+    rng = np.random.default_rng(0)
+    B, T, K = args.batch, args.seq, args.top_k
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (1, B, T)),
+                                 jnp.int32),
+        "attention_mask": jnp.ones((1, B, T), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, cfg.vocab_size, (1, B, T)),
+                              jnp.int32),
+    }
+    if args.mode == "precomputed":
+        batch["teacher_top_k_v"] = jnp.asarray(
+            rng.normal(size=(1, B, T, K)) - 3, jnp.float16)
+        batch["teacher_top_k_i"] = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, (1, B, T, K)), jnp.int32)
+
+    step = train_step.make_kd_step(cfg, dcfg, opt, mode=args.mode,
+                                   teacher_cfg=teacher_cfg, donate=False)
+
+    for _ in range(args.warmup):
+        state, metrics = step(state, base, teacher_params, batch)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, base, teacher_params, batch)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = args.steps / dt
+    tokens_per_sec = steps_per_sec * B * T
+
+    # MFU: student fwd+bwd ~= 3x fwd; online modes add teacher fwd
+    flops_token = 3.0 * qwen3.flops_per_token(cfg, T)
+    if teacher_cfg is not None:
+        flops_token += qwen3.flops_per_token(teacher_cfg, T)
+    achieved = tokens_per_sec * flops_token
+    peak = 197e12  # v5e bf16 peak FLOP/s
+    mfu = achieved / peak
+
+    print(json.dumps({
+        "metric": f"kd_{args.mode}_student_tokens_per_sec_per_chip",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(mfu / 0.35, 3),
+        "extra": {"steps_per_sec": round(steps_per_sec, 3),
+                  "mfu": round(mfu, 4),
+                  "loss": float(metrics["loss"])},
+    }))
+
+
+if __name__ == "__main__":
+    main()

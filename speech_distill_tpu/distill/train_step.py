@@ -1,0 +1,213 @@
+"""Jitted training steps: stage-2 KD and stage-1 warm-up.
+
+Replaces the reference's HF-Trainer callback plumbing
+(DistillationTrainer.compute_loss, train.py:24-116; SFT + backward hooks,
+stage1.py:29-93) with pure functions over pytree state, compiled once per
+bucket shape.
+
+TPU-first properties:
+  * teacher forward runs inside the same jit program under stop_gradient —
+    XLA overlaps it with the student step (no host round-trip per batch)
+  * gradient accumulation is a ``lax.scan`` over a leading microbatch axis
+  * stage-1's "train only new embedding rows" is a ``jnp.where`` on the
+    gradient rows — same effect as the reference's backward hooks
+    (stage1.py:52-73) without mutable-module machinery
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from speech_distill_tpu.core.config import DistillConfig, LoraConfig, Qwen3Config
+from speech_distill_tpu.distill import losses
+from speech_distill_tpu.distill.lora import merge_lora
+from speech_distill_tpu.models import qwen3
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    trainable: Params          # lora pytree (KD) or embed/lm_head (stage-1)
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(learning_rate: float, warmup_steps: int, total_steps: int,
+                   weight_decay: float = 0.0, max_grad_norm: float = 1.0):
+    """AdamW + linear warmup/decay + global-norm clip (HF Trainer defaults
+    the reference inherits: train.py:331-354)."""
+    warmup_steps = max(1, warmup_steps)
+    total_steps = max(total_steps, warmup_steps + 1)
+    schedule = optax.schedules.join_schedules([
+        optax.schedules.linear_schedule(0.0, learning_rate, warmup_steps),
+        optax.schedules.linear_schedule(
+            learning_rate, 0.0, total_steps - warmup_steps),
+    ], [warmup_steps])
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=weight_decay),
+    )
+
+
+def init_state(trainable: Params, optimizer) -> TrainState:
+    return TrainState(trainable, optimizer.init(trainable),
+                      jnp.zeros((), jnp.int32))
+
+
+def _accumulate(loss_and_grad_fn, trainable, batch, accum_args):
+    """Scan microbatches (leading axis A) and average grads/metrics."""
+    def micro(g_acc, mb):
+        (_, metrics), grads = loss_and_grad_fn(trainable, mb, *accum_args)
+        return jax.tree.map(jnp.add, g_acc, grads), metrics
+
+    A = jax.tree.leaves(batch)[0].shape[0]
+    zero_g = jax.tree.map(lambda x: jnp.zeros_like(x, jnp.float32), trainable)
+    g, metrics = jax.lax.scan(micro, zero_g, batch)
+    inv = 1.0 / A
+    return jax.tree.map(lambda x: x * inv, g), \
+        jax.tree.map(lambda x: jnp.mean(x), metrics)
+
+
+# ---------------------------------------------------------------------------
+# Stage-2 KD
+# ---------------------------------------------------------------------------
+
+
+def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
+                 optimizer, *, mode: str,
+                 teacher_cfg: Optional[Qwen3Config] = None,
+                 teacher_forward: Optional[Callable] = None,
+                 use_lora: bool = True,
+                 donate: bool = True):
+    """Build the jitted KD step.
+
+    mode:
+      'precomputed'   — batch carries teacher_top_k_v/i (offline pipeline)
+      'online_sparse' — teacher fwd in-loop, top-K extracted on device
+                        (train.py:60-94)
+      'online_dense'  — teacher fwd in-loop, full-vocab KL (quantized teacher
+                        or top_k<=0; train.py:74-79)
+
+    ``teacher_forward(teacher_params, ids, mask) -> logits`` defaults to the
+    Qwen3 forward; inject the CosyVoice2 split-embedding policy here.
+
+    Batch arrays carry a leading microbatch axis [A, B, T].
+    Returns ``step(state, base_params, teacher_params, batch) -> (state, metrics)``.
+    """
+    lcfg = distill_cfg.lora
+
+    if teacher_forward is None and mode != "precomputed":
+        t_cfg = teacher_cfg or student_cfg
+
+        def teacher_forward(tp, ids, mask):
+            return qwen3.forward(tp, ids, t_cfg, attention_mask=mask)
+
+    def loss_fn(trainable, mb, base_params, teacher_params):
+        eff = merge_lora(base_params, trainable, lcfg) if use_lora else trainable
+        logits = qwen3.forward(eff, mb["input_ids"], student_cfg,
+                               attention_mask=mb["attention_mask"])
+        labels = mb["labels"]
+        smask = mb.get("speech_token_mask")
+
+        if mode == "precomputed":
+            out = losses.sparse_distill_loss(
+                logits, mb["teacher_top_k_v"], mb["teacher_top_k_i"], labels,
+                smask, distill_cfg.temperature, distill_cfg.alpha)
+        else:
+            t_ids = mb.get("teacher_input_ids", mb["input_ids"])
+            t_mask = mb.get("teacher_attention_mask", mb["attention_mask"])
+            t_logits = jax.lax.stop_gradient(
+                teacher_forward(teacher_params, t_ids, t_mask))
+            if mode == "online_sparse":
+                v, i = losses.extract_top_k(
+                    t_logits, distill_cfg.top_k,
+                    student_vocab_size=student_cfg.vocab_size)
+                out = losses.sparse_distill_loss(
+                    logits, v, i, labels, smask,
+                    distill_cfg.temperature, distill_cfg.alpha)
+            else:
+                t_logits = t_logits[..., :student_cfg.vocab_size]
+                out = losses.dense_distill_loss(
+                    logits, t_logits, labels, smask,
+                    distill_cfg.temperature, distill_cfg.alpha)
+
+        metrics = {"loss": out.total, "student_loss": out.task,
+                   "distill_loss": out.distill, "teacher_loss": out.teacher}
+        return out.total, metrics
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state: TrainState, base_params, teacher_params, batch):
+        grads, metrics = _accumulate(grad_fn, state.trainable, batch,
+                                     (base_params, teacher_params))
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(trainable, opt_state, state.step + 1), metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Stage-1 warm-up: new-embedding-only training
+# ---------------------------------------------------------------------------
+
+
+def mask_new_token_grads(grads: Params, old_vocab_size: int) -> Params:
+    """Zero gradient rows below old_vocab_size for embed/lm_head
+    (reference stage1.py:52-73 backward hooks)."""
+    def mask_rows(g):
+        rows = jnp.arange(g.shape[0])[:, None]
+        return jnp.where(rows >= old_vocab_size, g, 0.0)
+
+    out = {}
+    for key in grads:
+        out[key] = {"weight": mask_rows(grads[key]["weight"])}
+    return out
+
+
+def make_stage1_step(cfg: Qwen3Config, optimizer, old_vocab_size: int,
+                     donate: bool = True):
+    """SFT CE step training only the new speech-token embedding rows.
+
+    trainable = {"embed": ..., ["lm_head": ...]}; the rest of the model is
+    frozen in base_params (reference stage1.py:29-93). Loss = next-token CE
+    over labels != -100 (TRL SFT semantics).
+    """
+
+    def loss_fn(trainable, mb, base_params):
+        eff = dict(base_params)
+        eff["embed"] = trainable["embed"]
+        if "lm_head" in trainable:
+            eff["lm_head"] = trainable["lm_head"]
+        logits = qwen3.forward(eff, mb["input_ids"], cfg,
+                               attention_mask=mb["attention_mask"])
+        labels = mb["labels"]
+        shift_labels = labels[:, 1:]
+        valid = (shift_labels != losses.IGNORE_INDEX).astype(jnp.float32)
+        ce = losses._ce_per_pos(logits[:, :-1, :], shift_labels)
+        loss = losses._masked_mean(ce, valid)
+        return loss, {"loss": loss}
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else (),
+                       static_argnums=())
+    def step(state: TrainState, base_params, batch):
+        grads, metrics = _accumulate(grad_fn, state.trainable, batch,
+                                     (base_params,))
+        grads = mask_new_token_grads(grads, old_vocab_size)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(trainable, opt_state, state.step + 1), metrics
+
+    return step

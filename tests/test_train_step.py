@@ -1,0 +1,177 @@
+"""LoRA init/merge + KD/stage-1 train step behavior."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from speech_distill_tpu.core.config import (
+    DistillConfig, LoraConfig, qwen3_tiny)
+from speech_distill_tpu.distill import train_step
+from speech_distill_tpu.distill.lora import init_lora, lora_scaling, merge_lora
+from speech_distill_tpu.models import qwen3
+
+
+def _f32(cfg):
+    return type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = _f32(qwen3_tiny(128))
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _batch(cfg, B=2, T=12, A=1, K=4, seed=0, with_topk=True):
+    rng = np.random.default_rng(seed)
+    V = cfg.vocab_size
+    ids = rng.integers(0, V, (A, B, T)).astype(np.int32)
+    mask = np.ones((A, B, T), np.int32)
+    labels = ids.astype(np.int64).copy()
+    labels[..., :3] = -100
+    batch = {"input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.asarray(mask),
+             "labels": jnp.asarray(labels)}
+    if with_topk:
+        v = rng.normal(size=(A, B, T, K)).astype(np.float16) - 3
+        i = rng.integers(0, V, (A, B, T, K)).astype(np.int32)
+        batch["teacher_top_k_v"] = jnp.asarray(v)
+        batch["teacher_top_k_i"] = jnp.asarray(i)
+    return batch
+
+
+# -- LoRA -------------------------------------------------------------------
+
+
+def test_pissa_merge_preserves_weights(tiny):
+    cfg, params = tiny
+    lcfg = LoraConfig(r=8, alpha=16, init_weights="pissa")
+    lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, lcfg)
+    merged = merge_lora(base, lora, lcfg)
+    # at init, residual + scaled principal == original weight
+    np.testing.assert_allclose(
+        np.asarray(merged["layers"]["attn"]["q"]),
+        np.asarray(params["layers"]["attn"]["q"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(merged["layers"]["mlp"]["down"]),
+        np.asarray(params["layers"]["mlp"]["down"]), atol=1e-4)
+
+
+def test_gaussian_init_zero_delta(tiny):
+    cfg, params = tiny
+    lcfg = LoraConfig(r=4, alpha=8, init_weights="gaussian")
+    lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, lcfg)
+    merged = merge_lora(base, lora, lcfg)
+    np.testing.assert_allclose(np.asarray(merged["layers"]["attn"]["q"]),
+                               np.asarray(params["layers"]["attn"]["q"]),
+                               atol=1e-6)
+
+
+def test_rslora_scaling():
+    assert lora_scaling(LoraConfig(r=16, alpha=32, use_rslora=False)) == 2.0
+    assert lora_scaling(LoraConfig(r=16, alpha=32, use_rslora=True)) == 8.0
+
+
+# -- KD step ----------------------------------------------------------------
+
+
+def test_kd_precomputed_loss_decreases(tiny):
+    cfg, params = tiny
+    dcfg = DistillConfig(lora=LoraConfig(r=4, alpha=8, init_weights="gaussian"))
+    lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, dcfg.lora)
+    opt = train_step.make_optimizer(1e-2, warmup_steps=1, total_steps=50)
+    state = train_step.init_state(lora, opt)
+    step = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
+                                   donate=False)
+    batch = _batch(cfg)
+    state, m0 = step(state, base, None, batch)
+    for _ in range(8):
+        state, m = step(state, base, None, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert np.isfinite(float(m["grad_norm"]))
+
+
+def test_kd_online_sparse_matches_precomputed(tiny):
+    """Online top-K extraction == offline extraction at fp16 tolerance."""
+    cfg, params = tiny
+    teacher_params = qwen3.init_params(jax.random.PRNGKey(7), cfg)
+    dcfg = DistillConfig(top_k=8,
+                         lora=LoraConfig(r=4, alpha=8, init_weights="gaussian"))
+    lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, dcfg.lora)
+    opt = train_step.make_optimizer(0.0, 1, 10)  # lr=0: states stay equal
+    batch = _batch(cfg, with_topk=False)
+
+    online = train_step.make_kd_step(cfg, dcfg, opt, mode="online_sparse",
+                                     teacher_cfg=cfg, donate=False)
+    s1 = train_step.init_state(lora, opt)
+    _, m_online = online(s1, base, teacher_params, batch)
+
+    # offline extraction with the same teacher
+    from speech_distill_tpu.distill.losses import extract_top_k
+    t_logits = qwen3.forward(teacher_params, batch["input_ids"][0], cfg,
+                             attention_mask=batch["attention_mask"][0])
+    v, i = extract_top_k(t_logits, 8, cfg.vocab_size)
+    pre = dict(batch)
+    pre["teacher_top_k_v"] = v[None]
+    pre["teacher_top_k_i"] = i[None]
+    precomp = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
+                                      donate=False)
+    s2 = train_step.init_state(lora, opt)
+    _, m_pre = precomp(s2, base, None, pre)
+    np.testing.assert_allclose(float(m_online["loss"]), float(m_pre["loss"]),
+                               rtol=2e-3)
+
+
+def test_kd_online_dense_runs(tiny):
+    cfg, params = tiny
+    teacher_params = qwen3.init_params(jax.random.PRNGKey(7), cfg)
+    dcfg = DistillConfig(top_k=0,
+                         lora=LoraConfig(r=4, alpha=8, init_weights="gaussian"))
+    assert dcfg.use_dense
+    lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, dcfg.lora)
+    opt = train_step.make_optimizer(1e-3, 1, 10)
+    state = train_step.init_state(lora, opt)
+    step = train_step.make_kd_step(cfg, dcfg, opt, mode="online_dense",
+                                   teacher_cfg=cfg, donate=False)
+    _, m = step(state, base, teacher_params, _batch(cfg, with_topk=False))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["teacher_loss"]) > 0
+
+
+def test_grad_accumulation_averages(tiny):
+    """[2, B, T] microbatches == mean of two single-microbatch losses."""
+    cfg, params = tiny
+    dcfg = DistillConfig(lora=LoraConfig(r=4, alpha=8, init_weights="gaussian"))
+    lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, dcfg.lora)
+    opt = train_step.make_optimizer(0.0, 1, 10)
+    step = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
+                                   donate=False)
+    b2 = _batch(cfg, A=2, seed=3)
+    _, m2 = step(train_step.init_state(lora, opt), base, None, b2)
+    singles = []
+    for a in range(2):
+        ba = jax.tree.map(lambda x: x[a:a + 1], b2)
+        _, m1 = step(train_step.init_state(lora, opt), base, None, ba)
+        singles.append(float(m1["loss"]))
+    np.testing.assert_allclose(float(m2["loss"]), np.mean(singles), rtol=1e-5)
+
+
+# -- stage 1 ----------------------------------------------------------------
+
+
+def test_stage1_only_new_rows_update(tiny):
+    cfg, params = tiny
+    old_vocab = 100
+    trainable = {"embed": {"weight": params["embed"]["weight"]}}
+    base = {k: v for k, v in params.items()}
+    opt = train_step.make_optimizer(1e-2, 1, 10)
+    state = train_step.init_state(trainable, opt)
+    step = train_step.make_stage1_step(cfg, opt, old_vocab, donate=False)
+    batch = _batch(cfg, with_topk=False)
+    before = np.asarray(trainable["embed"]["weight"])
+    state, m = step(state, base, batch)     # warmup step 0: lr=0
+    state, m = step(state, base, batch)
+    after = np.asarray(state.trainable["embed"]["weight"])
+    np.testing.assert_array_equal(after[:old_vocab], before[:old_vocab])
+    assert np.abs(after[old_vocab:] - before[old_vocab:]).max() > 0
+    assert np.isfinite(float(m["loss"]))
