@@ -72,12 +72,14 @@ def main():
 
     for _ in range(args.warmup):
         state, metrics = step(state, base, teacher_params, batch)
-    jax.block_until_ready(metrics)
+    # force full execution (block_until_ready is unreliable on relayed
+    # platforms; a scalar readback is not)
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state, base, teacher_params, batch)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     steps_per_sec = args.steps / dt

@@ -1,0 +1,111 @@
+"""Training loop: the HF-Trainer-shaped outer loop, functional inside.
+
+Replaces HF ``Trainer``/TRL ``SFTTrainer`` usage in the reference
+(train.py:357-369, stage1.py:329-335): epoch iteration, grad accumulation
+(as a microbatch axis), periodic logging, Orbax checkpointing with
+retention, eval, resume.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from speech_distill_tpu.core.checkpoint import CheckpointManager
+from speech_distill_tpu.core.metrics import MetricsLogger
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    num_epochs: int = 3
+    max_steps: Optional[int] = None
+    logging_steps: int = 10
+    save_steps: Optional[int] = None      # None -> save per epoch
+    save_total_limit: int = 3
+    output_dir: str = "./output"
+    report_to: str = "none"
+    eval_steps: Optional[int] = None
+
+
+def batches_from(dataset: Iterable[Dict[str, np.ndarray]],
+                 collate: Callable, batch_size: int, accum: int,
+                 drop_last: bool = True,
+                 shuffle_seed: Optional[int] = None,
+                 epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Group examples into [A, B, ...] microbatched host batches."""
+    items: List = list(dataset)
+    if shuffle_seed is not None:
+        order = np.random.default_rng(shuffle_seed + epoch).permutation(len(items))
+        items = [items[i] for i in order]
+    chunk = batch_size * accum
+    for i in range(0, len(items), chunk):
+        group = items[i:i + chunk]
+        if len(group) < chunk:
+            if drop_last:
+                return
+            # repeat-pad the final group to a full static shape
+            group = group + group[: chunk - len(group)]
+        big = collate(group)
+        yield {k: v.reshape((accum, batch_size) + v.shape[1:])
+               for k, v in big.items()}
+
+
+def train_loop(step_fn: Callable, state, frozen_args: tuple,
+               batch_iter_fn: Callable[[int], Iterator[Dict[str, np.ndarray]]],
+               cfg: LoopConfig,
+               put_batch: Optional[Callable] = None,
+               eval_fn: Optional[Callable] = None,
+               ckpt: Optional[CheckpointManager] = None,
+               tokens_per_batch: Optional[int] = None):
+    """Run the loop. ``step_fn(state, *frozen_args, batch) -> (state, metrics)``.
+
+    ``batch_iter_fn(epoch)`` yields host batches; ``put_batch`` places them
+    on the mesh (defaults to identity — jit will transfer).
+    Returns the final state.
+    """
+    logger = MetricsLogger(cfg.output_dir, cfg.report_to)
+    if ckpt is None:
+        ckpt = CheckpointManager(f"{cfg.output_dir}/ckpt", cfg.save_total_limit)
+
+    # resume
+    start_step = 0
+    latest = ckpt.latest_step()
+    if latest is not None:
+        restored = ckpt.restore(state, latest)
+        if restored is not None:
+            state = restored
+            start_step = latest
+            print(f"resumed from step {latest}")
+
+    global_step = start_step
+    done = False
+    for epoch in range(cfg.num_epochs):
+        if done:
+            break
+        for host_batch in batch_iter_fn(epoch):
+            if global_step > start_step or start_step == 0:
+                pass
+            batch = put_batch(host_batch) if put_batch else host_batch
+            state, metrics = step_fn(state, *frozen_args, batch)
+            global_step += 1
+            if global_step % cfg.logging_steps == 0:
+                metrics = jax.device_get(metrics)
+                logger.log(global_step, metrics, tokens_per_batch)
+            if cfg.save_steps and global_step % cfg.save_steps == 0:
+                ckpt.save(global_step, jax.device_get(state))
+            if cfg.eval_steps and eval_fn and global_step % cfg.eval_steps == 0:
+                eval_metrics = eval_fn(state)
+                logger.log(global_step,
+                           {f"eval_{k}": v for k, v in eval_metrics.items()})
+            if cfg.max_steps and global_step >= cfg.max_steps:
+                done = True
+                break
+        if not cfg.save_steps:  # per-epoch save (reference default)
+            ckpt.save(global_step, jax.device_get(state))
+    ckpt.save(global_step, jax.device_get(state), force=True)
+    ckpt.wait()
+    logger.close()
+    return state

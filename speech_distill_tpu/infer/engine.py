@@ -1,0 +1,171 @@
+"""TPU decode engine: jitted prefill + fixed-shape sampling decode loop.
+
+Replaces the reference's HF ``model.generate`` hook / vLLM engine
+(soulxpodcast/engine/llm_engine.py:23-114) with a TPU-native design:
+
+  * static-shape token buffer [B, max_len] + preallocated KV cache —
+    one compile per (bucket, max_new) pair, no growing tensors
+  * the whole decode loop is one ``lax.while_loop`` under jit: sample from
+    the held logits -> append -> forward-one-token -> next logits
+  * repetition-penalty presence set kept as an incremental [B, V] mask
+  * multi-turn reuse: cache and buffer survive across calls so the longform
+    session (soulxpodcast.py:252-432) pays prefill only for new turn text;
+    eviction policy is handled host-side between turns
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speech_distill_tpu.core.config import Qwen3Config, SamplingParams
+from speech_distill_tpu.models import qwen3
+from speech_distill_tpu.ops import sampling
+
+
+class DecodeState(NamedTuple):
+    tokens: jax.Array        # [B, max_len] int32 (prompt + generated)
+    length: jax.Array        # [B] int32 — valid tokens per row
+    cache: qwen3.KVCache
+    last_logits: jax.Array   # [B, V] fp32 — logits at the last real token
+    presence: jax.Array      # [B, V] bool — generated-token set (rep penalty)
+    num_generated: jax.Array  # [B] int32
+    finished: jax.Array      # [B] bool
+    rng: jax.Array
+
+
+def make_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
+                   win_size: Optional[int] = None):
+    """Build a jitted ``decode(params, state, max_new) -> state``."""
+    win = win_size or sp.win_size
+    eos_ids = tuple(sp.stop_token_ids)
+    pad_id = eos_ids[0]
+
+    def step_body(params, st: DecodeState) -> DecodeState:
+        B = st.tokens.shape[0]
+        raw = st.last_logits
+
+        processed = sampling.process_logits(
+            raw, st.presence, st.num_generated[:, None],
+            temperature=sp.temperature, top_k=sp.top_k, top_p=sp.top_p,
+            repetition_penalty=sp.repetition_penalty,
+            min_tokens=sp.min_tokens, eos_ids=eos_ids)
+
+        # last `win` tokens of each row (prompt included), masked to length
+        pos = st.length[:, None] - win + jnp.arange(win)[None, :]
+        recent_valid = pos >= 0
+        recent = jnp.take_along_axis(st.tokens, jnp.maximum(pos, 0), axis=1)
+
+        rng, sub = jax.random.split(st.rng)
+        res = sampling.ras_sample(sub, raw, processed, recent, recent_valid,
+                                  use_ras=sp.use_ras, win_size=win,
+                                  tau_r=sp.tau_r)
+        token = jnp.where(st.finished, pad_id, res.token)
+
+        tokens = st.tokens.at[jnp.arange(B), st.length].set(token)
+        presence = st.presence.at[jnp.arange(B), token].set(True)
+        is_eos = jnp.zeros(B, bool)
+        for e in eos_ids:
+            is_eos = jnp.logical_or(is_eos, token == e)
+        finished = jnp.logical_or(st.finished, is_eos)
+
+        logits, cache = qwen3.forward(params, token[:, None], cfg,
+                                      cache=st.cache)
+        return DecodeState(tokens, st.length + 1, cache,
+                           logits[:, -1, :].astype(jnp.float32), presence,
+                           st.num_generated + 1, finished, rng)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def decode(params, st: DecodeState, max_new: int) -> DecodeState:
+        def cond(s: DecodeState):
+            return jnp.logical_and(jnp.any(~s.finished),
+                                   jnp.min(s.num_generated) < max_new)
+        return jax.lax.while_loop(cond, lambda s: step_body(params, s), st)
+
+    return decode
+
+
+class DecodeEngine:
+    """Host-facing engine operating on id lists (tokenizer-free).
+
+    ``generate(prompt_ids)`` mirrors HFLLMEngine.generate
+    (llm_engine.py:37-76): repetition penalty excludes the prompt, RAS
+    sampling, EOS stopping, KV-cache passthrough for multi-turn reuse.
+    """
+
+    def __init__(self, params, cfg: Qwen3Config, sp: SamplingParams,
+                 max_len: int = 8192, prefill_bucket: int = 128,
+                 seed: int = 0, cache_dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.sp = sp
+        self.max_len = max_len
+        self.bucket = prefill_bucket
+        self.cache_dtype = cache_dtype
+        self._decode = make_decode_fn(cfg, sp)
+        self._prefill = jax.jit(
+            lambda p, ids, mask, cache: qwen3.forward(
+                p, ids, cfg, attention_mask=mask, cache=cache))
+        self._rng = jax.random.PRNGKey(seed)
+
+    def _bucketed(self, n: int) -> int:
+        return min(self.max_len, -(-n // self.bucket) * self.bucket)
+
+    def new_state(self, batch: int = 1) -> DecodeState:
+        cache = qwen3.KVCache.create(self.cfg, batch, self.max_len,
+                                     self.cache_dtype)
+        V = self.cfg.vocab_size
+        self._rng, sub = jax.random.split(self._rng)
+        return DecodeState(
+            tokens=jnp.zeros((batch, self.max_len), jnp.int32),
+            length=jnp.zeros((batch,), jnp.int32),
+            cache=cache,
+            last_logits=jnp.zeros((batch, V), jnp.float32),
+            presence=jnp.zeros((batch, V), bool),
+            num_generated=jnp.zeros((batch,), jnp.int32),
+            finished=jnp.zeros((batch,), bool),
+            rng=sub)
+
+    def prefill(self, state: DecodeState, new_ids: list) -> DecodeState:
+        """Append prompt ids (single row) and run the model over them.
+
+        The chunk is padded to a bucket; padded keys are written to the
+        cache but are never visible: the cache length is rewound to the true
+        end, and every later step overwrites its own slot before attending.
+        """
+        n = len(new_ids)
+        start = int(state.cache.length)
+        width = self._bucketed(n)
+        ids = np.zeros((1, width), np.int32)
+        ids[0, :n] = new_ids
+        mask = (np.arange(self.max_len) < start + n).astype(np.int32)[None]
+        logits, cache = self._prefill(self.params, jnp.asarray(ids),
+                                      jnp.asarray(mask), state.cache)
+        cache = cache._replace(length=jnp.asarray(start + n, jnp.int32))
+        tokens = jax.lax.dynamic_update_slice(
+            state.tokens, jnp.asarray(ids[:, :n]), (0, start))
+        return state._replace(
+            tokens=tokens,
+            length=jnp.full_like(state.length, start + n),
+            cache=cache,
+            last_logits=logits[:, n - 1, :].astype(jnp.float32))
+
+    def generate(self, prompt_ids: list,
+                 state: Optional[DecodeState] = None) -> dict:
+        """One turn: prefill prompt continuation + sample until EOS."""
+        state = state if state is not None else self.new_state(1)
+        prompt_end = int(state.length[0]) + len(prompt_ids)
+        state = self.prefill(state, prompt_ids)
+        # reset per-turn sampling state (penalty set excludes the prompt)
+        state = state._replace(
+            presence=jnp.zeros_like(state.presence),
+            num_generated=jnp.zeros_like(state.num_generated),
+            finished=jnp.zeros_like(state.finished))
+        max_new = min(self.sp.max_tokens, self.max_len - prompt_end)
+        state = self._decode(self.params, state, int(max_new))
+        toks = np.asarray(state.tokens[0])
+        end = int(state.length[0])
+        return {"token_ids": toks[prompt_end:end].tolist(), "state": state}

@@ -31,7 +31,11 @@ def config_from_hf(hf_cfg) -> Qwen3Config:
     """Build a Qwen3Config from a transformers config object or dict."""
     get = (hf_cfg.get if isinstance(hf_cfg, dict)
            else lambda k, d=None: getattr(hf_cfg, k, d))
+    model_type = get("model_type", "qwen3")
+    is_qwen2 = model_type == "qwen2"
     return Qwen3Config(
+        attention_bias=get("attention_bias", is_qwen2),
+        qk_norm=not is_qwen2,
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
         intermediate_size=get("intermediate_size"),
@@ -71,18 +75,24 @@ def from_state_dict(state: Dict[str, Any], cfg: Qwen3Config,
         return jnp.asarray(
             np.stack([get(fmt.format(i)) for i in range(L)]), dt)
 
+    attn = {
+        "q": stackT("layers.{}.self_attn.q_proj.weight"),
+        "k": stackT("layers.{}.self_attn.k_proj.weight"),
+        "v": stackT("layers.{}.self_attn.v_proj.weight"),
+        "o": stackT("layers.{}.self_attn.o_proj.weight"),
+    }
+    if cfg.qk_norm:
+        attn["q_norm"] = stack("layers.{}.self_attn.q_norm.weight")
+        attn["k_norm"] = stack("layers.{}.self_attn.k_norm.weight")
+    if cfg.attention_bias:
+        attn["q_bias"] = stack("layers.{}.self_attn.q_proj.bias")
+        attn["k_bias"] = stack("layers.{}.self_attn.k_proj.bias")
+        attn["v_bias"] = stack("layers.{}.self_attn.v_proj.bias")
     params = {
         "embed": {"weight": jnp.asarray(get("embed_tokens.weight"), dt)},
         "layers": {
             "input_ln": {"scale": stack("layers.{}.input_layernorm.weight")},
-            "attn": {
-                "q": stackT("layers.{}.self_attn.q_proj.weight"),
-                "k": stackT("layers.{}.self_attn.k_proj.weight"),
-                "v": stackT("layers.{}.self_attn.v_proj.weight"),
-                "o": stackT("layers.{}.self_attn.o_proj.weight"),
-                "q_norm": stack("layers.{}.self_attn.q_norm.weight"),
-                "k_norm": stack("layers.{}.self_attn.k_norm.weight"),
-            },
+            "attn": attn,
             "post_ln": {"scale": stack("layers.{}.post_attention_layernorm.weight")},
             "mlp": {
                 "gate": stackT("layers.{}.mlp.gate_proj.weight"),
@@ -110,8 +120,13 @@ def to_state_dict(params: Dict[str, Any], cfg: Qwen3Config) -> Dict[str, np.ndar
         out[f"{p}.self_attn.k_proj.weight"] = npf(lyr["attn"]["k"][i]).T
         out[f"{p}.self_attn.v_proj.weight"] = npf(lyr["attn"]["v"][i]).T
         out[f"{p}.self_attn.o_proj.weight"] = npf(lyr["attn"]["o"][i]).T
-        out[f"{p}.self_attn.q_norm.weight"] = npf(lyr["attn"]["q_norm"][i])
-        out[f"{p}.self_attn.k_norm.weight"] = npf(lyr["attn"]["k_norm"][i])
+        if "q_norm" in lyr["attn"]:
+            out[f"{p}.self_attn.q_norm.weight"] = npf(lyr["attn"]["q_norm"][i])
+            out[f"{p}.self_attn.k_norm.weight"] = npf(lyr["attn"]["k_norm"][i])
+        if "q_bias" in lyr["attn"]:
+            out[f"{p}.self_attn.q_proj.bias"] = npf(lyr["attn"]["q_bias"][i])
+            out[f"{p}.self_attn.k_proj.bias"] = npf(lyr["attn"]["k_bias"][i])
+            out[f"{p}.self_attn.v_proj.bias"] = npf(lyr["attn"]["v_bias"][i])
         out[f"{p}.post_attention_layernorm.weight"] = npf(lyr["post_ln"]["scale"][i])
         out[f"{p}.mlp.gate_proj.weight"] = npf(lyr["mlp"]["gate"][i]).T
         out[f"{p}.mlp.up_proj.weight"] = npf(lyr["mlp"]["up"][i]).T

@@ -40,28 +40,42 @@ def _dtype(cfg: Qwen3Config):
 
 
 def init_params(rng: jax.Array, cfg: Qwen3Config) -> Params:
-    """Random init (normal, std=0.02 like HF initializer_range)."""
+    """Random init (normal, std=0.02 like HF initializer_range).
+
+    Host-side numpy (seeded from the key) + one device transfer per leaf —
+    avoids compiling a PRNG program per weight shape, which matters on
+    high-compile-latency targets."""
     dt = _dtype(cfg)
     L, D, F = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
     QD, KVD, Dh = cfg.q_dim, cfg.kv_dim, cfg.head_dim
     V = cfg.vocab_size
-    keys = jax.random.split(rng, 8)
+    import numpy as np
+    seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1]) & 0x7FFFFFFF
+    host_rng = np.random.default_rng(seed)
+    keys = list(range(8))
 
-    def nrm(key, shape, std=0.02):
-        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dt)
+    def nrm(_key, shape, std=0.02):
+        return jnp.asarray(
+            host_rng.normal(0.0, std, shape).astype(np.float32), dt)
 
+    attn: Params = {
+        "q": nrm(keys[1], (L, D, QD)),
+        "k": nrm(keys[2], (L, D, KVD)),
+        "v": nrm(keys[3], (L, D, KVD)),
+        "o": nrm(keys[4], (L, QD, D)),
+    }
+    if cfg.qk_norm:
+        attn["q_norm"] = jnp.ones((L, Dh), dt)
+        attn["k_norm"] = jnp.ones((L, Dh), dt)
+    if cfg.attention_bias:
+        attn["q_bias"] = jnp.zeros((L, QD), dt)
+        attn["k_bias"] = jnp.zeros((L, KVD), dt)
+        attn["v_bias"] = jnp.zeros((L, KVD), dt)
     params: Params = {
         "embed": {"weight": nrm(keys[0], (V, D))},
         "layers": {
             "input_ln": {"scale": jnp.ones((L, D), dt)},
-            "attn": {
-                "q": nrm(keys[1], (L, D, QD)),
-                "k": nrm(keys[2], (L, D, KVD)),
-                "v": nrm(keys[3], (L, D, KVD)),
-                "o": nrm(keys[4], (L, QD, D)),
-                "q_norm": jnp.ones((L, Dh), dt),
-                "k_norm": jnp.ones((L, Dh), dt),
-            },
+            "attn": attn,
             "post_ln": {"scale": jnp.ones((L, D), dt)},
             "mlp": {
                 "gate": nrm(keys[5], (L, D, F)),
@@ -82,18 +96,24 @@ def param_pspecs(cfg: Qwen3Config) -> Params:
     tp shards: vocab dim of embed/lm_head, head dim of q/k/v, mlp hidden.
     Layer-stacked leaves get a leading None for the scan axis.
     """
+    attn: Params = {
+        "q": P(None, None, "tp"),
+        "k": P(None, None, "tp"),
+        "v": P(None, None, "tp"),
+        "o": P(None, "tp", None),
+    }
+    if cfg.qk_norm:
+        attn["q_norm"] = P(None, None)
+        attn["k_norm"] = P(None, None)
+    if cfg.attention_bias:
+        attn["q_bias"] = P(None, "tp")
+        attn["k_bias"] = P(None, "tp")
+        attn["v_bias"] = P(None, "tp")
     specs: Params = {
         "embed": {"weight": P("tp", None)},
         "layers": {
             "input_ln": {"scale": P(None, None)},
-            "attn": {
-                "q": P(None, None, "tp"),
-                "k": P(None, None, "tp"),
-                "v": P(None, None, "tp"),
-                "o": P(None, "tp", None),
-                "q_norm": P(None, None),
-                "k_norm": P(None, None),
-            },
+            "attn": attn,
             "post_ln": {"scale": P(None, None)},
             "mlp": {
                 "gate": P(None, None, "tp"),
@@ -166,12 +186,20 @@ def _attention_block(lp: Params, x: jax.Array, cos, sin, mask_bias,
     B, T, D = x.shape
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = (x @ lp["q"]).reshape(B, T, H, Dh)
-    k = (x @ lp["k"]).reshape(B, T, KV, Dh)
-    v = (x @ lp["v"]).reshape(B, T, KV, Dh)
+    q = x @ lp["q"]
+    k = x @ lp["k"]
+    v = x @ lp["v"]
+    if cfg.attention_bias:
+        q = q + lp["q_bias"]
+        k = k + lp["k_bias"]
+        v = v + lp["v_bias"]
+    q = q.reshape(B, T, H, Dh)
+    k = k.reshape(B, T, KV, Dh)
+    v = v.reshape(B, T, KV, Dh)
 
-    q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
-    k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 

@@ -1,0 +1,111 @@
+"""Sampling ops for autoregressive decode, all jittable.
+
+Reproduces the reference's HF-generate sampling stack
+(soulxpodcast/engine/llm_engine.py:44-70 + sampler.py:139-176):
+
+  processors, in order: min-new-tokens EOS suppression, repetition penalty
+  over *generated* tokens only (prompt excluded, vLLM-consistent), then
+  temperature, top-k, top-p warpers; multinomial sampling; and VALL-E 2
+  Repetition-Aware Sampling — if the candidate token appeared >= win*tau
+  times in the last `win` tokens, resample from the RAW (pre-processor)
+  distribution.
+
+State the torch version derives from growing tensors (token history,
+penalty sets) is carried as fixed-shape buffers: a [B, V] presence mask
+updated incrementally and a ring view of the last `win` tokens.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def apply_repetition_penalty(logits: jax.Array, presence: jax.Array,
+                             penalty: float) -> jax.Array:
+    """HF RepetitionPenaltyLogitsProcessor: where a token is present in the
+    penalized set: score>0 ? score/p : score*p."""
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(presence.astype(bool), penalized, logits)
+
+
+def suppress_eos_before_min(logits: jax.Array, eos_ids, num_generated,
+                            min_tokens: int) -> jax.Array:
+    """MinNewTokensLengthLogitsProcessor: EOS gets -inf until min_tokens."""
+    if min_tokens <= 0:
+        return logits
+    active = jnp.reshape(num_generated < min_tokens, (-1,))  # [B]
+    out = logits
+    for eos in eos_ids:
+        out = out.at[..., eos].set(
+            jnp.where(active, NEG_INF, out[..., eos]))
+    return out
+
+
+def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
+    """HF TopPLogitsWarper: keep the smallest set whose cumulative prob > p
+    (the first token crossing p is kept)."""
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)            # ascending
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    # HF removes tokens with cumulative prob (from the top) > p, keeping the
+    # crossing token: in ascending order, remove where cum <= 1 - p.
+    sorted_remove = cum <= (1.0 - p)
+    # map back: a logit is removed if it's below the smallest kept logit
+    n_removed = jnp.sum(sorted_remove, axis=-1, keepdims=True)
+    threshold = jnp.take_along_axis(sorted_logits, n_removed, axis=-1)
+    return jnp.where(logits < threshold, NEG_INF, logits)
+
+
+def process_logits(raw: jax.Array, presence: jax.Array, num_generated,
+                   *, temperature: float, top_k: int, top_p: float,
+                   repetition_penalty: float, min_tokens: int,
+                   eos_ids) -> jax.Array:
+    """Full processor chain (HF order) raw fp32 logits -> warped scores."""
+    x = suppress_eos_before_min(raw, eos_ids, num_generated, min_tokens)
+    x = apply_repetition_penalty(x, presence, repetition_penalty)
+    if temperature != 1.0:
+        x = x / temperature
+    x = top_k_filter(x, top_k)
+    x = top_p_filter(x, top_p)
+    return x
+
+
+class RasResult(NamedTuple):
+    token: jax.Array       # [B] int32
+    used_raw: jax.Array    # [B] bool — RAS fallback triggered
+
+
+def ras_sample(rng: jax.Array, raw: jax.Array, processed: jax.Array,
+               recent_ids: jax.Array, recent_valid: jax.Array,
+               *, use_ras: bool, win_size: int, tau_r: float) -> RasResult:
+    """Sample with Repetition-Aware Sampling (sampler.py:142-148).
+
+    raw/processed: [B, V] fp32; recent_ids: [B, win] last tokens of the
+    sequence (prompt included, like input_ids[:, -win:]), recent_valid
+    marks real positions.
+    """
+    k1, k2 = jax.random.split(rng)
+    candidate = jax.random.categorical(k1, processed, axis=-1)
+    if not use_ras:
+        return RasResult(candidate.astype(jnp.int32),
+                         jnp.zeros(candidate.shape, bool))
+    matches = (recent_ids == candidate[:, None]) & recent_valid.astype(bool)
+    rep_num = jnp.sum(matches, axis=-1) + 1
+    use_raw = rep_num >= (win_size * tau_r)
+    resampled = jax.random.categorical(k2, raw, axis=-1)
+    token = jnp.where(use_raw, resampled, candidate)
+    return RasResult(token.astype(jnp.int32), use_raw)

@@ -1,0 +1,156 @@
+"""Stage-1 warm-up CLI: align text with new speech tokens
+(reference stage1.py:96-531).
+
+Only the new speech-token embedding rows train (gradient row-masking); data
+is formatted through the same template processor and packed into fixed-length
+sequences (TRL packing=True equivalent, stage1.py:323) for static shapes.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Iterator, List
+
+import numpy as np
+
+
+def pack_sequences(id_lists: List[List[int]], seq_len: int,
+                   eos_id: int) -> np.ndarray:
+    """Concatenate examples and slice into fixed [N, seq_len] rows — the
+    static-shape equivalent of TRL's packing=True."""
+    flat: List[int] = []
+    for ids in id_lists:
+        flat.extend(ids)
+        flat.append(eos_id)
+    n = len(flat) // seq_len
+    if n == 0:
+        return np.zeros((0, seq_len), np.int32)
+    return np.asarray(flat[:n * seq_len], np.int32).reshape(n, seq_len)
+
+
+def train_stage1(config):
+    import jax
+    from speech_distill_tpu.core.config import MeshConfig, parse_prefix
+    from speech_distill_tpu.core.trainer import LoopConfig, train_loop
+    from speech_distill_tpu.data.processor import SpeechDistillProcessor
+    from speech_distill_tpu.distill import train_step
+    from speech_distill_tpu.models.hf_loader import load_pretrained
+    from speech_distill_tpu.parallel import mesh as meshlib
+    from speech_distill_tpu.parallel import sharding
+    from speech_distill_tpu.pipelines.common import (
+        load_hf_dataset, load_tokenizer)
+
+    tokenizer = load_tokenizer(config.model_path)
+    cfg, params = load_pretrained(config.model_path)
+    num_new = config.num_new_tokens
+    old_vocab_size = cfg.vocab_size - num_new
+
+    dataset = load_hf_dataset(config.dataset_path)
+    from speech_distill_tpu.tokenizer.s3 import default_speech_tokens_fn
+    processor = SpeechDistillProcessor(
+        tokenizer, speech_tokens_fn=default_speech_tokens_fn(),
+        prefix=parse_prefix(config.prefix),
+        text_bos=config.text_bos, text_eos=config.text_eos,
+        text_prefix=parse_prefix(config.text_prefix),
+        speech_bos=config.speech_bos, speech_eos=config.speech_eos)
+
+    id_lists = []
+    for i in range(len(dataset)):
+        try:
+            id_lists.append(processor.process_example(dataset[i])["input_ids"])
+        except Exception:
+            text = dataset[i].get("text", "").strip()
+            if text:
+                id_lists.append(tokenizer.encode(text))
+    eos_id = tokenizer.eos_token_id or 0
+    packed = pack_sequences(id_lists, config.max_seq_length, eos_id)
+    if len(packed) == 0:
+        raise ValueError("Train dataset is empty after processing!")
+    print(f"Packed {len(id_lists)} examples into {len(packed)} sequences of "
+          f"{config.max_seq_length}")
+
+    mesh = meshlib.make_mesh(MeshConfig(tp=1))
+    dp = mesh.shape["dp"]
+    trainable = {"embed": {"weight": params["embed"]["weight"]}}
+    if "lm_head" in params:
+        trainable["lm_head"] = {"weight": params["lm_head"]["weight"]}
+
+    B = config.batch_size * dp
+    A = config.gradient_accumulation_steps
+    steps = max(1, len(packed) // (B * A)) * config.num_epochs
+    opt = train_step.make_optimizer(config.learning_rate, config.warmup_steps,
+                                    steps, weight_decay=config.weight_decay)
+    state = train_step.init_state(trainable, opt)
+    step_fn = train_step.make_stage1_step(cfg, opt, old_vocab_size)
+    base_s = sharding.shard_params(mesh, params, cfg)
+
+    def batch_iter(epoch):
+        order = np.random.default_rng(config.seed + epoch).permutation(len(packed))
+        chunk = B * A
+        for i in range(0, len(packed) - chunk + 1, chunk):
+            ids = packed[order[i:i + chunk]].reshape(A, B, -1)
+            labels = ids.astype(np.int64)
+            yield {"input_ids": ids,
+                   "attention_mask": np.ones_like(ids),
+                   "labels": labels}
+
+    loop_cfg = LoopConfig(
+        num_epochs=config.num_epochs, logging_steps=config.logging_steps,
+        save_steps=config.save_steps, output_dir=config.output_dir,
+        report_to="wandb" if config.use_wandb else "none")
+
+    state = train_loop(step_fn, state, (base_s,), batch_iter, loop_cfg,
+                       put_batch=lambda b: sharding.shard_batch(mesh, b),
+                       tokens_per_batch=B * A * config.max_seq_length)
+
+    # save final model with updated embeddings
+    from speech_distill_tpu.core.checkpoint import export_hf
+    final = dict(params)
+    final["embed"] = jax.device_get(state.trainable["embed"])
+    if "lm_head" in state.trainable:
+        final["lm_head"] = jax.device_get(state.trainable["lm_head"])
+    out = os.path.join(config.output_dir, "final_model")
+    export_hf(final, cfg, out)
+    tokenizer.save_pretrained(out)
+    print("Stage-1 training completed!")
+
+
+def build_parser():
+    from speech_distill_tpu.pipelines.common import add_template_args
+    p = argparse.ArgumentParser(
+        description="Stage 1: Text-to-Speech Token Alignment Training")
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--dataset_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--num_epochs", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--eval_batch_size", type=int, default=8)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=1000)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    p.add_argument("--logging_steps", type=int, default=50)
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--eval_steps", type=int, default=500)
+    p.add_argument("--eval_size", type=float, default=0)
+    p.add_argument("--max_seq_length", type=int, default=4096)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--num_new_tokens", type=int, default=8220)
+    p.add_argument("--prefix", type=str, default="")
+    add_template_args(p, teacher_prefix=False, student_prefix=False)
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.set_defaults(gradient_checkpointing=True)
+    p.add_argument("--use_8bit_optimizer", action="store_true")
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    train_stage1(args)
+
+
+if __name__ == "__main__":
+    main()

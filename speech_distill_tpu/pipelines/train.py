@@ -1,0 +1,196 @@
+"""Stage-2 KD training CLI.
+
+Reference: train.py:119-596. Flags match 1:1; the engine underneath is the
+jitted KD step over a dp x tp mesh instead of HF Trainer.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from speech_distill_tpu.pipelines.common import add_template_args
+
+    p = argparse.ArgumentParser(
+        description="Distill a teacher LLM into a student LLM.")
+    p.add_argument("--teacher_model", type=str,
+                   default="Soul-AILab/SoulX-Podcast-1.7B-dialect")
+    p.add_argument("--student_model", type=str,
+                   default="./pretrained_models/Qwen3-0.6B")
+    p.add_argument("--dataset_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="./distilled_model")
+    p.add_argument("--max_length", type=int, default=512)
+    add_template_args(p)
+    p.add_argument("--use_lora", action="store_true")
+    p.add_argument("--lora_r", type=int, default=32)
+    p.add_argument("--lora_alpha", type=int, default=64)
+    p.add_argument("--use_rslora", action="store_true")
+    p.set_defaults(use_rslora=True)
+    p.add_argument("--init_lora_weights", type=str, default="pissa")
+    p.add_argument("--temperature", type=float, default=2.0)
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--num_train_epochs", type=int, default=3)
+    p.add_argument("--warmup_steps", type=int, default=1000)
+    p.add_argument("--bf16", action="store_true")
+    p.set_defaults(bf16=True)
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.set_defaults(gradient_checkpointing=True)
+    p.add_argument("--test_size", type=int, default=10)
+    p.add_argument("--report_to", type=str, default="none")
+    p.add_argument("--top_k", type=int, default=128)
+    p.add_argument("--load_teacher_in_4bit", action="store_true")
+    p.add_argument("--load_teacher_in_8bit", action="store_true")
+    p.add_argument("--per_device_train_batch_size", type=int, default=4)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    p.add_argument("--pad_to_multiple_of", type=int, default=128)
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--max_steps", type=int, default=None)
+    return p
+
+
+def train(config) -> None:
+    import jax
+    from speech_distill_tpu.core.config import (
+        DistillConfig, LoraConfig, MeshConfig, parse_prefix)
+    from speech_distill_tpu.core.trainer import LoopConfig, batches_from, train_loop
+    from speech_distill_tpu.data.collator import DistillCollator
+    from speech_distill_tpu.data.template import align_prefixes
+    from speech_distill_tpu.distill import train_step
+    from speech_distill_tpu.distill.lora import init_lora
+    from speech_distill_tpu.models import qwen3
+    from speech_distill_tpu.models.hf_loader import load_pretrained
+    from speech_distill_tpu.parallel import mesh as meshlib
+    from speech_distill_tpu.parallel import sharding
+    from speech_distill_tpu.pipelines.common import load_hf_dataset, load_tokenizer
+    from speech_distill_tpu.pipelines.prepare_dataset import make_dual_processor
+
+    tokenizer = load_tokenizer(config.student_model, config.pad_token)
+    teacher_prefix = parse_prefix(config.teacher_prefix)
+    student_prefix = parse_prefix(config.student_prefix)
+    teacher_prefix, student_prefix = align_prefixes(
+        teacher_prefix, student_prefix, tokenizer)
+
+    dataset = load_hf_dataset(config.dataset_path)
+    is_preprocessed = ("student_input_ids" in dataset.column_names
+                      and "teacher_input_ids" in dataset.column_names)
+    has_topk = "teacher_top_k_v" in dataset.column_names
+
+    if config.test_size > 0 and len(dataset) > config.test_size:
+        split = dataset.train_test_split(test_size=config.test_size, seed=42)
+        dataset, eval_dataset = split["train"], split["test"]
+    else:
+        eval_dataset = None
+
+    if not is_preprocessed:
+        dual = make_dual_processor(
+            tokenizer, teacher_prefix, student_prefix, config)
+        dataset = dataset.map(dual, batched=True, desc="process")
+
+    quant = ("int4" if config.load_teacher_in_4bit
+             else "int8" if config.load_teacher_in_8bit else "none")
+    dcfg = DistillConfig(
+        temperature=config.temperature, alpha=config.alpha,
+        top_k=config.top_k, teacher_quant=quant,
+        learning_rate=config.learning_rate,
+        num_train_epochs=config.num_train_epochs,
+        warmup_steps=config.warmup_steps,
+        per_device_batch_size=config.per_device_train_batch_size,
+        gradient_accumulation_steps=config.gradient_accumulation_steps,
+        pad_to_multiple_of=config.pad_to_multiple_of,
+        lora=LoraConfig(use_lora=config.use_lora, r=config.lora_r,
+                        alpha=config.lora_alpha,
+                        use_rslora=config.use_rslora,
+                        init_weights=config.init_lora_weights))
+
+    # models
+    s_cfg, s_params = load_pretrained(config.student_model)
+    mode = "precomputed" if has_topk else (
+        "online_dense" if dcfg.use_dense else "online_sparse")
+    teacher_cfg = teacher_params = None
+    if mode != "precomputed":
+        teacher_cfg, teacher_params = load_pretrained(config.teacher_model)
+        if quant != "none":
+            from speech_distill_tpu.ops.quant import quantize_params
+            teacher_params = quantize_params(teacher_params, bits=8)
+
+    mesh = meshlib.make_mesh(MeshConfig(tp=config.tp))
+    dp = mesh.shape["dp"]
+
+    if config.use_lora:
+        lora, base = init_lora(jax.random.PRNGKey(dcfg.seed), s_params,
+                               s_cfg, dcfg.lora)
+    else:
+        lora, base = s_params, s_params  # full finetune: trainable == params
+
+    n_examples = len(dataset)
+    global_batch = dcfg.per_device_batch_size * dp
+    steps_per_epoch = n_examples // (
+        global_batch * dcfg.gradient_accumulation_steps)
+    total_steps = config.max_steps or steps_per_epoch * dcfg.num_train_epochs
+
+    opt = train_step.make_optimizer(dcfg.learning_rate, dcfg.warmup_steps,
+                                    total_steps)
+    state = train_step.init_state(lora, opt)
+    base_s = sharding.shard_params(mesh, base, s_cfg)
+    if teacher_params is not None:
+        teacher_params = sharding.shard_params(mesh, teacher_params,
+                                               teacher_cfg)
+    if config.use_lora:
+        lora_s = sharding.shard_lora(mesh, lora)
+        state = train_step.TrainState(
+            lora_s, sharding.shard_opt_state(
+                mesh, state.opt_state, sharding.lora_pspecs(lora)),
+            state.step)
+
+    step_fn = train_step.make_kd_step(
+        s_cfg, dcfg, opt, mode=mode, teacher_cfg=teacher_cfg,
+        use_lora=config.use_lora)
+
+    collator = DistillCollator(
+        pad_token_id=tokenizer.pad_token_id,
+        speech_bos_id=tokenizer.encode(
+            config.speech_bos, add_special_tokens=False)[0],
+        pad_to_multiple_of=dcfg.pad_to_multiple_of)
+
+    def batch_iter(epoch):
+        return batches_from(
+            (dataset[i] for i in range(len(dataset))), collator,
+            global_batch, dcfg.gradient_accumulation_steps,
+            shuffle_seed=dcfg.seed, epoch=epoch)
+
+    loop_cfg = LoopConfig(
+        num_epochs=dcfg.num_train_epochs, max_steps=config.max_steps,
+        logging_steps=dcfg.logging_steps, output_dir=config.output_dir,
+        report_to=config.report_to,
+        save_total_limit=dcfg.save_total_limit)
+
+    frozen = (base_s, teacher_params)
+    state = train_loop(
+        step_fn, state, frozen, batch_iter, loop_cfg,
+        put_batch=lambda b: sharding.shard_batch(mesh, b),
+        tokens_per_batch=global_batch * dcfg.gradient_accumulation_steps
+        * dcfg.pad_to_multiple_of)
+
+    # export merged model for HF consumers
+    from speech_distill_tpu.core.checkpoint import export_hf
+    from speech_distill_tpu.distill.lora import merge_and_export
+    final = merge_and_export(base_s, jax.device_get(state.trainable),
+                             dcfg.lora) if config.use_lora \
+        else jax.device_get(state.trainable)
+    export_hf(jax.device_get(final), s_cfg,
+              os.path.join(config.output_dir, "final_model"))
+    tokenizer.save_pretrained(os.path.join(config.output_dir, "final_model"))
+    print("Training complete.")
+
+
+def main(argv=None):
+    train(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Sampling ops vs HF transformers logits processors + decode engine smoke."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from speech_distill_tpu.core.config import SamplingParams, qwen3_tiny
+from speech_distill_tpu.models import qwen3
+from speech_distill_tpu.ops import sampling
+
+torch = pytest.importorskip("torch")
+
+
+def test_repetition_penalty_matches_hf():
+    from transformers import RepetitionPenaltyLogitsProcessor
+    rng = np.random.default_rng(0)
+    V = 50
+    logits = rng.normal(size=(2, V)).astype(np.float32)
+    gen = np.array([[3, 7, 3], [1, 2, 4]])
+    proc = RepetitionPenaltyLogitsProcessor(penalty=1.25)
+    ref = proc(torch.tensor(gen), torch.tensor(logits)).numpy()
+
+    presence = np.zeros((2, V), bool)
+    for b in range(2):
+        presence[b, gen[b]] = True
+    got = np.asarray(sampling.apply_repetition_penalty(
+        jnp.asarray(logits), jnp.asarray(presence), 1.25))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("k", [1, 5, 49])
+def test_top_k_matches_hf(k):
+    from transformers import TopKLogitsWarper
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(3, 49)).astype(np.float32) * 3
+    ref = TopKLogitsWarper(top_k=k, filter_value=sampling.NEG_INF)(
+        None, torch.tensor(logits)).numpy()
+    got = np.asarray(sampling.top_k_filter(jnp.asarray(logits), k))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("p", [0.5, 0.9, 0.99])
+def test_top_p_matches_hf(p):
+    from transformers import TopPLogitsWarper
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(3, 40)).astype(np.float32) * 2
+    ref = TopPLogitsWarper(top_p=p, filter_value=sampling.NEG_INF)(
+        None, torch.tensor(logits)).numpy()
+    got = np.asarray(sampling.top_p_filter(jnp.asarray(logits), p))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_min_tokens_suppression():
+    logits = jnp.zeros((2, 10))
+    out = sampling.suppress_eos_before_min(
+        logits, (9,), jnp.asarray([[2], [6]]), min_tokens=5)
+    assert out[0, 9] == sampling.NEG_INF   # 2 < 5: suppressed
+    assert out[1, 9] == 0                  # 6 >= 5: untouched
+
+
+def test_ras_triggers_on_repetition():
+    """Candidate sampled from a peaked processed dist; when the candidate
+    saturates the window, RAS must resample from raw."""
+    V, win = 16, 8
+    raw = jnp.zeros((1, V))                               # uniform raw
+    processed = jnp.full((1, V), sampling.NEG_INF).at[0, 3].set(0.0)
+    recent = jnp.full((1, win), 3, jnp.int32)             # window full of 3
+    valid = jnp.ones((1, win), jnp.int32)
+    hits = 0
+    for s in range(20):
+        res = sampling.ras_sample(jax.random.PRNGKey(s), raw, processed,
+                                  recent, valid, use_ras=True, win_size=win,
+                                  tau_r=0.2)
+        assert bool(res.used_raw[0])
+        hits += int(res.token[0] != 3)
+    assert hits > 5   # raw-resampled tokens are ~uniform, rarely 3
+
+    # no repetition in window -> candidate kept
+    recent2 = jnp.arange(win, dtype=jnp.int32)[None] + 4
+    res = sampling.ras_sample(jax.random.PRNGKey(0), raw, processed,
+                              recent2, valid, use_ras=True, win_size=win,
+                              tau_r=0.2)
+    assert int(res.token[0]) == 3 and not bool(res.used_raw[0])
+
+
+def test_decode_engine_generates_until_eos():
+    from speech_distill_tpu.infer.engine import DecodeEngine
+    cfg = qwen3_tiny(64)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    sp = SamplingParams(temperature=1.0, repetition_penalty=1.1, top_k=20,
+                        top_p=0.95, min_tokens=2, max_tokens=12,
+                        stop_token_ids=(63,), use_ras=True, win_size=5)
+    eng = DecodeEngine(params, cfg, sp, max_len=64, prefill_bucket=16,
+                       cache_dtype=jnp.float32)
+    out = eng.generate([1, 2, 3, 4, 5])
+    toks = out["token_ids"]
+    assert 1 <= len(toks) <= 12
+    if 63 in toks:
+        assert toks[-1] == 63
+    # continuation turn reuses the cache
+    out2 = eng.generate([7, 8], state=out["state"])
+    assert len(out2["token_ids"]) <= 12
+
+
+def test_decode_matches_full_forward_logits():
+    """The engine's held last_logits after prefill == full forward logits."""
+    from speech_distill_tpu.infer.engine import DecodeEngine
+    cfg = qwen3_tiny(32)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})
+    params = qwen3.init_params(jax.random.PRNGKey(1), cfg)
+    sp = SamplingParams(stop_token_ids=(31,), max_tokens=4)
+    eng = DecodeEngine(params, cfg, sp, max_len=32, prefill_bucket=8,
+                       cache_dtype=jnp.float32)
+    prompt = [1, 2, 3, 4, 5, 6]
+    st = eng.prefill(eng.new_state(1), prompt)
+    full = qwen3.forward(params, jnp.asarray([prompt]), cfg)
+    np.testing.assert_allclose(np.asarray(st.last_logits[0]),
+                               np.asarray(full[0, -1]), atol=2e-4, rtol=1e-3)
