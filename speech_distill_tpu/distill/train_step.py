@@ -37,9 +37,11 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(learning_rate: float, warmup_steps: int, total_steps: int,
-                   weight_decay: float = 0.0, max_grad_norm: float = 1.0):
+                   weight_decay: float = 0.0, max_grad_norm: float = 1.0,
+                   eight_bit: bool = False):
     """AdamW + linear warmup/decay + global-norm clip (HF Trainer defaults
-    the reference inherits: train.py:331-354)."""
+    the reference inherits: train.py:331-354). ``eight_bit`` switches to
+    int8-quantized moments (stage1.py:316 adamw_8bit equivalent)."""
     warmup_steps = max(1, warmup_steps)
     total_steps = max(total_steps, warmup_steps + 1)
     schedule = optax.schedules.join_schedules([
@@ -47,6 +49,10 @@ def make_optimizer(learning_rate: float, warmup_steps: int, total_steps: int,
         optax.schedules.linear_schedule(
             learning_rate, 0.0, total_steps - warmup_steps),
     ], [warmup_steps])
+    if eight_bit:
+        from speech_distill_tpu.distill.optim8bit import adamw_8bit
+        return adamw_8bit(schedule, weight_decay=weight_decay,
+                          max_grad_norm=max_grad_norm)
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
@@ -83,7 +89,9 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                  teacher_cfg: Optional[Qwen3Config] = None,
                  teacher_forward: Optional[Callable] = None,
                  use_lora: bool = True,
-                 donate: bool = True):
+                 donate: bool = True,
+                 fused_loss: bool = True,
+                 loss_chunk_size: int = 16384):
     """Build the jitted KD step.
 
     mode:
@@ -109,10 +117,27 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
 
     def loss_fn(trainable, mb, base_params, teacher_params):
         eff = merge_lora(base_params, trainable, lcfg) if use_lora else trainable
-        logits = qwen3.forward(eff, mb["input_ids"], student_cfg,
-                               attention_mask=mb["attention_mask"])
         labels = mb["labels"]
         smask = mb.get("speech_token_mask")
+
+        if mode == "precomputed" and fused_loss:
+            # fused lm-head path: never materializes [B, T, V] logits
+            hidden = qwen3.forward(eff, mb["input_ids"], student_cfg,
+                                   attention_mask=mb["attention_mask"],
+                                   return_hidden=True)
+            lm_w = qwen3.lm_head_weight(eff)
+            from speech_distill_tpu.ops.fused_lm_loss import fused_sparse_kd_loss
+            out = fused_sparse_kd_loss(
+                hidden, lm_w, labels, mb["teacher_top_k_v"],
+                mb["teacher_top_k_i"], smask, distill_cfg.temperature,
+                distill_cfg.alpha, chunk_size=loss_chunk_size)
+            metrics = {"loss": out.total, "student_loss": out.task,
+                       "distill_loss": out.distill,
+                       "teacher_loss": out.teacher}
+            return out.total, metrics
+
+        logits = qwen3.forward(eff, mb["input_ids"], student_cfg,
+                               attention_mask=mb["attention_mask"])
 
         if mode == "precomputed":
             out = losses.sparse_distill_loss(

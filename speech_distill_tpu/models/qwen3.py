@@ -133,6 +133,16 @@ def param_pspecs(cfg: Qwen3Config) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def deq(w, dtype=jnp.bfloat16):
+    """Weight accessor: pass through arrays, dequantize int8/int4 leaves
+    (ops/quant.py) — called inside the layer scan body so only one layer's
+    bf16 weights are live at a time."""
+    if isinstance(w, dict):
+        from speech_distill_tpu.ops.quant import dequantize_array
+        return dequantize_array(w, dtype)
+    return w
+
+
 def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
@@ -186,9 +196,9 @@ def _attention_block(lp: Params, x: jax.Array, cos, sin, mask_bias,
     B, T, D = x.shape
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = x @ lp["q"]
-    k = x @ lp["k"]
-    v = x @ lp["v"]
+    q = x @ deq(lp["q"], x.dtype)
+    k = x @ deq(lp["k"], x.dtype)
+    v = x @ deq(lp["v"], x.dtype)
     if cfg.attention_bias:
         q = q + lp["q_bias"]
         k = k + lp["k_bias"]
@@ -213,7 +223,7 @@ def _attention_block(lp: Params, x: jax.Array, cos, sin, mask_bias,
         new_kv = (ck, cv)
 
     out = sdpa(q, k, v, mask_bias, impl=cfg.attn_impl)  # [B, T, H, Dh]
-    out = out.reshape(B, T, H * Dh) @ lp["o"]
+    out = out.reshape(B, T, H * Dh) @ deq(lp["o"], x.dtype)
     return out, new_kv
 
 
@@ -224,8 +234,10 @@ def _layer(lp: Params, x: jax.Array, cos, sin, mask_bias, cfg: Qwen3Config,
         cos, sin, mask_bias, cfg, kv_slice, cache_len)
     x = x + h
     y = rms_norm(x, lp["post_ln"]["scale"], cfg.rms_norm_eps)
-    g = jax.nn.silu((y @ lp["mlp"]["gate"]).astype(jnp.float32)).astype(y.dtype)
-    y = (g * (y @ lp["mlp"]["up"])) @ lp["mlp"]["down"]
+    g = jax.nn.silu((y @ deq(lp["mlp"]["gate"], y.dtype)).astype(jnp.float32)
+                    ).astype(y.dtype)
+    y = (g * (y @ deq(lp["mlp"]["up"], y.dtype))) @ deq(lp["mlp"]["down"],
+                                                        y.dtype)
     return x + y, new_kv
 
 
@@ -274,7 +286,15 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
         B, T = x.shape[:2]
     else:
         B, T = input_ids.shape
-        x = jnp.take(params["embed"]["weight"], input_ids, axis=0)
+        table = params["embed"]["weight"]
+        if isinstance(table, dict):
+            # gather int8 rows first, dequantize only the gathered rows
+            # (scale is per-column [1, D] and broadcasts)
+            rows = jnp.take(table["q8"], input_ids, axis=0)
+            x = rows.astype(jnp.dtype(cfg.dtype)) \
+                * table["scale"][0].astype(jnp.dtype(cfg.dtype))
+        else:
+            x = jnp.take(table, input_ids, axis=0)
 
     if cache is None:
         if positions is None:
@@ -335,10 +355,10 @@ def unembed(params: Params, hidden: jax.Array, cfg: Qwen3Config) -> jax.Array:
 
 
 def lm_head_weight(params: Params) -> jax.Array:
-    """[V, D] unembedding matrix (tied or separate)."""
-    if "lm_head" in params:
-        return params["lm_head"]["weight"]
-    return params["embed"]["weight"]
+    """[V, D] unembedding matrix (tied or separate; dequantized if int8)."""
+    w = params["lm_head"]["weight"] if "lm_head" in params \
+        else params["embed"]["weight"]
+    return deq(w)
 
 
 def num_params(params: Params) -> int:

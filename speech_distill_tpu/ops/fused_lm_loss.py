@@ -1,0 +1,167 @@
+"""Fused lm-head + distillation losses over a chunked vocabulary.
+
+The TPU equivalent of Liger's fused-linear-cross-entropy
+(reference stage1.py:315) and the dominant-cost fix for the sparse KD path
+(SURVEY §7: "the student log_softmax at distillation_loss.py:98 over full
+vocab dominates"): instead of materializing student logits [N, 159488] in
+fp32 (and letting autodiff save softmax residuals of the same size), the
+vocab dim is processed in chunks by a ``lax.scan`` whose body is
+``jax.checkpoint``-ed — backward recomputes each chunk's logits from
+(hidden, W_chunk). Peak memory drops from O(N*V) to O(N*C + N*K).
+
+All statistics a KD loss needs are accumulated online:
+  * logsumexp at temperatures 1 and T (running max/sum)
+  * the logit at the gold label
+  * logits gathered at the teacher's top-K indices
+
+and the losses are assembled exactly like distill/losses.py (masked means,
+reference semantics from distillation_loss.py:6-128).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from speech_distill_tpu.distill.losses import (DistillLossOutput,
+                                               IGNORE_INDEX, _masked_mean,
+                                               _shift_and_mask)
+
+
+class _RowStats(NamedTuple):
+    lse1_m: jax.Array       # [N] running max (temperature 1)
+    lse1_s: jax.Array       # [N] running sum of exp(x - m)
+    lseT_m: jax.Array
+    lseT_s: jax.Array
+    label_logit: jax.Array  # [N]
+    topk_logit: jax.Array   # [N, K]
+
+
+def _chunk_update(stats: _RowStats, h, w_chunk, offset, col_mask, labels,
+                  topk_i, temperature):
+    """Fold one vocab chunk into the running stats (checkpointed).
+    col_mask [C]: 0 for real vocab rows, -inf-ish for padding rows."""
+    logits = (h @ w_chunk.T).astype(jnp.float32) + col_mask[None, :]
+    C = logits.shape[1]
+
+    def online(m, s, x):
+        cm = jnp.max(x, axis=1)
+        new_m = jnp.maximum(m, cm)
+        s = s * jnp.exp(m - new_m) + jnp.sum(
+            jnp.exp(x - new_m[:, None]), axis=1)
+        return new_m, s
+
+    m1, s1 = online(stats.lse1_m, stats.lse1_s, logits)
+    mT, sT = online(stats.lseT_m, stats.lseT_s, logits / temperature)
+
+    rel = labels - offset
+    in_range = (rel >= 0) & (rel < C)
+    lab = jnp.take_along_axis(
+        logits, jnp.clip(rel, 0, C - 1)[:, None], axis=1)[:, 0]
+    label_logit = jnp.where(in_range, lab, stats.label_logit)
+
+    rel_k = topk_i - offset
+    in_k = (rel_k >= 0) & (rel_k < C)
+    gk = jnp.take_along_axis(logits, jnp.clip(rel_k, 0, C - 1), axis=1)
+    topk_logit = jnp.where(in_k, gk, stats.topk_logit)
+
+    return _RowStats(m1, s1, mT, sT, label_logit, topk_logit)
+
+
+def _collect_stats(hidden: jax.Array, lm_w: jax.Array, labels: jax.Array,
+                   topk_i: jax.Array, temperature: float,
+                   chunk_size: int) -> _RowStats:
+    N, D = hidden.shape
+    V = lm_w.shape[0]
+    K = topk_i.shape[1]
+    pad_v = (V + chunk_size - 1) // chunk_size * chunk_size
+    n_chunks = pad_v // chunk_size
+    w = lm_w if pad_v == V else jnp.pad(lm_w, ((0, pad_v - V), (0, 0)))
+    w_chunks = w.reshape(n_chunks, chunk_size, D)
+    offsets = jnp.arange(n_chunks) * chunk_size
+    # padded vocab rows get a -inf additive mask so they never contribute
+    col_masks = jnp.where(
+        (offsets[:, None] + jnp.arange(chunk_size)[None, :]) < V,
+        0.0, -1e30).astype(jnp.float32)
+
+    neg = jnp.float32(-1e30)
+    init = _RowStats(
+        jnp.full((N,), neg), jnp.zeros((N,)),
+        jnp.full((N,), neg), jnp.zeros((N,)),
+        jnp.full((N,), neg), jnp.full((N, K), neg))
+
+    body = jax.checkpoint(
+        lambda st, wo: (_chunk_update(st, hidden, wo[0], wo[1], wo[2],
+                                      labels, topk_i, temperature), None))
+    stats, _ = jax.lax.scan(body, init, (w_chunks, offsets, col_masks))
+    return stats
+
+
+def fused_sparse_kd_loss(hidden: jax.Array, lm_w: jax.Array,
+                         labels: jax.Array,
+                         teacher_top_k_v: jax.Array,
+                         teacher_top_k_i: jax.Array,
+                         speech_token_mask: Optional[jax.Array] = None,
+                         temperature: float = 2.0, alpha: float = 0.5,
+                         chunk_size: int = 8192,
+                         logits_scale: Optional[float] = None
+                         ) -> DistillLossOutput:
+    """Sparse top-K KD loss directly from hidden states + unembedding.
+
+    hidden [B, T, D] (pre-shift), lm_w [V, D]; semantics identical to
+    distill.losses.sparse_distill_loss(unembed(hidden), ...).
+    """
+    T = temperature
+    B, S, D = hidden.shape
+    h = hidden[:, :-1, :].reshape(-1, D)
+    shift_labels, valid = _shift_and_mask(labels, speech_token_mask)
+    labels_flat = jnp.maximum(shift_labels.reshape(-1), 0)
+    idx = teacher_top_k_i[:, :-1, :].astype(jnp.int32)
+    K = idx.shape[-1]
+    idx_flat = idx.reshape(-1, K)
+
+    stats = _collect_stats(h, lm_w, labels_flat, idx_flat, T, chunk_size)
+
+    lse1 = stats.lse1_m + jnp.log(jnp.maximum(stats.lse1_s, 1e-30))
+    lseT = stats.lseT_m + jnp.log(jnp.maximum(stats.lseT_s, 1e-30))
+
+    valid_flat = valid.reshape(-1)
+    ce = lse1 - stats.label_logit
+    task = _masked_mean(ce, valid_flat)
+
+    v = jax.lax.stop_gradient(
+        teacher_top_k_v[:, :-1, :].astype(jnp.float32)).reshape(-1, K)
+    log_p = jax.nn.log_softmax(v / T, axis=-1)
+    p = jnp.exp(log_p)
+    log_q = stats.topk_logit / T - lseT[:, None]
+    kl = jnp.sum(p * (log_p - log_q), axis=-1)
+    distill = _masked_mean(kl, valid_flat) * (T * T)
+
+    hits = (idx_flat == labels_flat[:, None]).astype(jnp.float32) \
+        * valid_flat[:, None] \
+        * (shift_labels.reshape(-1) != IGNORE_INDEX)[:, None]
+    n_hits = jnp.sum(hits)
+    teacher = jnp.where(n_hits > 0,
+                        -jnp.sum(v * hits) / jnp.maximum(n_hits, 1.0), 0.0)
+
+    total = alpha * task + (1.0 - alpha) * distill
+    return DistillLossOutput(total, task, distill, teacher)
+
+
+def fused_cross_entropy(hidden: jax.Array, lm_w: jax.Array,
+                        labels: jax.Array, chunk_size: int = 8192
+                        ) -> jax.Array:
+    """Masked-mean next-token CE from hidden states (Liger FLCE equivalent,
+    for stage-1 SFT). hidden [B, T, D], labels [B, T]."""
+    B, S, D = hidden.shape
+    h = hidden[:, :-1, :].reshape(-1, D)
+    shift_labels = labels[:, 1:].reshape(-1)
+    valid = (shift_labels != IGNORE_INDEX).astype(jnp.float32)
+    dummy_k = jnp.zeros((h.shape[0], 1), jnp.int32)
+    stats = _collect_stats(h, lm_w, jnp.maximum(shift_labels, 0), dummy_k,
+                           1.0, chunk_size)
+    lse1 = stats.lse1_m + jnp.log(jnp.maximum(stats.lse1_s, 1e-30))
+    ce = lse1 - stats.label_logit
+    return _masked_mean(ce, valid)

@@ -79,7 +79,8 @@ def train_stage1(config):
     A = config.gradient_accumulation_steps
     steps = max(1, len(packed) // (B * A)) * config.num_epochs
     opt = train_step.make_optimizer(config.learning_rate, config.warmup_steps,
-                                    steps, weight_decay=config.weight_decay)
+                                    steps, weight_decay=config.weight_decay,
+                                    eight_bit=config.use_8bit_optimizer)
     state = train_step.init_state(trainable, opt)
     step_fn = train_step.make_stage1_step(cfg, opt, old_vocab_size)
     base_s = sharding.shard_params(mesh, params, cfg)

@@ -1,0 +1,75 @@
+"""Fused chunked-vocab loss == materialized-logits loss (values + grads)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from speech_distill_tpu.distill import losses
+from speech_distill_tpu.ops import fused_lm_loss
+
+
+def _setup(B=2, T=10, D=16, V=100, K=6, seed=0):
+    rng = np.random.default_rng(seed)
+    hidden = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lm_w = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, (B, T)))
+    labels = labels.at[0, :3].set(losses.IGNORE_INDEX)
+    logp = rng.normal(size=(B, T, K)) - 2
+    idx = rng.integers(0, V, (B, T, K)).astype(np.int32)
+    return hidden, lm_w, labels, jnp.asarray(logp, jnp.float32), jnp.asarray(idx)
+
+
+@pytest.mark.parametrize("chunk", [32, 48, 100])
+def test_fused_sparse_matches_materialized(chunk):
+    hidden, lm_w, labels, tv, ti = _setup()
+    fused = fused_lm_loss.fused_sparse_kd_loss(
+        hidden, lm_w, labels, tv, ti, chunk_size=chunk)
+    logits = hidden @ lm_w.T
+    ref = losses.sparse_distill_loss(logits, tv, ti, labels)
+    for a, b in zip(fused, ref):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gradients_match():
+    hidden, lm_w, labels, tv, ti = _setup(seed=1)
+
+    def loss_fused(h, w):
+        return fused_lm_loss.fused_sparse_kd_loss(
+            h, w, labels, tv, ti, chunk_size=32).total
+
+    def loss_ref(h, w):
+        return losses.sparse_distill_loss(h @ w.T, tv, ti, labels).total
+
+    gf_h, gf_w = jax.grad(loss_fused, argnums=(0, 1))(hidden, lm_w)
+    gr_h, gr_w = jax.grad(loss_ref, argnums=(0, 1))(hidden, lm_w)
+    np.testing.assert_allclose(np.asarray(gf_h), np.asarray(gr_h),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_w), np.asarray(gr_w),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_fused_with_speech_mask():
+    hidden, lm_w, labels, tv, ti = _setup(seed=2)
+    mask = np.zeros(labels.shape, np.float32)
+    mask[:, 4:] = 1
+    fused = fused_lm_loss.fused_sparse_kd_loss(
+        hidden, lm_w, labels, tv, ti, speech_token_mask=jnp.asarray(mask),
+        chunk_size=48)
+    ref = losses.sparse_distill_loss(hidden @ lm_w.T, tv, ti, labels,
+                                     jnp.asarray(mask))
+    np.testing.assert_allclose(float(fused.total), float(ref.total),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(fused.teacher), float(ref.teacher),
+                               rtol=1e-5)
+
+
+def test_fused_cross_entropy_matches():
+    hidden, lm_w, labels, _, _ = _setup(seed=3)
+    fused = fused_lm_loss.fused_cross_entropy(hidden, lm_w, labels,
+                                              chunk_size=32)
+    logits = (hidden @ lm_w.T)[:, :-1, :]
+    shift = labels[:, 1:]
+    valid = (shift != losses.IGNORE_INDEX).astype(jnp.float32)
+    ce = losses._ce_per_pos(logits, shift)
+    ref = losses._masked_mean(ce, valid)
+    np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
