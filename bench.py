@@ -27,6 +27,8 @@ def main():
     p.add_argument("--top_k", type=int, default=128)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--fused_loss", action="store_true",
+                   help="chunked fused lm-head loss (memory-bound configs)")
     args = p.parse_args()
 
     import jax
@@ -68,7 +70,8 @@ def main():
             rng.integers(0, cfg.vocab_size, (1, B, T, K)), jnp.int32)
 
     step = train_step.make_kd_step(cfg, dcfg, opt, mode=args.mode,
-                                   teacher_cfg=teacher_cfg, donate=False)
+                                   teacher_cfg=teacher_cfg, donate=False,
+                                   fused_loss=args.fused_loss)
 
     for _ in range(args.warmup):
         state, metrics = step(state, base, teacher_params, batch)

@@ -38,10 +38,16 @@ def _kernel(orig_freq: int, new_freq: int, lowpass_filter_width: int = 6,
 
 
 def resample(audio: np.ndarray, orig_freq: int, new_freq: int) -> np.ndarray:
-    """Resample [..., T] float audio (numpy, host-side)."""
+    """Resample [..., T] float audio (host-side; native C++ fast path for
+    1-D inputs, numpy otherwise — identical filter taps)."""
     if orig_freq == new_freq:
         return np.asarray(audio, np.float32)
     audio = np.asarray(audio, np.float32)
+    if audio.ndim == 1:
+        from speech_distill_tpu.native import resample_native
+        out = resample_native(audio, orig_freq, new_freq)
+        if out is not None:
+            return out
     gcd = math.gcd(orig_freq, new_freq)
     orig = orig_freq // gcd
     new = new_freq // gcd

@@ -68,6 +68,9 @@ def export_hf(params: Dict[str, Any], cfg, out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
     state = to_state_dict(params, cfg)
+    # safetensors serializes raw buffers: transposed views must be made
+    # contiguous or they round-trip as transposed data
+    state = {k: np.ascontiguousarray(v) for k, v in state.items()}
     save_file(state, os.path.join(out_dir, "model.safetensors"))
     hf_cfg = {
         "architectures": ["Qwen3ForCausalLM"],

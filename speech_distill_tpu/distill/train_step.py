@@ -90,7 +90,7 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                  teacher_forward: Optional[Callable] = None,
                  use_lora: bool = True,
                  donate: bool = True,
-                 fused_loss: bool = True,
+                 fused_loss: bool = False,
                  loss_chunk_size: int = 16384):
     """Build the jitted KD step.
 
@@ -100,6 +100,13 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                         (train.py:60-94)
       'online_dense'  — teacher fwd in-loop, full-vocab KL (quantized teacher
                         or top_k<=0; train.py:74-79)
+
+    ``fused_loss`` routes the precomputed path through the chunked fused
+    lm-head loss (ops/fused_lm_loss.py): ~O(N*chunk) memory instead of the
+    [B, T, 159k] fp32 logits, at the cost of recomputing head matmuls in the
+    backward. Measured on v5e: slower at bs4/seq512 (logits fit easily),
+    the right trade at seq>=2048 / large batch where logits+softmax
+    residuals dominate HBM.
 
     ``teacher_forward(teacher_params, ids, mask) -> logits`` defaults to the
     Qwen3 forward; inject the CosyVoice2 split-embedding policy here.

@@ -110,7 +110,9 @@ def from_state_dict(state: Dict[str, Any], cfg: Qwen3Config,
 def to_state_dict(params: Dict[str, Any], cfg: Qwen3Config) -> Dict[str, np.ndarray]:
     """Export the pytree back to HF Qwen3 state-dict naming (numpy fp32)."""
     out: Dict[str, np.ndarray] = {}
-    npf = lambda a: np.asarray(a, np.float32)
+    # C-contiguous is load-bearing: safetensors serializes the raw buffer,
+    # so a transposed view would round-trip as transposed data
+    npf = lambda a: np.ascontiguousarray(np.asarray(a, np.float32))
     out["model.embed_tokens.weight"] = npf(params["embed"]["weight"])
     lyr = params["layers"]
     for i in range(cfg.num_hidden_layers):

@@ -56,6 +56,9 @@ def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def sdpa(q, k, v, mask_bias, impl: str = "auto"):
+    """impl='pallas' uses the causal flash kernel — exact for causal
+    self-attention over right-padded batches (padded keys are beyond every
+    valid query's causal window; padded query rows are masked downstream)."""
     if impl == "xla":
         return sdpa_xla(q, k, v, mask_bias)
     if impl == "pallas" or (impl == "auto" and _on_tpu()
@@ -64,7 +67,8 @@ def sdpa(q, k, v, mask_bias, impl: str = "auto"):
                             and q.shape[1] % _PALLAS_BLOCK == 0):
         try:
             from speech_distill_tpu.ops.flash_attention import flash_attention
-            return flash_attention(q, k, v, mask_bias)
+            return flash_attention(q, k, v, _PALLAS_BLOCK,
+                                   not _on_tpu())
         except Exception:
             if impl == "pallas":
                 raise
