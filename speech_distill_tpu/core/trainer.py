@@ -103,9 +103,11 @@ def train_loop(step_fn: Callable, state, frozen_args: tuple,
             if cfg.max_steps and global_step >= cfg.max_steps:
                 done = True
                 break
-        if not cfg.save_steps:  # per-epoch save (reference default)
+        if not cfg.save_steps and ckpt.latest_step() != global_step:
+            # per-epoch save (reference default)
             ckpt.save(global_step, jax.device_get(state))
-    ckpt.save(global_step, jax.device_get(state), force=True)
+    if ckpt.latest_step() != global_step:
+        ckpt.save(global_step, jax.device_get(state), force=True)
     ckpt.wait()
     logger.close()
     return state
