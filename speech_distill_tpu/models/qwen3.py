@@ -348,10 +348,13 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
 
 
 def unembed(params: Params, hidden: jax.Array, cfg: Qwen3Config) -> jax.Array:
+    """lm-head matmul: operands stay in model dtype (bf16 MXU rate), output
+    accumulated/returned in logits_dtype (fp32 for stable softmax)."""
     w = lm_head_weight(params)
-    logits = hidden.astype(jnp.dtype(cfg.logits_dtype)) @ \
-        w.T.astype(jnp.dtype(cfg.logits_dtype))
-    return logits
+    out_dt = jnp.dtype(cfg.logits_dtype)
+    return jax.lax.dot_general(
+        hidden, w, (((hidden.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=out_dt).astype(out_dt)
 
 
 def lm_head_weight(params: Params) -> jax.Array:
