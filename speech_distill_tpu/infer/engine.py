@@ -48,22 +48,31 @@ def make_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
         B = st.tokens.shape[0]
         raw = st.last_logits
 
-        processed = sampling.process_logits(
-            raw, st.presence, st.num_generated[:, None],
-            temperature=sp.temperature, top_k=sp.top_k, top_p=sp.top_p,
-            repetition_penalty=sp.repetition_penalty,
-            min_tokens=sp.min_tokens, eos_ids=eos_ids)
-
         # last `win` tokens of each row (prompt included), masked to length
         pos = st.length[:, None] - win + jnp.arange(win)[None, :]
         recent_valid = pos >= 0
         recent = jnp.take_along_axis(st.tokens, jnp.maximum(pos, 0), axis=1)
 
         rng, sub = jax.random.split(st.rng)
-        res = sampling.ras_sample(sub, raw, processed, recent, recent_valid,
-                                  use_ras=sp.use_ras, win_size=win,
-                                  tau_r=sp.tau_r)
-        token = jnp.where(st.finished, pad_id, res.token)
+        if sp.top_k > 0:
+            # fused k-space sampler: avoids two full-vocab sorts per step
+            tok, _used_raw = sampling.sample_token_topk(
+                sub, raw, st.presence, st.num_generated[:, None], recent,
+                recent_valid, temperature=sp.temperature, top_k=sp.top_k,
+                top_p=sp.top_p, repetition_penalty=sp.repetition_penalty,
+                min_tokens=sp.min_tokens, eos_ids=eos_ids,
+                use_ras=sp.use_ras, win_size=win, tau_r=sp.tau_r)
+        else:
+            processed = sampling.process_logits(
+                raw, st.presence, st.num_generated[:, None],
+                temperature=sp.temperature, top_k=sp.top_k, top_p=sp.top_p,
+                repetition_penalty=sp.repetition_penalty,
+                min_tokens=sp.min_tokens, eos_ids=eos_ids)
+            res = sampling.ras_sample(sub, raw, processed, recent,
+                                      recent_valid, use_ras=sp.use_ras,
+                                      win_size=win, tau_r=sp.tau_r)
+            tok = res.token
+        token = jnp.where(st.finished, pad_id, tok)
 
         tokens = st.tokens.at[jnp.arange(B), st.length].set(token)
         presence = st.presence.at[jnp.arange(B), token].set(True)

@@ -84,6 +84,48 @@ def process_logits(raw: jax.Array, presence: jax.Array, num_generated,
     return x
 
 
+def sample_token_topk(rng: jax.Array, raw: jax.Array, presence: jax.Array,
+                      num_generated: jax.Array, recent_ids: jax.Array,
+                      recent_valid: jax.Array, *, temperature: float,
+                      top_k: int, top_p: float, repetition_penalty: float,
+                      min_tokens: int, eos_ids, use_ras: bool,
+                      win_size: int, tau_r: float):
+    """Fused decode-step sampler for top_k > 0.
+
+    Equivalent to process_logits + ras_sample but O(V + k log k) per step
+    instead of two full-vocab sorts: the top-k candidates are extracted
+    once with ``lax.top_k``; temperature/top-p warping, candidate sampling,
+    and the RAS window check all happen in k-space. The RAS fallback
+    resamples from the raw full-vocab distribution (sampler.py:142-148).
+    """
+    x = suppress_eos_before_min(raw, eos_ids, num_generated, min_tokens)
+    x = apply_repetition_penalty(x, presence, repetition_penalty)
+    vals, idx = jax.lax.top_k(x, top_k)            # [B, k] descending
+    if temperature != 1.0:
+        vals = vals / temperature
+    if top_p < 1.0:
+        # descending order: remove tokens once cumulative prob (shifted by
+        # one, so the crossing token survives) exceeds p — identical set to
+        # HF TopPLogitsWarper.
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < top_p
+        vals = jnp.where(keep, vals, NEG_INF)
+
+    k1, k2 = jax.random.split(rng)
+    choice = jax.random.categorical(k1, vals, axis=-1)          # [B] in k
+    candidate = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+
+    if not use_ras:
+        return candidate.astype(jnp.int32), jnp.zeros(candidate.shape, bool)
+    matches = (recent_ids == candidate[:, None]) & recent_valid.astype(bool)
+    rep_num = jnp.sum(matches, axis=-1) + 1
+    use_raw = rep_num >= (win_size * tau_r)
+    resampled = jax.random.categorical(k2, raw, axis=-1)
+    token = jnp.where(use_raw, resampled, candidate)
+    return token.astype(jnp.int32), use_raw
+
+
 class RasResult(NamedTuple):
     token: jax.Array       # [B] int32
     used_raw: jax.Array    # [B] bool — RAS fallback triggered

@@ -83,6 +83,55 @@ def test_ras_triggers_on_repetition():
     assert int(res.token[0]) == 3 and not bool(res.used_raw[0])
 
 
+def test_topk_sampler_matches_full_pipeline_distribution():
+    """The fused k-space warped logits equal the full processor chain's
+    values at the surviving tokens (and -inf elsewhere)."""
+    rng = np.random.default_rng(9)
+    V, k, p, temp, pen = 64, 8, 0.9, 0.7, 1.25
+    raw = jnp.asarray(rng.normal(size=(3, V)) * 2, jnp.float32)
+    presence = jnp.zeros((3, V), bool).at[0, 5].set(True)
+    num_gen = jnp.asarray([[6], [1], [9]])
+
+    full = sampling.process_logits(
+        raw, presence, num_gen, temperature=temp, top_k=k, top_p=p,
+        repetition_penalty=pen, min_tokens=3, eos_ids=(63,))
+
+    x = sampling.suppress_eos_before_min(raw, (63,), num_gen, 3)
+    x = sampling.apply_repetition_penalty(x, presence, pen)
+    vals, idx = jax.lax.top_k(x, k)
+    vals = vals / temp
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    vals = jnp.where((cum - probs) < p, vals, sampling.NEG_INF)
+
+    # scatter k-space values into vocab space and compare
+    recon = jnp.full((3, V), sampling.NEG_INF)
+    recon = recon.at[jnp.arange(3)[:, None], idx].set(vals)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.softmax(recon, axis=-1)),
+        np.asarray(jax.nn.softmax(full, axis=-1)), atol=1e-5)
+
+
+def test_topk_sampler_ras_fallback():
+    V, win = 32, 6
+    raw = jnp.zeros((1, V))
+    presence = jnp.zeros((1, V), bool)
+    # uniform raw: top-k=1 candidate is always token 0; window full of 0s
+    # triggers RAS, and the raw resample is uniform over 32 tokens
+    recent = jnp.zeros((1, win), jnp.int32)
+    valid = jnp.ones((1, win), jnp.int32)
+    hits = 0
+    for s in range(20):
+        tok, used_raw = sampling.sample_token_topk(
+            jax.random.PRNGKey(s), raw, presence, jnp.asarray([[9]]),
+            recent, valid, temperature=1.0, top_k=1, top_p=1.0,
+            repetition_penalty=1.0, min_tokens=0, eos_ids=(31,),
+            use_ras=True, win_size=win, tau_r=0.2)
+        assert bool(used_raw[0])
+        hits += int(tok[0] != 0)
+    assert hits > 10  # uniform resample rarely lands back on token 0
+
+
 def test_decode_engine_generates_until_eos():
     from speech_distill_tpu.infer.engine import DecodeEngine
     cfg = qwen3_tiny(64)
