@@ -21,7 +21,8 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="precomputed",
-                   choices=["precomputed", "online_sparse", "online_dense"])
+                   choices=["precomputed", "online_sparse", "online_dense",
+                            "decode"])
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--seq", type=int, default=512)
     p.add_argument("--top_k", type=int, default=128)
@@ -38,6 +39,9 @@ def main():
     from speech_distill_tpu.distill import train_step
     from speech_distill_tpu.distill.lora import init_lora
     from speech_distill_tpu.models import qwen3
+
+    if args.mode == "decode":
+        return bench_decode(args)
 
     cfg = qwen3_student_0p6b()
     dcfg = DistillConfig(top_k=args.top_k,
@@ -107,5 +111,38 @@ def main():
     }))
 
 
+def bench_decode(args):
+    """Single-stream autoregressive decode throughput (the TTS hot loop:
+    up to 3000 speech tokens/turn, soulxpodcast/config.py:113)."""
+    import jax
+    import numpy as np
+    from speech_distill_tpu.core.config import (SamplingParams,
+                                                qwen3_student_0p6b)
+    from speech_distill_tpu.infer.engine import DecodeEngine
+    from speech_distill_tpu.models import qwen3
+
+    cfg = qwen3_student_0p6b()
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    sp = SamplingParams(max_tokens=args.steps * 0 + 256,
+                        min_tokens=256, stop_token_ids=(cfg.eos_token_id,))
+    eng = DecodeEngine(params, cfg, sp, max_len=4096)
+    prompt = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, 128).tolist()
+    out = eng.generate(prompt)                   # compile + warmup
+    t0 = time.perf_counter()
+    out = eng.generate(prompt)
+    n = len(out["token_ids"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec",
+        "value": round(n / dt, 2),
+        "unit": "tokens/s",
+        "vs_baseline": 1.0,
+        "extra": {"tokens": n, "seconds": round(dt, 3),
+                  "audio_rtf": round((n / 25.0) / dt, 2)},
+    }))
+
+
 if __name__ == "__main__":
     main()
+

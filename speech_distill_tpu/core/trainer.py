@@ -66,7 +66,13 @@ def train_loop(step_fn: Callable, state, frozen_args: tuple,
     on the mesh (defaults to identity — jit will transfer).
     Returns the final state.
     """
+    import os
+    from speech_distill_tpu.core.metrics import ProfilerWindow
+
     logger = MetricsLogger(cfg.output_dir, cfg.report_to)
+    profiler = ProfilerWindow(
+        os.environ.get("SDT_PROFILE", f"{cfg.output_dir}/trace"),
+        enabled=bool(os.environ.get("SDT_PROFILE")))
     if ckpt is None:
         ckpt = CheckpointManager(f"{cfg.output_dir}/ckpt", cfg.save_total_limit)
 
@@ -91,6 +97,7 @@ def train_loop(step_fn: Callable, state, frozen_args: tuple,
             batch = put_batch(host_batch) if put_batch else host_batch
             state, metrics = step_fn(state, *frozen_args, batch)
             global_step += 1
+            profiler.on_step(global_step)
             if global_step % cfg.logging_steps == 0:
                 metrics = jax.device_get(metrics)
                 logger.log(global_step, metrics, tokens_per_batch)

@@ -145,15 +145,42 @@ def distillation_loss(student_logits: jax.Array,
     raise ValueError("Either teacher_logits or top_k values must be provided")
 
 
+def chunked_top_k(x: jax.Array, k: int, n_chunks: int = 16):
+    """Exact top-k over a large last dim via two stages: top-k per vocab
+    chunk, then top-k over the k*n_chunks candidates. Every global top-k
+    element is top-k within its chunk, so the result set is exact. Far
+    faster on TPU than one lax.top_k over 159k lanes."""
+    V = x.shape[-1]
+    if V <= k * n_chunks * 2:
+        return jax.lax.top_k(x, k)
+    chunk = -(-V // n_chunks)
+    pad = chunk * n_chunks - V
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)],
+                    constant_values=-jnp.inf)
+    xc = x.reshape(x.shape[:-1] + (n_chunks, chunk))
+    cv, ci = jax.lax.top_k(xc, k)                      # [..., n_chunks, k]
+    ci = ci + jnp.arange(n_chunks)[:, None] * chunk
+    cv = cv.reshape(x.shape[:-1] + (n_chunks * k,))
+    ci = ci.reshape(x.shape[:-1] + (n_chunks * k,))
+    v, pos = jax.lax.top_k(cv, k)
+    i = jnp.take_along_axis(ci, pos, axis=-1)
+    return v, i
+
+
 def extract_top_k(teacher_logits: jax.Array, k: int,
                   student_vocab_size: Optional[int] = None):
     """On-the-fly sparse extraction (reference train.py:74-94).
 
-    Truncates to student vocab, log-softmaxes, takes top-K. Returns
+    Truncates to student vocab and returns top-K teacher *logprobs*
     (values fp16, indices int32) like the reference stores on disk.
+    TPU-first: logit ordering == logprob ordering, so top-k runs on raw
+    logits (chunked two-stage) and the log-softmax shift is applied only
+    to the K winners — the [*, V] logprob tensor is never materialized.
     """
     if student_vocab_size is not None:
         teacher_logits = teacher_logits[..., :student_vocab_size]
-    logprobs = jax.nn.log_softmax(teacher_logits.astype(jnp.float32), axis=-1)
-    v, i = jax.lax.top_k(logprobs, k)
-    return v.astype(jnp.float16), i.astype(jnp.int32)
+    logits = teacher_logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    v, i = chunked_top_k(logits, k)
+    return (v - lse).astype(jnp.float16), i.astype(jnp.int32)

@@ -22,14 +22,12 @@ def make_extract_fn(teacher_forward: Callable, top_k: int,
                     vocab_limit: Optional[int] = None):
     """jitted (params, ids, mask) -> (top_v fp16 [B,T,K], top_i int32)."""
 
+    from speech_distill_tpu.distill.losses import extract_top_k
+
     @jax.jit
     def fn(params, ids, mask):
         logits = teacher_forward(params, ids, mask)
-        if vocab_limit is not None:
-            logits = logits[..., :vocab_limit]
-        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        v, i = jax.lax.top_k(logprobs, top_k)
-        return v.astype(jnp.float16), i.astype(jnp.int32)
+        return extract_top_k(logits, top_k, vocab_limit)
 
     return fn
 
