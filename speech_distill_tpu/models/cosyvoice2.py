@@ -149,6 +149,37 @@ def make_teacher_forward(cfg: CosyVoice2Config):
     return fn
 
 
+def convert_torch_state(state: Dict[str, Any],
+                        cfg: CosyVoice2Config) -> Params:
+    """Map a reference CosyVoice2 torch checkpoint into this pytree.
+
+    torch names (cosyvoice2/modeling.py:71-97):
+      llm_embedding.weight [2, D], speech_embedding.weight [S+3, D],
+      llm_decoder.{weight,bias}, and the Qwen2 backbone under
+      ``llm.model.`` (Qwen2Encoder wraps Qwen2ForCausalLM).
+    """
+    import numpy as np
+    from speech_distill_tpu.models.hf_loader import from_state_dict
+
+    def np_(t):
+        if isinstance(t, np.ndarray):
+            return t.astype(np.float32)
+        import torch
+        return t.detach().to(torch.float32).cpu().numpy()
+
+    backbone_state = {k[len("llm.model."):]: v for k, v in state.items()
+                     if k.startswith("llm.model.")}
+    return {
+        "backbone": from_state_dict(backbone_state, cfg.backbone),
+        "llm_embedding": jnp.asarray(np_(state["llm_embedding.weight"])),
+        "speech_embedding": jnp.asarray(np_(state["speech_embedding.weight"])),
+        "llm_decoder": {
+            "w": jnp.asarray(np_(state["llm_decoder.weight"]).T),
+            "b": jnp.asarray(np_(state["llm_decoder.bias"])),
+        },
+    }
+
+
 # ---------------------------------------------------------------------------
 # Training-sequence construction (bistream / unistream interleave)
 # ---------------------------------------------------------------------------

@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_size", type=int, default=10)
     p.add_argument("--report_to", type=str, default="none")
     p.add_argument("--top_k", type=int, default=128)
+    p.add_argument("--teacher_family", type=str, default="qwen3",
+                   choices=["qwen3", "cosyvoice2"],
+                   help="cosyvoice2: split-embedding Qwen2 teacher over the "
+                        "unified vocab (reference cosyvoice2/teacher_wrapper.py)")
     p.add_argument("--load_teacher_in_4bit", action="store_true")
     p.add_argument("--load_teacher_in_8bit", action="store_true")
     p.add_argument("--per_device_train_batch_size", type=int, default=4)
@@ -112,11 +116,28 @@ def train(config) -> None:
     mode = "precomputed" if has_topk else (
         "online_dense" if dcfg.use_dense else "online_sparse")
     teacher_cfg = teacher_params = None
+    teacher_forward = None
     if mode != "precomputed":
-        teacher_cfg, teacher_params = load_pretrained(config.teacher_model)
+        if config.teacher_family == "cosyvoice2":
+            import torch
+            from speech_distill_tpu.models import cosyvoice2 as cv2
+            cv_cfg = cv2.CosyVoice2Config()
+            state = torch.load(config.teacher_model, map_location="cpu",
+                               weights_only=True)
+            teacher_params = cv2.convert_torch_state(state, cv_cfg)
+            teacher_forward = cv2.make_teacher_forward(cv_cfg)
+            teacher_cfg = cv_cfg.backbone
+        else:
+            teacher_cfg, teacher_params = load_pretrained(config.teacher_model)
         if quant != "none":
             from speech_distill_tpu.ops.quant import quantize_params
-            teacher_params = quantize_params(teacher_params, bits=8)
+            if config.teacher_family == "cosyvoice2":
+                teacher_params["backbone"] = quantize_params(
+                    teacher_params["backbone"],
+                    bits=8 if quant == "int8" else 4)
+            else:
+                teacher_params = quantize_params(
+                    teacher_params, bits=8 if quant == "int8" else 4)
 
     mesh = meshlib.make_mesh(MeshConfig(tp=config.tp))
     dp = mesh.shape["dp"]
@@ -138,8 +159,17 @@ def train(config) -> None:
     state = train_step.init_state(lora, opt)
     base_s = sharding.shard_params(mesh, base, s_cfg)
     if teacher_params is not None:
-        teacher_params = sharding.shard_params(mesh, teacher_params,
-                                               teacher_cfg)
+        if config.teacher_family == "cosyvoice2":
+            teacher_params = dict(
+                teacher_params,
+                backbone=sharding.shard_params(
+                    mesh, teacher_params["backbone"], teacher_cfg))
+            teacher_params = {
+                k: (v if k == "backbone" else sharding.replicate(mesh, v))
+                for k, v in teacher_params.items()}
+        else:
+            teacher_params = sharding.shard_params(mesh, teacher_params,
+                                                   teacher_cfg)
     if config.use_lora:
         lora_s = sharding.shard_lora(mesh, lora)
         state = train_step.TrainState(
@@ -149,7 +179,7 @@ def train(config) -> None:
 
     step_fn = train_step.make_kd_step(
         s_cfg, dcfg, opt, mode=mode, teacher_cfg=teacher_cfg,
-        use_lora=config.use_lora)
+        teacher_forward=teacher_forward, use_lora=config.use_lora)
 
     collator = DistillCollator(
         pad_token_id=tokenizer.pad_token_id,

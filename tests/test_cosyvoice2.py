@@ -118,6 +118,64 @@ def test_unified_table_zero_pad_rows():
     assert np.abs(table[-1]).max() == 0
 
 
+def test_convert_torch_state_and_kd_step():
+    """Synthetic torch-named CosyVoice2 checkpoint -> converter -> the KD
+    step with the split-embedding teacher_forward runs (online sparse)."""
+    from transformers import Qwen2Config as HFQwen2Config, Qwen2ForCausalLM
+    backbone = _tiny_qwen2_cfg(vocab=100)
+    cfg = cv2.CosyVoice2Config(
+        backbone=backbone, text_vocab_size=104, speech_token_size=20,
+        unified_vocab_size=104 + 2 + 23 + 1)
+    hf_cfg = HFQwen2Config(
+        vocab_size=100, hidden_size=backbone.hidden_size,
+        intermediate_size=backbone.intermediate_size,
+        num_hidden_layers=backbone.num_hidden_layers,
+        num_attention_heads=backbone.num_attention_heads,
+        num_key_value_heads=backbone.num_key_value_heads,
+        head_dim=backbone.head_dim, tie_word_embeddings=True,
+        attention_bias=True, max_position_embeddings=256)
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(hf_cfg).to(torch.float32)
+    D = backbone.hidden_size
+    state = {f"llm.model.{k}": v for k, v in hf.state_dict().items()}
+    state["llm_embedding.weight"] = torch.randn(2, D)
+    state["speech_embedding.weight"] = torch.randn(cfg.num_decoder_out, D)
+    state["llm_decoder.weight"] = torch.randn(cfg.num_decoder_out, D)
+    state["llm_decoder.bias"] = torch.randn(cfg.num_decoder_out)
+
+    params = cv2.convert_torch_state(state, cfg)
+    ids = np.random.default_rng(0).integers(
+        0, cfg.unified_vocab_size - 1, (2, 8)).astype(np.int32)
+    logits = cv2.forward(params, jnp.asarray(ids), cfg)
+    assert logits.shape == (2, 8, cfg.unified_vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # KD step with the cosyvoice2 teacher over the unified vocab
+    from speech_distill_tpu.core.config import DistillConfig, LoraConfig, qwen3_tiny
+    from speech_distill_tpu.distill import train_step
+    from speech_distill_tpu.distill.lora import init_lora
+    s_cfg = qwen3_tiny(cfg.unified_vocab_size)
+    s_cfg = type(s_cfg)(**{**s_cfg.__dict__, "dtype": "float32",
+                           "remat": False})
+    s_params = qwen3.init_params(jax.random.PRNGKey(1), s_cfg)
+    dcfg = DistillConfig(top_k=8, lora=LoraConfig(r=2, alpha=4,
+                                                  init_weights="gaussian"))
+    lora, base = init_lora(jax.random.PRNGKey(2), s_params, s_cfg, dcfg.lora)
+    opt = train_step.make_optimizer(1e-3, 1, 10)
+    step = train_step.make_kd_step(
+        s_cfg, dcfg, opt, mode="online_sparse",
+        teacher_forward=cv2.make_teacher_forward(cfg), donate=False)
+    B, T = 2, 8
+    batch = {
+        "input_ids": jnp.asarray(ids)[None],
+        "attention_mask": jnp.ones((1, B, T), jnp.int32),
+        "labels": jnp.asarray(ids.astype(np.int64))[None],
+    }
+    state0 = train_step.init_state(lora, opt)
+    _, metrics = step(state0, base, params, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_prepare_lm_sequences_unistream():
     cfg, _ = _tiny_cv2()
     ids, tgt, lens = cv2.prepare_lm_sequences(
