@@ -27,7 +27,8 @@ class LoopConfig:
     save_total_limit: int = 3
     output_dir: str = "./output"
     report_to: str = "none"
-    eval_steps: Optional[int] = None
+    eval_steps: Optional[int] = None      # None + eval_fn -> eval per epoch
+    load_best_at_end: bool = True         # reference train.py:343
 
 
 def batches_from(dataset: Iterable[Dict[str, np.ndarray]],
@@ -88,6 +89,19 @@ def train_loop(step_fn: Callable, state, frozen_args: tuple,
 
     global_step = start_step
     done = False
+    best = {"loss": float("inf"), "step": None}
+
+    def run_eval():
+        eval_metrics = eval_fn(state)
+        logger.log(global_step,
+                   {f"eval_{k}": v for k, v in eval_metrics.items()})
+        loss = float(eval_metrics.get("loss", float("inf")))
+        if loss < best["loss"]:
+            best["loss"] = loss
+            best["step"] = global_step
+            if ckpt.latest_step() != global_step:
+                ckpt.save(global_step, jax.device_get(state))
+
     for epoch in range(cfg.num_epochs):
         if done:
             break
@@ -104,17 +118,24 @@ def train_loop(step_fn: Callable, state, frozen_args: tuple,
             if cfg.save_steps and global_step % cfg.save_steps == 0:
                 ckpt.save(global_step, jax.device_get(state))
             if cfg.eval_steps and eval_fn and global_step % cfg.eval_steps == 0:
-                eval_metrics = eval_fn(state)
-                logger.log(global_step,
-                           {f"eval_{k}": v for k, v in eval_metrics.items()})
+                run_eval()
             if cfg.max_steps and global_step >= cfg.max_steps:
                 done = True
                 break
+        if eval_fn and not cfg.eval_steps:
+            run_eval()                        # per-epoch eval (reference)
         if not cfg.save_steps and ckpt.latest_step() != global_step:
             # per-epoch save (reference default)
             ckpt.save(global_step, jax.device_get(state))
     if ckpt.latest_step() != global_step:
         ckpt.save(global_step, jax.device_get(state), force=True)
     ckpt.wait()
+    if (cfg.load_best_at_end and eval_fn and best["step"] is not None
+            and best["step"] != global_step):
+        restored = ckpt.restore(jax.device_get(state), best["step"])
+        if restored is not None:
+            state = restored
+            print(f"loaded best model from step {best['step']} "
+                  f"(eval loss {best['loss']:.4f})")
     logger.close()
     return state

@@ -187,6 +187,60 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
     return step
 
 
+def make_kd_eval_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
+                      *, mode: str,
+                      teacher_cfg: Optional[Qwen3Config] = None,
+                      teacher_forward: Optional[Callable] = None,
+                      use_lora: bool = True):
+    """Loss-only evaluation step (reference eval_strategy='epoch',
+    train.py:341): same loss math as the train step, no grads."""
+    lcfg = distill_cfg.lora
+
+    if teacher_forward is None and mode != "precomputed":
+        t_cfg = teacher_cfg or student_cfg
+
+        def teacher_forward(tp, ids, mask):
+            return qwen3.forward(tp, ids, t_cfg, attention_mask=mask)
+
+    def loss_fn(trainable, mb, base_params, teacher_params):
+        eff = merge_lora(base_params, trainable, lcfg) if use_lora \
+            else trainable
+        logits = qwen3.forward(eff, mb["input_ids"], student_cfg,
+                               attention_mask=mb["attention_mask"])
+        labels = mb["labels"]
+        smask = mb.get("speech_token_mask")
+        if mode == "precomputed":
+            out = losses.sparse_distill_loss(
+                logits, mb["teacher_top_k_v"], mb["teacher_top_k_i"],
+                labels, smask, distill_cfg.temperature, distill_cfg.alpha)
+        else:
+            t_ids = mb.get("teacher_input_ids", mb["input_ids"])
+            t_mask = mb.get("teacher_attention_mask", mb["attention_mask"])
+            t_logits = teacher_forward(teacher_params, t_ids, t_mask)
+            if mode == "online_sparse":
+                v, i = losses.extract_top_k(t_logits, distill_cfg.top_k,
+                                            student_cfg.vocab_size)
+                out = losses.sparse_distill_loss(
+                    logits, v, i, labels, smask, distill_cfg.temperature,
+                    distill_cfg.alpha)
+            else:
+                out = losses.dense_distill_loss(
+                    logits, t_logits[..., :student_cfg.vocab_size], labels,
+                    smask, distill_cfg.temperature, distill_cfg.alpha)
+        return {"loss": out.total, "student_loss": out.task,
+                "distill_loss": out.distill, "teacher_loss": out.teacher}
+
+    @jax.jit
+    def eval_step(trainable, base_params, teacher_params, batch):
+        # batch carries the [A, B, T] microbatch axis; average over A
+        def one(mb):
+            return loss_fn(trainable, mb, base_params, teacher_params)
+        ms = jax.lax.map(one, batch)
+        return jax.tree.map(jnp.mean, ms)
+
+    return eval_step
+
+
 # ---------------------------------------------------------------------------
 # Stage-1 warm-up: new-embedding-only training
 # ---------------------------------------------------------------------------

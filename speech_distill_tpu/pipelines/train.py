@@ -199,10 +199,34 @@ def train(config) -> None:
         report_to=config.report_to,
         save_total_limit=dcfg.save_total_limit)
 
+    eval_fn = None
+    if eval_dataset is not None and len(eval_dataset) > 0:
+        if not is_preprocessed:
+            eval_dataset = eval_dataset.map(dual, batched=True, desc="eval")
+        eval_step = train_step.make_kd_eval_step(
+            s_cfg, dcfg, mode=mode, teacher_cfg=teacher_cfg,
+            teacher_forward=teacher_forward, use_lora=config.use_lora)
+
+        def eval_fn(state):
+            import jax.numpy as jnp
+            totals, n = None, 0
+            for hb in batches_from(
+                    (eval_dataset[i] for i in range(len(eval_dataset))),
+                    collator, global_batch, 1, drop_last=False):
+                m = eval_step(state.trainable, base_s, teacher_params,
+                              sharding.shard_batch(mesh, hb))
+                m = jax.device_get(m)
+                totals = m if totals is None else \
+                    {k: totals[k] + m[k] for k in m}
+                n += 1
+            return {k: float(v) / max(n, 1) for k, v in totals.items()} \
+                if totals else {}
+
     frozen = (base_s, teacher_params)
     state = train_loop(
         step_fn, state, frozen, batch_iter, loop_cfg,
         put_batch=lambda b: sharding.shard_batch(mesh, b),
+        eval_fn=eval_fn,
         tokens_per_batch=global_batch * dcfg.gradient_accumulation_steps
         * dcfg.pad_to_multiple_of)
 

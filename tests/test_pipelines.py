@@ -141,7 +141,7 @@ def test_prepare_dataset_and_extract_and_train(workspace):
                 "--per_device_train_batch_size", "1",
                 "--gradient_accumulation_steps", "1",
                 "--pad_to_multiple_of", "16",
-                "--test_size", "0", "--max_steps", "2",
+                "--test_size", "4", "--max_steps", "2",
                 "--warmup_steps", "1"])
     assert os.path.exists(os.path.join(out_model, "final_model",
                                        "model.safetensors"))
