@@ -19,12 +19,17 @@ from speech_distill_tpu.core.config import Qwen3Config
 
 
 def _to_np(t) -> np.ndarray:
-    """torch tensor / np array -> float32 numpy (bf16-safe)."""
+    """torch tensor / np array -> float32 numpy (bf16-safe).
+
+    Always copies: .numpy() on an fp32 CPU tensor returns a VIEW of the
+    torch buffer, and jax-CPU device_put can be zero-copy — without the
+    copy, later in-place torch updates would silently mutate jax params.
+    """
     if isinstance(t, np.ndarray):
         return t
     import torch
     with torch.no_grad():
-        return t.detach().to(torch.float32).cpu().numpy()
+        return t.detach().to(torch.float32).cpu().numpy().copy()
 
 
 def config_from_hf(hf_cfg) -> Qwen3Config:

@@ -1,0 +1,112 @@
+"""KD loss-curve parity vs a torch reference loop (BASELINE target:
+"Stage-2 KD loss curve within 1% of reference").
+
+Same tiny model weights (converted), same data, same hyperparameters
+(AdamW b1/b2/eps, linear warmup, grad clip 1.0), full-parameter training:
+the per-step total losses of the JAX step and a torch loop built from HF
+Qwen3 + the reference loss semantics must track within 1%.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from speech_distill_tpu.core.config import DistillConfig, LoraConfig, qwen3_tiny
+from speech_distill_tpu.distill import train_step
+from speech_distill_tpu.models import qwen3
+from speech_distill_tpu.models.hf_loader import from_state_dict
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _torch_sparse_loss(student_logits, labels, v, i, temperature=2.0,
+                       alpha=0.5):
+    """Reference distillation_loss.py semantics (torch, dynamic shapes)."""
+    s = student_logits[..., :-1, :].reshape(-1, student_logits.size(-1))
+    l = labels[..., 1:].reshape(-1)
+    valid = l != -100
+    s_v, l_v = s[valid], l[valid]
+    K = v.size(-1)
+    v_v = v[..., :-1, :].reshape(-1, K)[valid].float()
+    i_v = i[..., :-1, :].reshape(-1, K)[valid].long()
+    T = temperature
+    soft_t = F.softmax(v_v / T, -1)
+    log_t = F.log_softmax(v_v / T, -1)
+    log_s = F.log_softmax(s_v / T, -1).gather(-1, i_v)
+    distill = (soft_t * (log_t - log_s)).sum(-1).mean() * T * T
+    task = F.cross_entropy(s_v, l_v)
+    return alpha * task + (1 - alpha) * distill
+
+
+def test_kd_loss_curve_within_1pct():
+    from transformers import Qwen3Config as HFQwen3Config, Qwen3ForCausalLM
+
+    cfg = qwen3_tiny(128)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})
+    hf_cfg = HFQwen3Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads, head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,
+        max_position_embeddings=cfg.max_position_embeddings,
+        tie_word_embeddings=True, attention_bias=False)
+    torch.manual_seed(0)
+    model = Qwen3ForCausalLM(hf_cfg).to(torch.float32)
+    params = from_state_dict(model.state_dict(), cfg, dtype="float32")
+
+    rng = np.random.default_rng(0)
+    B, T, K, steps = 2, 16, 8, 6
+    data = []
+    for _ in range(steps):
+        ids = rng.integers(0, 128, (B, T))
+        labels = ids.copy().astype(np.int64)
+        labels[:, :2] = -100
+        v = (rng.normal(size=(B, T, K)) - 2).astype(np.float32)
+        i = rng.integers(0, 128, (B, T, K)).astype(np.int32)
+        data.append((ids, labels, v, i))
+
+    lr, warmup, total = 1e-3, 2, steps
+
+    # ---- torch loop -------------------------------------------------------
+    opt_t = torch.optim.AdamW(model.parameters(), lr=lr, betas=(0.9, 0.999),
+                              eps=1e-8, weight_decay=0.0)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt_t, lambda step: (step / warmup if step < warmup
+                             else max(0.0, (total - step) / (total - warmup))))
+    torch_losses = []
+    for ids, labels, v, i in data:
+        out = model(input_ids=torch.tensor(ids)).logits
+        loss = _torch_sparse_loss(out, torch.tensor(labels),
+                                  torch.tensor(v), torch.tensor(i))
+        opt_t.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt_t.step()
+        sched.step()
+        torch_losses.append(float(loss))
+
+    # ---- jax loop (full-param KD, no LoRA) --------------------------------
+    dcfg = DistillConfig(lora=LoraConfig(use_lora=False))
+    opt = train_step.make_optimizer(lr, warmup, total)
+    state = train_step.init_state(params, opt)
+    step = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
+                                   use_lora=False, donate=False)
+    jax_losses = []
+    for ids, labels, v, i in data:
+        batch = {
+            "input_ids": jnp.asarray(ids, jnp.int32)[None],
+            "attention_mask": jnp.ones((1, B, T), jnp.int32),
+            "labels": jnp.asarray(labels)[None],
+            "teacher_top_k_v": jnp.asarray(v)[None],
+            "teacher_top_k_i": jnp.asarray(i)[None],
+        }
+        state, m = step(state, None, None, batch)
+        jax_losses.append(float(m["loss"]))
+
+    for a, b in zip(jax_losses, torch_losses):
+        assert abs(a - b) / abs(b) < 0.01, (jax_losses, torch_losses)
+    # and losses actually went down
+    assert jax_losses[-1] < jax_losses[0]
