@@ -56,7 +56,8 @@ def main():
     teacher_cfg = None
     if args.mode != "precomputed":
         teacher_cfg = qwen3_teacher_1p7b()
-        teacher_params = qwen3.init_params(jax.random.PRNGKey(2), teacher_cfg)
+        # on-device init: 3.4GB of bf16 teacher weights never cross the host
+        teacher_params = qwen3.init_params_on_device(2, teacher_cfg)
 
     rng = np.random.default_rng(0)
     B, T, K = args.batch, args.seq, args.top_k

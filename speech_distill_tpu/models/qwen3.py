@@ -39,6 +39,48 @@ def _dtype(cfg: Qwen3Config):
 # ---------------------------------------------------------------------------
 
 
+def param_shapes(cfg: Qwen3Config) -> Params:
+    """Pytree of (shape, is_norm) descriptors for the parameter structure."""
+    L, D, F = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    QD, KVD, Dh = cfg.q_dim, cfg.kv_dim, cfg.head_dim
+    V = cfg.vocab_size
+    attn = {
+        "q": ((L, D, QD), "w"),
+        "k": ((L, D, KVD), "w"),
+        "v": ((L, D, KVD), "w"),
+        "o": ((L, QD, D), "w"),
+    }
+    if cfg.qk_norm:
+        attn["q_norm"] = ((L, Dh), "one")
+        attn["k_norm"] = ((L, Dh), "one")
+    if cfg.attention_bias:
+        attn["q_bias"] = ((L, QD), "zero")
+        attn["k_bias"] = ((L, KVD), "zero")
+        attn["v_bias"] = ((L, KVD), "zero")
+    shapes: Params = {
+        "embed": {"weight": ((V, D), "w")},
+        "layers": {
+            "input_ln": {"scale": ((L, D), "one")},
+            "attn": attn,
+            "post_ln": {"scale": ((L, D), "one")},
+            "mlp": {
+                "gate": ((L, D, F), "w"),
+                "up": ((L, D, F), "w"),
+                "down": ((L, F, D), "w"),
+            },
+        },
+        "final_ln": {"scale": ((D,), "one")},
+    }
+    if not cfg.tie_word_embeddings:
+        shapes["lm_head"] = {"weight": ((V, D), "w")}
+    return shapes
+
+
+def _is_shape_leaf(x):
+    return (isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], tuple)
+            and isinstance(x[1], str))
+
+
 def init_params(rng: jax.Array, cfg: Qwen3Config) -> Params:
     """Random init (normal, std=0.02 like HF initializer_range).
 
@@ -46,48 +88,49 @@ def init_params(rng: jax.Array, cfg: Qwen3Config) -> Params:
     avoids compiling a PRNG program per weight shape, which matters on
     high-compile-latency targets."""
     dt = _dtype(cfg)
-    L, D, F = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
-    QD, KVD, Dh = cfg.q_dim, cfg.kv_dim, cfg.head_dim
-    V = cfg.vocab_size
     import numpy as np
     seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1]) & 0x7FFFFFFF
     host_rng = np.random.default_rng(seed)
-    keys = list(range(8))
 
-    def nrm(_key, shape, std=0.02):
+    def make(leaf):
+        shape, kind = leaf
+        if kind == "one":
+            return jnp.ones(shape, dt)
+        if kind == "zero":
+            return jnp.zeros(shape, dt)
         return jnp.asarray(
-            host_rng.normal(0.0, std, shape).astype(np.float32), dt)
+            host_rng.normal(0.0, 0.02, shape).astype(np.float32), dt)
 
-    attn: Params = {
-        "q": nrm(keys[1], (L, D, QD)),
-        "k": nrm(keys[2], (L, D, KVD)),
-        "v": nrm(keys[3], (L, D, KVD)),
-        "o": nrm(keys[4], (L, QD, D)),
-    }
-    if cfg.qk_norm:
-        attn["q_norm"] = jnp.ones((L, Dh), dt)
-        attn["k_norm"] = jnp.ones((L, Dh), dt)
-    if cfg.attention_bias:
-        attn["q_bias"] = jnp.zeros((L, QD), dt)
-        attn["k_bias"] = jnp.zeros((L, KVD), dt)
-        attn["v_bias"] = jnp.zeros((L, KVD), dt)
-    params: Params = {
-        "embed": {"weight": nrm(keys[0], (V, D))},
-        "layers": {
-            "input_ln": {"scale": jnp.ones((L, D), dt)},
-            "attn": attn,
-            "post_ln": {"scale": jnp.ones((L, D), dt)},
-            "mlp": {
-                "gate": nrm(keys[5], (L, D, F)),
-                "up": nrm(keys[6], (L, D, F)),
-                "down": nrm(keys[7], (L, F, D)),
-            },
-        },
-        "final_ln": {"scale": jnp.ones((D,), dt)},
-    }
-    if not cfg.tie_word_embeddings:
-        params["lm_head"] = {"weight": nrm(jax.random.fold_in(rng, 99), (V, D))}
-    return params
+    return jax.tree.map(make, param_shapes(cfg), is_leaf=_is_shape_leaf)
+
+
+def init_params_on_device(seed: int, cfg: Qwen3Config) -> Params:
+    """Random init computed on-device in ONE jitted program.
+
+    For benchmarks/smoke tests on high-latency transports (the axon relay
+    moves host arrays at a few MB/s): a 1.7B bf16 teacher takes minutes to
+    device_put but seconds to synthesize on-chip.
+    """
+    dt = _dtype(cfg)
+    shapes = param_shapes(cfg)
+    leaves, treedef = jax.tree.flatten(shapes, is_leaf=_is_shape_leaf)
+
+    @jax.jit
+    def make(seed):
+        key = jax.random.PRNGKey(seed)
+        out = []
+        for i, (shape, kind) in enumerate(leaves):
+            if kind == "one":
+                out.append(jnp.ones(shape, dt))
+            elif kind == "zero":
+                out.append(jnp.zeros(shape, dt))
+            else:
+                k = jax.random.fold_in(key, i)
+                out.append((jax.random.normal(k, shape, jnp.float32) * 0.02
+                            ).astype(dt))
+        return jax.tree.unflatten(treedef, out)
+
+    return make(seed)
 
 
 def param_pspecs(cfg: Qwen3Config) -> Params:
