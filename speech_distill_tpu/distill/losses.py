@@ -169,18 +169,29 @@ def chunked_top_k(x: jax.Array, k: int, n_chunks: int = 16):
 
 
 def extract_top_k(teacher_logits: jax.Array, k: int,
-                  student_vocab_size: Optional[int] = None):
+                  student_vocab_size: Optional[int] = None,
+                  method: str = "exact", recall: float = 0.99):
     """On-the-fly sparse extraction (reference train.py:74-94).
 
     Truncates to student vocab and returns top-K teacher *logprobs*
     (values fp16, indices int32) like the reference stores on disk.
     TPU-first: logit ordering == logprob ordering, so top-k runs on raw
-    logits (chunked two-stage) and the log-softmax shift is applied only
-    to the K winners — the [*, V] logprob tensor is never materialized.
+    logits and the log-softmax shift is applied only to the K winners —
+    the [*, V] logprob tensor is never materialized.
+
+    method='exact': chunked two-stage lax.top_k (bit-parity artifacts —
+    the offline extraction CLI). method='approx': TPU-native
+    lax.approx_max_k — measured ~essentially free next to the teacher
+    forward on v5e vs ~200ms/step exact; the tokens it may miss are tail
+    entries of the renormalized top-K with negligible KL mass, so it is
+    the default for the *online* KD loop.
     """
     if student_vocab_size is not None:
         teacher_logits = teacher_logits[..., :student_vocab_size]
     logits = teacher_logits.astype(jnp.float32)
     lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
-    v, i = chunked_top_k(logits, k)
+    if method == "approx":
+        v, i = jax.lax.approx_max_k(logits, k, recall_target=recall)
+    else:
+        v, i = chunked_top_k(logits, k)
     return (v - lse).astype(jnp.float16), i.astype(jnp.int32)

@@ -158,7 +158,8 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
             if mode == "online_sparse":
                 v, i = losses.extract_top_k(
                     t_logits, distill_cfg.top_k,
-                    student_vocab_size=student_cfg.vocab_size)
+                    student_vocab_size=student_cfg.vocab_size,
+                    method=distill_cfg.online_topk_method)
                 out = losses.sparse_distill_loss(
                     logits, v, i, labels, smask,
                     distill_cfg.temperature, distill_cfg.alpha)
@@ -218,8 +219,9 @@ def make_kd_eval_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
             t_mask = mb.get("teacher_attention_mask", mb["attention_mask"])
             t_logits = teacher_forward(teacher_params, t_ids, t_mask)
             if mode == "online_sparse":
-                v, i = losses.extract_top_k(t_logits, distill_cfg.top_k,
-                                            student_cfg.vocab_size)
+                v, i = losses.extract_top_k(
+                    t_logits, distill_cfg.top_k, student_cfg.vocab_size,
+                    method=distill_cfg.online_topk_method)
                 out = losses.sparse_distill_loss(
                     logits, v, i, labels, smask, distill_cfg.temperature,
                     distill_cfg.alpha)

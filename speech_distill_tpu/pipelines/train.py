@@ -95,6 +95,23 @@ def train(config) -> None:
             tokenizer, teacher_prefix, student_prefix, config)
         dataset = dataset.map(dual, batched=True, desc="process")
 
+    # sample preview (reference train.py:383-418)
+    sample = dataset[0]
+    s_ids = sample.get("student_input_ids", sample.get("input_ids"))
+    t_ids = sample.get("teacher_input_ids")
+    print("=" * 50 + "\nSAMPLE DATA PREVIEW\n" + "=" * 50)
+    if s_ids is not None:
+        print(f"--- STUDENT INPUT ---\nText: "
+              f"{tokenizer.decode(s_ids[:100])} ... "
+              f"{tokenizer.decode(s_ids[-10:])}")
+        print(f"IDs: {list(s_ids[:20])} ... {list(s_ids[-10:])}")
+    if t_ids is not None:
+        print(f"--- TEACHER INPUT ---\nText: "
+              f"{tokenizer.decode(t_ids[:100])} ... "
+              f"{tokenizer.decode(t_ids[-10:])}")
+        print(f"IDs: {list(t_ids[:20])} ... {list(t_ids[-10:])}")
+    print("=" * 50)
+
     quant = ("int4" if config.load_teacher_in_4bit
              else "int8" if config.load_teacher_in_8bit else "none")
     dcfg = DistillConfig(
