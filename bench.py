@@ -30,6 +30,11 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--fused_loss", action="store_true",
                    help="chunked fused lm-head loss (memory-bound configs)")
+    p.add_argument("--no_remat", action="store_true",
+                   help="disable per-layer rematerialization (activations "
+                        "fit at short seq; saves the recompute pass)")
+    p.add_argument("--attn", default="auto",
+                   choices=["auto", "xla", "pallas"])
     args = p.parse_args()
 
     import jax
@@ -43,7 +48,9 @@ def main():
     if args.mode == "decode":
         return bench_decode(args)
 
-    cfg = qwen3_student_0p6b()
+    import dataclasses
+    cfg = dataclasses.replace(qwen3_student_0p6b(),
+                              remat=not args.no_remat, attn_impl=args.attn)
     dcfg = DistillConfig(top_k=args.top_k,
                          lora=LoraConfig(init_weights="gaussian"))
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
