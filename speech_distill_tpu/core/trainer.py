@@ -87,6 +87,8 @@ def train_loop(step_fn: Callable, state, frozen_args: tuple,
             start_step = latest
             print(f"resumed from step {latest}")
 
+    from speech_distill_tpu.core.prefetch import prefetch
+
     global_step = start_step
     done = False
     best = {"loss": float("inf"), "step": None}
@@ -105,10 +107,8 @@ def train_loop(step_fn: Callable, state, frozen_args: tuple,
     for epoch in range(cfg.num_epochs):
         if done:
             break
-        for host_batch in batch_iter_fn(epoch):
-            if global_step > start_step or start_step == 0:
-                pass
-            batch = put_batch(host_batch) if put_batch else host_batch
+        # prefetch: collation + device placement run in a background thread
+        for batch in prefetch(batch_iter_fn(epoch), put=put_batch, depth=2):
             state, metrics = step_fn(state, *frozen_args, batch)
             global_step += 1
             profiler.on_step(global_step)
