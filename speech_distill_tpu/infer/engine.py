@@ -28,7 +28,8 @@ from speech_distill_tpu.ops import sampling
 
 class DecodeState(NamedTuple):
     tokens: jax.Array        # [B, max_len] int32 (prompt + generated)
-    length: jax.Array        # [B] int32 — valid tokens per row
+    length: jax.Array        # [B] int32 — buffer slots used per row
+    valid: jax.Array         # [B, max_len] bool — real (non-pad) slots
     cache: qwen3.KVCache
     last_logits: jax.Array   # [B, V] fp32 — logits at the last real token
     presence: jax.Array      # [B, V] bool — generated-token set (rep penalty)
@@ -75,15 +76,20 @@ def make_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
         token = jnp.where(st.finished, pad_id, tok)
 
         tokens = st.tokens.at[jnp.arange(B), st.length].set(token)
+        valid = st.valid.at[jnp.arange(B), st.length].set(True)
         presence = st.presence.at[jnp.arange(B), token].set(True)
         is_eos = jnp.zeros(B, bool)
         for e in eos_ids:
             is_eos = jnp.logical_or(is_eos, token == e)
         finished = jnp.logical_or(st.finished, is_eos)
 
+        # per-row RoPE position = count of real tokens before this one
+        # (left-padded batches: pads are masked keys, not positions)
+        pos = jnp.sum(st.valid, axis=1).astype(jnp.int32)[:, None]
         logits, cache = qwen3.forward(params, token[:, None], cfg,
-                                      cache=st.cache)
-        return DecodeState(tokens, st.length + 1, cache,
+                                      attention_mask=valid.astype(jnp.int32),
+                                      positions=pos, cache=st.cache)
+        return DecodeState(tokens, st.length + 1, valid, cache,
                            logits[:, -1, :].astype(jnp.float32), presence,
                            st.num_generated + 1, finished, rng)
 
@@ -116,8 +122,9 @@ class DecodeEngine:
         self.cache_dtype = cache_dtype
         self._decode = make_decode_fn(cfg, sp)
         self._prefill = jax.jit(
-            lambda p, ids, mask, cache: qwen3.forward(
-                p, ids, cfg, attention_mask=mask, cache=cache))
+            lambda p, ids, mask, cache, pos: qwen3.forward(
+                p, ids, cfg, attention_mask=mask, positions=pos,
+                cache=cache))
         self._rng = jax.random.PRNGKey(seed)
 
     def _bucketed(self, n: int) -> int:
@@ -131,6 +138,7 @@ class DecodeEngine:
         return DecodeState(
             tokens=jnp.zeros((batch, self.max_len), jnp.int32),
             length=jnp.zeros((batch,), jnp.int32),
+            valid=jnp.zeros((batch, self.max_len), bool),
             cache=cache,
             last_logits=jnp.zeros((batch, V), jnp.float32),
             presence=jnp.zeros((batch, V), bool),
@@ -152,15 +160,57 @@ class DecodeEngine:
         ids[0, :n] = new_ids
         mask = (np.arange(self.max_len) < start + n).astype(np.int32)[None]
         logits, cache = self._prefill(self.params, jnp.asarray(ids),
-                                      jnp.asarray(mask), state.cache)
+                                      jnp.asarray(mask), state.cache, None)
         cache = cache._replace(length=jnp.asarray(start + n, jnp.int32))
         tokens = jax.lax.dynamic_update_slice(
             state.tokens, jnp.asarray(ids[:, :n]), (0, start))
+        valid = state.valid.at[0, start:start + n].set(True)
         return state._replace(
             tokens=tokens,
             length=jnp.full_like(state.length, start + n),
+            valid=valid,
             cache=cache,
             last_logits=logits[:, n - 1, :].astype(jnp.float32))
+
+    def generate_batch(self, prompts: list, max_new: Optional[int] = None
+                       ) -> list:
+        """Batched single-turn decode (serving path; beyond the reference's
+        B=1 engines). Prompts are LEFT-padded to one bucket width so all
+        rows share the write offset; pads are masked keys with per-row RoPE
+        positions, so results match unpadded decoding."""
+        B = len(prompts)
+        width = self._bucketed(max(len(p) for p in prompts))
+        ids = np.zeros((B, width), np.int32)
+        valid_np = np.zeros((B, self.max_len), bool)
+        pos_np = np.zeros((B, width), np.int32)
+        for b, p in enumerate(prompts):
+            n = len(p)
+            ids[b, width - n:] = p
+            valid_np[b, width - n:width] = True
+            pos_np[b, width - n:] = np.arange(n)
+
+        state = self.new_state(B)
+        mask = np.zeros((B, self.max_len), np.int32)
+        mask[:, :width] = valid_np[:, :width]
+        logits, cache = self._prefill(
+            self.params, jnp.asarray(ids), jnp.asarray(mask),
+            state.cache, jnp.asarray(pos_np))
+        cache = cache._replace(length=jnp.asarray(width, jnp.int32))
+        state = state._replace(
+            tokens=state.tokens.at[:, :width].set(jnp.asarray(ids)),
+            length=jnp.full((B,), width, jnp.int32),
+            valid=jnp.asarray(valid_np),
+            cache=cache,
+            last_logits=logits[:, -1, :].astype(jnp.float32))
+
+        cap = min(max_new or self.sp.max_tokens, self.max_len - width)
+        state = self._decode(self.params, state, int(cap))
+        outs = []
+        toks = np.asarray(state.tokens)
+        lens = np.asarray(state.length)
+        for b in range(B):
+            outs.append(toks[b, width:lens[b]].tolist())
+        return outs
 
     def generate(self, prompt_ids: list,
                  state: Optional[DecodeState] = None) -> dict:

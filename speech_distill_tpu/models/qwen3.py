@@ -362,7 +362,8 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
     else:
         S = cache.k.shape[2]
         start = cache.length
-        positions = start + jnp.arange(T)[None, :].repeat(B, axis=0)
+        if positions is None:
+            positions = start + jnp.arange(T)[None, :].repeat(B, axis=0)
         cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
         # keys live at absolute positions [0, S); queries at start+t
         k_pos = jnp.arange(S)[None, :]                      # [1, S]

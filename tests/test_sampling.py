@@ -152,6 +152,42 @@ def test_decode_engine_generates_until_eos():
     assert len(out2["token_ids"]) <= 12
 
 
+def test_generate_batch_left_padding_matches_single():
+    """Batched (left-padded) prefill logits equal per-row unpadded logits."""
+    from speech_distill_tpu.infer.engine import DecodeEngine
+    cfg = qwen3_tiny(48)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})
+    params = qwen3.init_params(jax.random.PRNGKey(3), cfg)
+    sp = SamplingParams(stop_token_ids=(47,), max_tokens=6, min_tokens=1,
+                        top_k=10, temperature=1.0)
+    eng = DecodeEngine(params, cfg, sp, max_len=64, prefill_bucket=8,
+                       cache_dtype=jnp.float32)
+    prompts = [[1, 2, 3, 4, 5, 6, 7], [9, 8, 7]]
+
+    outs = eng.generate_batch(prompts, max_new=5)
+    assert len(outs) == 2
+    for o in outs:
+        assert 1 <= len(o) <= 5
+
+    # prefill parity: batched last-token logits == single-row engine's
+    st_single = eng.prefill(eng.new_state(1), prompts[1])
+    B = len(prompts)
+    width = eng._bucketed(max(len(p) for p in prompts))
+    ids = np.zeros((B, width), np.int32)
+    pos = np.zeros((B, width), np.int32)
+    mask = np.zeros((B, eng.max_len), np.int32)
+    for b, p in enumerate(prompts):
+        n = len(p)
+        ids[b, width - n:] = p
+        mask[b, width - n:width] = 1
+        pos[b, width - n:] = np.arange(n)
+    logits, _ = eng._prefill(params, jnp.asarray(ids), jnp.asarray(mask),
+                             eng.new_state(B).cache, jnp.asarray(pos))
+    np.testing.assert_allclose(
+        np.asarray(logits[1, -1]), np.asarray(st_single.last_logits[0]),
+        atol=2e-4, rtol=1e-3)
+
+
 def test_decode_matches_full_forward_logits():
     """The engine's held last_logits after prefill == full forward logits."""
     from speech_distill_tpu.infer.engine import DecodeEngine
