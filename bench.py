@@ -130,9 +130,10 @@ def bench_decode(args):
     from speech_distill_tpu.models import qwen3
 
     cfg = qwen3_student_0p6b()
-    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
-    sp = SamplingParams(max_tokens=args.steps * 0 + 256,
-                        min_tokens=256, stop_token_ids=(cfg.eos_token_id,))
+    params = qwen3.init_params_on_device(0, cfg)
+    sp = SamplingParams(max_tokens=256, min_tokens=256,
+                        stop_token_ids=(cfg.eos_token_id,),
+                        topk_method="approx")
     eng = DecodeEngine(params, cfg, sp, max_len=4096)
     prompt = np.random.default_rng(0).integers(
         0, cfg.vocab_size, 128).tolist()

@@ -256,6 +256,7 @@ class SamplingParams(_JsonOverlayMixin):
     use_ras: bool = True               # Repetition-Aware Sampling (VALL-E 2)
     win_size: int = 25
     tau_r: float = 0.2
+    topk_method: str = "exact"         # exact | approx (lax.approx_max_k)
 
 
 @dataclass

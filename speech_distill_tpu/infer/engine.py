@@ -62,7 +62,8 @@ def make_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
                 recent_valid, temperature=sp.temperature, top_k=sp.top_k,
                 top_p=sp.top_p, repetition_penalty=sp.repetition_penalty,
                 min_tokens=sp.min_tokens, eos_ids=eos_ids,
-                use_ras=sp.use_ras, win_size=win, tau_r=sp.tau_r)
+                use_ras=sp.use_ras, win_size=win, tau_r=sp.tau_r,
+                topk_method=sp.topk_method)
         else:
             processed = sampling.process_logits(
                 raw, st.presence, st.num_generated[:, None],

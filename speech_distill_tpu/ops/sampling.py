@@ -89,7 +89,8 @@ def sample_token_topk(rng: jax.Array, raw: jax.Array, presence: jax.Array,
                       recent_valid: jax.Array, *, temperature: float,
                       top_k: int, top_p: float, repetition_penalty: float,
                       min_tokens: int, eos_ids, use_ras: bool,
-                      win_size: int, tau_r: float):
+                      win_size: int, tau_r: float,
+                      topk_method: str = "exact"):
     """Fused decode-step sampler for top_k > 0.
 
     Equivalent to process_logits + ras_sample but O(V + k log k) per step
@@ -100,7 +101,10 @@ def sample_token_topk(rng: jax.Array, raw: jax.Array, presence: jax.Array,
     """
     x = suppress_eos_before_min(raw, eos_ids, num_generated, min_tokens)
     x = apply_repetition_penalty(x, presence, repetition_penalty)
-    vals, idx = jax.lax.top_k(x, top_k)            # [B, k] descending
+    if topk_method == "approx":
+        vals, idx = jax.lax.approx_max_k(x, top_k, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(x, top_k)        # [B, k] descending
     if temperature != 1.0:
         vals = vals / temperature
     if top_p < 1.0:
