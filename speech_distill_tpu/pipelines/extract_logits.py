@@ -19,15 +19,21 @@ from speech_distill_tpu.data.collator import pad_sequences, round_up
 
 
 def make_extract_fn(teacher_forward: Callable, top_k: int,
-                    vocab_limit: Optional[int] = None):
-    """jitted (params, ids, mask) -> (top_v fp16 [B,T,K], top_i int32)."""
+                    vocab_limit: Optional[int] = None,
+                    method: str = "exact"):
+    """jitted (params, ids, mask) -> (top_v fp16 [B,T,K], top_i int32).
+
+    With a dp mesh, shard the batch (parallel.sharding.shard_batch with
+    microbatched=False) and the same jitted fn runs data-parallel — the
+    extraction service scales to a pod slice unchanged.
+    """
 
     from speech_distill_tpu.distill.losses import extract_top_k
 
     @jax.jit
     def fn(params, ids, mask):
         logits = teacher_forward(params, ids, mask)
-        return extract_top_k(logits, top_k, vocab_limit)
+        return extract_top_k(logits, top_k, vocab_limit, method=method)
 
     return fn
 
@@ -42,6 +48,8 @@ def extract_teacher_logprobs(
         pad_to_multiple_of: int = 128,
         vocab_limit: Optional[int] = None,
         progress: bool = True,
+        mesh=None,
+        method: str = "exact",
 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """Order-preserving extraction over a sequence of feature dicts.
 
@@ -50,7 +58,15 @@ def extract_teacher_logprobs(
     indices int32 [t, K]) truncated to the true length t — exactly the
     on-disk format of the reference (extract_teacher_logits.py:119-129).
     """
-    fn = make_extract_fn(teacher_forward, top_k, vocab_limit)
+    fn = make_extract_fn(teacher_forward, top_k, vocab_limit, method)
+    put = None
+    if mesh is not None:
+        from speech_distill_tpu.parallel.sharding import shard_batch
+
+        def put(ids, mask):
+            b = shard_batch(mesh, {"ids": ids, "mask": mask},
+                            microbatched=False)
+            return b["ids"], b["mask"]
     all_v: List[np.ndarray] = []
     all_i: List[np.ndarray] = []
     it = range(0, len(sequences), batch_size)
@@ -68,7 +84,15 @@ def extract_teacher_logprobs(
                   for f, i in zip(feats, ids_l)]
         ids, mask = pad_sequences(ids_l, mask_l, pad_token_id,
                                   pad_to_multiple_of)
-        v, i = fn(teacher_params, jnp.asarray(ids), jnp.asarray(mask))
+        if len(feats) < batch_size:      # final ragged batch: repeat-pad
+            reps = batch_size - len(feats)
+            ids = np.concatenate([ids, np.repeat(ids[-1:], reps, 0)])
+            mask = np.concatenate([mask, np.repeat(mask[-1:], reps, 0)])
+        if put is not None:
+            jid, jmask = put(ids, mask)
+        else:
+            jid, jmask = jnp.asarray(ids), jnp.asarray(mask)
+        v, i = fn(teacher_params, jid, jmask)
         v = np.asarray(v)
         i = np.asarray(i)
         lengths = mask.sum(axis=1)
