@@ -30,6 +30,8 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--fused_loss", action="store_true",
                    help="chunked fused lm-head loss (memory-bound configs)")
+    p.add_argument("--fused_backend", default="xla",
+                   choices=["xla", "pallas"])
     p.add_argument("--no_remat", action="store_true",
                    help="disable per-layer rematerialization (activations "
                         "fit at short seq; saves the recompute pass)")
@@ -83,7 +85,8 @@ def main():
 
     step = train_step.make_kd_step(cfg, dcfg, opt, mode=args.mode,
                                    teacher_cfg=teacher_cfg, donate=False,
-                                   fused_loss=args.fused_loss)
+                                   fused_loss=args.fused_loss,
+                                   fused_backend=args.fused_backend)
 
     for _ in range(args.warmup):
         state, metrics = step(state, base, teacher_params, batch)

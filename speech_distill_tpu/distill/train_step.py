@@ -91,6 +91,7 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                  use_lora: bool = True,
                  donate: bool = True,
                  fused_loss: bool = False,
+                 fused_backend: str = "xla",
                  loss_chunk_size: int = 16384):
     """Build the jitted KD step.
 
@@ -137,7 +138,8 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
             out = fused_sparse_kd_loss(
                 hidden, lm_w, labels, mb["teacher_top_k_v"],
                 mb["teacher_top_k_i"], smask, distill_cfg.temperature,
-                distill_cfg.alpha, chunk_size=loss_chunk_size)
+                distill_cfg.alpha, chunk_size=loss_chunk_size,
+                backend=fused_backend)
             metrics = {"loss": out.total, "student_loss": out.task,
                        "distill_loss": out.distill,
                        "teacher_loss": out.teacher}

@@ -106,12 +106,17 @@ def fused_sparse_kd_loss(hidden: jax.Array, lm_w: jax.Array,
                          speech_token_mask: Optional[jax.Array] = None,
                          temperature: float = 2.0, alpha: float = 0.5,
                          chunk_size: int = 8192,
-                         logits_scale: Optional[float] = None
-                         ) -> DistillLossOutput:
+                         backend: str = "xla",
+                         interpret: bool = False) -> DistillLossOutput:
     """Sparse top-K KD loss directly from hidden states + unembedding.
 
     hidden [B, T, D] (pre-shift), lm_w [V, D]; semantics identical to
     distill.losses.sparse_distill_loss(unembed(hidden), ...).
+
+    backend='xla': checkpointed lax.scan over vocab chunks.
+    backend='pallas': fused matmul+logsumexp kernel (ops/pallas_lm_loss) —
+    the logits tile never leaves VMEM; top-K gathers via rematerialized
+    W-row einsum.
     """
     T = temperature
     B, S, D = hidden.shape
@@ -122,10 +127,17 @@ def fused_sparse_kd_loss(hidden: jax.Array, lm_w: jax.Array,
     K = idx.shape[-1]
     idx_flat = idx.reshape(-1, K)
 
-    stats = _collect_stats(h, lm_w, labels_flat, idx_flat, T, chunk_size)
-
-    lse1 = stats.lse1_m + jnp.log(jnp.maximum(stats.lse1_s, 1e-30))
-    lseT = stats.lseT_m + jnp.log(jnp.maximum(stats.lseT_s, 1e-30))
+    if backend == "pallas":
+        from speech_distill_tpu.ops.pallas_lm_loss import (gathered_logits,
+                                                           lm_head_stats)
+        lse1, lseT, label_logit = lm_head_stats(
+            h, lm_w, labels_flat, T, 256, 2048, interpret)
+        topk_logit = gathered_logits(h, lm_w, idx_flat)
+        stats = _RowStats(lse1, None, lseT, None, label_logit, topk_logit)
+    else:
+        stats = _collect_stats(h, lm_w, labels_flat, idx_flat, T, chunk_size)
+        lse1 = stats.lse1_m + jnp.log(jnp.maximum(stats.lse1_s, 1e-30))
+        lseT = stats.lseT_m + jnp.log(jnp.maximum(stats.lseT_s, 1e-30))
 
     valid_flat = valid.reshape(-1)
     ce = lse1 - stats.label_logit

@@ -63,6 +63,32 @@ def test_fused_with_speech_mask():
                                rtol=1e-5)
 
 
+def test_pallas_backend_matches_materialized():
+    hidden, lm_w, labels, tv, ti = _setup(B=2, T=10, D=16, V=300, K=6)
+    fused = fused_lm_loss.fused_sparse_kd_loss(
+        hidden, lm_w, labels, tv, ti, backend="pallas", interpret=True)
+    ref = losses.sparse_distill_loss(hidden @ lm_w.T, tv, ti, labels)
+    for a, b in zip(fused, ref):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_backend_gradients_match():
+    hidden, lm_w, labels, tv, ti = _setup(B=1, T=8, D=16, V=300, K=4, seed=4)
+
+    def loss_pallas(h, w):
+        return fused_lm_loss.fused_sparse_kd_loss(
+            h, w, labels, tv, ti, backend="pallas", interpret=True).total
+
+    def loss_ref(h, w):
+        return losses.sparse_distill_loss(h @ w.T, tv, ti, labels).total
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(hidden, lm_w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(hidden, lm_w)
+    for a, b, name in zip(gp, gr, ["dh", "dW"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3, err_msg=name)
+
+
 def test_fused_cross_entropy_matches():
     hidden, lm_w, labels, _, _ = _setup(seed=3)
     fused = fused_lm_loss.fused_cross_entropy(hidden, lm_w, labels,
