@@ -34,7 +34,9 @@ NEG_INF = -1e30
 def _stats_kernel(h_ref, w_ref, labels_ref, o_lse1, o_lseT, o_label,
                   m1, s1, mT, sT, lab, *, temperature: float, bn: int,
                   bv: int, n_v: int, v_real: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
+    row = pl.ds(i * bn, bn)
 
     @pl.when(j == 0)
     def _init():
@@ -62,22 +64,24 @@ def _stats_kernel(h_ref, w_ref, labels_ref, o_lse1, o_lseT, o_label,
     online(m1, s1, logits)
     online(mT, sT, logits / temperature)
 
-    labels = labels_ref[:]
+    labels = labels_ref[row]
     hit = col == labels[:, None]
     lab[:] = jnp.maximum(lab[:], jnp.max(
         jnp.where(hit, logits, NEG_INF), axis=1))
 
     @pl.when(j == n_v - 1)
     def _write():
-        o_lse1[:] = m1[:] + jnp.log(jnp.maximum(s1[:], 1e-30))
-        o_lseT[:] = mT[:] + jnp.log(jnp.maximum(sT[:], 1e-30))
-        o_label[:] = lab[:]
+        o_lse1[row] = m1[:] + jnp.log(jnp.maximum(s1[:], 1e-30))
+        o_lseT[row] = mT[:] + jnp.log(jnp.maximum(sT[:], 1e-30))
+        o_label[row] = lab[:]
 
 
 def _dh_kernel(h_ref, w_ref, labels_ref, lse1_ref, lseT_ref,
                a1_ref, aT_ref, b_ref, dh_ref, acc, *, temperature: float,
                bn: int, bv: int, n_v: int, v_real: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
+    row = pl.ds(i * bn, bn)
 
     @pl.when(j == 0)
     def _init():
@@ -90,12 +94,12 @@ def _dh_kernel(h_ref, w_ref, labels_ref, lse1_ref, lseT_ref,
     col = j * bv + jax.lax.broadcasted_iota(jnp.int32, (bn, bv), 1)
     logits = jnp.where(col < v_real, logits, NEG_INF)
 
-    p1 = jnp.exp(logits - lse1_ref[:][:, None])
-    pT = jnp.exp(logits / temperature - lseT_ref[:][:, None])
-    onehot = (col == labels_ref[:][:, None]).astype(jnp.float32)
-    dlogits = (a1_ref[:][:, None] * p1
-               + (aT_ref[:] / temperature)[:, None] * pT
-               + b_ref[:][:, None] * onehot)
+    p1 = jnp.exp(logits - lse1_ref[row][:, None])
+    pT = jnp.exp(logits / temperature - lseT_ref[row][:, None])
+    onehot = (col == labels_ref[row][:, None]).astype(jnp.float32)
+    dlogits = (a1_ref[row][:, None] * p1
+               + (aT_ref[row] / temperature)[:, None] * pT
+               + b_ref[row][:, None] * onehot)
     acc[:] += jax.lax.dot_general(dlogits.astype(w.dtype), w,
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -111,6 +115,7 @@ def _dw_kernel(h_ref, w_ref, labels_ref, lse1_ref, lseT_ref,
     # grid (nV, nN): N is the inner sweep, accumulate dW tile
     jv = pl.program_id(0)
     i = pl.program_id(1)
+    row = pl.ds(i * bn, bn)
 
     @pl.when(i == 0)
     def _init():
@@ -123,12 +128,12 @@ def _dw_kernel(h_ref, w_ref, labels_ref, lse1_ref, lseT_ref,
     col = jv * bv + jax.lax.broadcasted_iota(jnp.int32, (bn, bv), 1)
     logits = jnp.where(col < v_real, logits, NEG_INF)
 
-    p1 = jnp.exp(logits - lse1_ref[:][:, None])
-    pT = jnp.exp(logits / temperature - lseT_ref[:][:, None])
-    onehot = (col == labels_ref[:][:, None]).astype(jnp.float32)
-    dlogits = (a1_ref[:][:, None] * p1
-               + (aT_ref[:] / temperature)[:, None] * pT
-               + b_ref[:][:, None] * onehot)
+    p1 = jnp.exp(logits - lse1_ref[row][:, None])
+    pT = jnp.exp(logits / temperature - lseT_ref[row][:, None])
+    onehot = (col == labels_ref[row][:, None]).astype(jnp.float32)
+    dlogits = (a1_ref[row][:, None] * p1
+               + (aT_ref[row] / temperature)[:, None] * pT
+               + b_ref[row][:, None] * onehot)
     acc[:] += jax.lax.dot_general(dlogits.astype(h.dtype), h,
                                   (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -167,7 +172,7 @@ def _stats_call(h, w, labels, temperature, bn, bv, interpret):
     grid = (n_n, n_v)
     h_spec = pl.BlockSpec((bn, D), lambda i, j: (i, 0))
     w_spec = pl.BlockSpec((bv, D), lambda i, j: (j, 0))
-    row_spec = pl.BlockSpec((bn,), lambda i, j: (i,))
+    row_spec = pl.BlockSpec((Np,), lambda i, j: (0,))
     out = pl.pallas_call(
         functools.partial(_stats_kernel, temperature=temperature, bn=bn,
                           bv=bv, n_v=n_v, v_real=V),
@@ -206,7 +211,7 @@ def _stats_bwd(temperature, bn, bv, interpret, res, g):
 
     h_spec = pl.BlockSpec((bn, D), lambda i, j: (i, 0))
     w_spec = pl.BlockSpec((bv, D), lambda i, j: (j, 0))
-    row_spec = pl.BlockSpec((bn,), lambda i, j: (i,))
+    row_spec = pl.BlockSpec((Np,), lambda i, j: (0,))
     dh = pl.pallas_call(
         functools.partial(_dh_kernel, temperature=temperature, bn=bn, bv=bv,
                           n_v=n_v, v_real=V),
@@ -222,7 +227,7 @@ def _stats_bwd(temperature, bn, bv, interpret, res, g):
     # dW: vocab tiles outer, N inner
     h_spec2 = pl.BlockSpec((bn, D), lambda jv, i: (i, 0))
     w_spec2 = pl.BlockSpec((bv, D), lambda jv, i: (jv, 0))
-    row_spec2 = pl.BlockSpec((bn,), lambda jv, i: (i,))
+    row_spec2 = pl.BlockSpec((Np,), lambda jv, i: (0,))
     dw = pl.pallas_call(
         functools.partial(_dw_kernel, temperature=temperature, bn=bn, bv=bv,
                           n_n=n_n, v_real=V),
