@@ -183,6 +183,8 @@ def _stats_call(h, w, labels, temperature, bn, bv, interpret):
         out_specs=[row_spec, row_spec, row_spec],
         out_shape=[jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3,
         scratch_shapes=[pltpu.VMEM((bn,), jnp.float32)] * 5,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(hp, wp, lp)
     lse1, lseT, label_logit = (x[:N] for x in out)
@@ -223,6 +225,8 @@ def _stats_bwd(temperature, bn, bv, interpret, res, g):
         out_specs=h_spec,
         out_shape=jax.ShapeDtypeStruct(hp.shape, h.dtype),
         scratch_shapes=[pltpu.VMEM((bn, D), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(hp, wp, lp, lse1p, lseTp, a1, aT, b)
 
@@ -239,6 +243,8 @@ def _stats_bwd(temperature, bn, bv, interpret, res, g):
         out_specs=w_spec2,
         out_shape=jax.ShapeDtypeStruct(wp.shape, w.dtype),
         scratch_shapes=[pltpu.VMEM((bv, D), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(hp, wp, lp, lse1p, lseTp, a1, aT, b)
 
