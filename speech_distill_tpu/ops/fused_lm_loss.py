@@ -131,7 +131,7 @@ def fused_sparse_kd_loss(hidden: jax.Array, lm_w: jax.Array,
         from speech_distill_tpu.ops.pallas_lm_loss import (gathered_logits,
                                                            lm_head_stats)
         lse1, lseT, label_logit = lm_head_stats(
-            h, lm_w, labels_flat, T, 1024, 256, interpret)
+            h, lm_w, labels_flat, T, 1024, 1024, interpret)
         topk_logit = gathered_logits(h, lm_w, idx_flat)
         stats = _RowStats(lse1, None, lseT, None, label_logit, topk_logit)
     else:

@@ -154,7 +154,7 @@ def _pad_to(x, mult, axis, value=0):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def lm_head_stats(h, w, labels, temperature: float = 2.0,
-                  bn: int = 1024, bv: int = 256, interpret: bool = False):
+                  bn: int = 1024, bv: int = 1024, interpret: bool = False):
     # bn must be a multiple of the 1-D row-array tile (1024 on TPU) so the
     # in-kernel dynamic slices are provably aligned.
     """(lse1 [N], lseT [N], label_logit [N]) from h [N, D], W [V, D]."""
