@@ -264,12 +264,17 @@ def mask_new_token_grads(grads: Params, old_vocab_size: int) -> Params:
 
 
 def make_stage1_step(cfg: Qwen3Config, optimizer, old_vocab_size: int,
-                     donate: bool = True):
+                     donate: bool = True, fused_loss: bool = False,
+                     fused_backend: str = "xla"):
     """SFT CE step training only the new speech-token embedding rows.
 
     trainable = {"embed": ..., ["lm_head": ...]}; the rest of the model is
     frozen in base_params (reference stage1.py:29-93). Loss = next-token CE
     over labels != -100 (TRL SFT semantics).
+
+    ``fused_loss`` uses the fused lm-head CE (Liger FLCE equivalent) — at
+    the reference's stage-1 defaults (seq 4096, stage1.py:443-447) the
+    materialized [B*T, 159k] fp32 logits would not fit in HBM.
     """
 
     def loss_fn(trainable, mb, base_params):
@@ -277,9 +282,27 @@ def make_stage1_step(cfg: Qwen3Config, optimizer, old_vocab_size: int,
         eff["embed"] = trainable["embed"]
         if "lm_head" in trainable:
             eff["lm_head"] = trainable["lm_head"]
+        labels = mb["labels"]
+        if fused_loss:
+            hidden = qwen3.forward(eff, mb["input_ids"], cfg,
+                                   attention_mask=mb["attention_mask"],
+                                   return_hidden=True)
+            lm_w = qwen3.lm_head_weight(eff)
+            if fused_backend == "pallas":
+                from speech_distill_tpu.ops.pallas_lm_loss import lm_head_stats
+                h = hidden[:, :-1, :].reshape(-1, hidden.shape[-1])
+                shift = labels[:, 1:].reshape(-1)
+                valid = (shift != losses.IGNORE_INDEX).astype(jnp.float32)
+                interp = jax.devices()[0].platform != "tpu"
+                lse1, _, label_logit = lm_head_stats(
+                    h, lm_w, jnp.maximum(shift, 0), 2.0, 1024, 1024, interp)
+                loss = losses._masked_mean(lse1 - label_logit, valid)
+            else:
+                from speech_distill_tpu.ops.fused_lm_loss import fused_cross_entropy
+                loss = fused_cross_entropy(hidden, lm_w, labels)
+            return loss, {"loss": loss}
         logits = qwen3.forward(eff, mb["input_ids"], cfg,
                                attention_mask=mb["attention_mask"])
-        labels = mb["labels"]
         shift_labels = labels[:, 1:]
         valid = (shift_labels != losses.IGNORE_INDEX).astype(jnp.float32)
         ce = losses._ce_per_pos(logits[:, :-1, :], shift_labels)

@@ -82,7 +82,14 @@ def train_stage1(config):
                                     steps, weight_decay=config.weight_decay,
                                     eight_bit=config.use_8bit_optimizer)
     state = train_step.init_state(trainable, opt)
-    step_fn = train_step.make_stage1_step(cfg, opt, old_vocab_size)
+    # long packed sequences (reference default 4096) need the fused CE —
+    # materialized logits would be ~10GB at bs4 x seq4096 x 159k vocab
+    import jax as _jax
+    use_fused = config.max_seq_length >= 2048
+    step_fn = train_step.make_stage1_step(
+        cfg, opt, old_vocab_size, fused_loss=use_fused,
+        fused_backend="pallas" if _jax.devices()[0].platform == "tpu"
+        else "xla")
     base_s = sharding.shard_params(mesh, params, cfg)
 
     def batch_iter(epoch):
