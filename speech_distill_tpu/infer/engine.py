@@ -94,11 +94,15 @@ def make_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
                            logits[:, -1, :].astype(jnp.float32), presence,
                            st.num_generated + 1, finished, rng)
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def decode(params, st: DecodeState, max_new: int) -> DecodeState:
+    @jax.jit
+    def decode(params, st: DecodeState, max_new) -> DecodeState:
+        # max_new is a traced scalar: one compile serves every turn length
+        max_len = st.tokens.shape[1]
         def cond(s: DecodeState):
-            return jnp.logical_and(jnp.any(~s.finished),
-                                   jnp.min(s.num_generated) < max_new)
+            return jnp.logical_and(
+                jnp.logical_and(jnp.any(~s.finished),
+                                jnp.min(s.num_generated) < max_new),
+                jnp.max(s.length) < max_len)
         return jax.lax.while_loop(cond, lambda s: step_body(params, s), st)
 
     return decode
@@ -205,7 +209,7 @@ class DecodeEngine:
             last_logits=logits[:, -1, :].astype(jnp.float32))
 
         cap = min(max_new or self.sp.max_tokens, self.max_len - width)
-        state = self._decode(self.params, state, int(cap))
+        state = self._decode(self.params, state, jnp.asarray(cap, jnp.int32))
         outs = []
         toks = np.asarray(state.tokens)
         lens = np.asarray(state.length)
@@ -225,7 +229,8 @@ class DecodeEngine:
             num_generated=jnp.zeros_like(state.num_generated),
             finished=jnp.zeros_like(state.finished))
         max_new = min(self.sp.max_tokens, self.max_len - prompt_end)
-        state = self._decode(self.params, state, int(max_new))
+        state = self._decode(self.params, state,
+                             jnp.asarray(max_new, jnp.int32))
         toks = np.asarray(state.tokens[0])
         end = int(state.length[0])
         return {"token_ids": toks[prompt_end:end].tolist(), "state": state}

@@ -71,10 +71,17 @@ class SoulXPodcast:
     def _token_to_wav(self, speech_tokens: List[int],
                       prompt_speech_token: Sequence[int],
                       prompt_mel: np.ndarray, prompt_mel_len: int,
-                      spk_emb: np.ndarray) -> np.ndarray:
-        flow_input = np.asarray(
-            [list(prompt_speech_token) + list(speech_tokens)], np.int32)
-        flow_len = np.asarray([flow_input.shape[1]], np.int32)
+                      spk_emb: np.ndarray,
+                      bucket: int = 64) -> np.ndarray:
+        """Flow + vocoder for one turn. Token/mel lengths are bucketed so a
+        multi-turn session compiles the flow and HiFT programs once per
+        bucket instead of once per turn length."""
+        toks = list(prompt_speech_token) + list(speech_tokens)
+        n = len(toks)
+        width = -(-n // bucket) * bucket
+        flow_input = np.zeros((1, width), np.int32)
+        flow_input[0, :n] = toks
+        flow_len = np.asarray([n], np.int32)
         pf = np.asarray(prompt_mel, np.float32)[None]
         mels, mel_lens = self._flow_fn(
             jnp.asarray(flow_input), jnp.asarray(flow_len), jnp.asarray(pf),
@@ -82,9 +89,11 @@ class SoulXPodcast:
             jnp.asarray(spk_emb[None] if spk_emb.ndim == 1 else spk_emb,
                         jnp.float32),
             self._next_rng())
-        mel = mels[:, prompt_mel_len:int(mel_lens[0])]       # [1, T, 80]
+        # keep the mel bucket-shaped for the vocoder; trim the wav instead
+        mel = mels[:, prompt_mel_len:]                       # [1, T_b, 80]
         wav, _ = self._hift_fn(mel, self._next_rng())
-        return np.asarray(wav[0])
+        true_mel = int(mel_lens[0]) - prompt_mel_len
+        return np.asarray(wav[0])[: true_mel * self.hift_cfg.upsample_scale]
 
     def _generated_to_flow_tokens(self, token_ids: List[int]) -> List[int]:
         off = self.config.llm.speech_token_offset
