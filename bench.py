@@ -23,7 +23,10 @@ def main():
     p.add_argument("--mode", default="precomputed",
                    choices=["precomputed", "online_sparse", "online_dense",
                             "decode"])
-    p.add_argument("--batch", type=int, default=4)
+    # per-device batch 8: the reference's effective batch is 16
+    # (bs4 x grad-accum 4, train.py:333-334); 8 feeds the MXU better than 4
+    # while staying inside that envelope
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--seq", type=int, default=512)
     p.add_argument("--top_k", type=int, default=128)
     p.add_argument("--steps", type=int, default=20)
