@@ -40,6 +40,8 @@ def main():
                         "fit at short seq; saves the recompute pass)")
     p.add_argument("--attn", default="auto",
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--decode_streams", type=int, default=1,
+                   help="decode mode: concurrent sequences (batched serving)")
     args = p.parse_args()
 
     import jax
@@ -141,20 +143,31 @@ def bench_decode(args):
                         stop_token_ids=(cfg.eos_token_id,),
                         topk_method="approx")
     eng = DecodeEngine(params, cfg, sp, max_len=4096)
-    prompt = np.random.default_rng(0).integers(
-        0, cfg.vocab_size, 128).tolist()
-    out = eng.generate(prompt)                   # compile + warmup
-    t0 = time.perf_counter()
-    out = eng.generate(prompt)
-    n = len(out["token_ids"])
+    rng = np.random.default_rng(0)
+    B = args.decode_streams
+    if B == 1:
+        prompt = rng.integers(0, cfg.vocab_size, 128).tolist()
+        eng.generate(prompt)                     # compile + warmup
+        t0 = time.perf_counter()
+        out = eng.generate(prompt)
+        n = len(out["token_ids"])
+    else:
+        prompts = [rng.integers(0, cfg.vocab_size,
+                                int(rng.integers(64, 128))).tolist()
+                   for _ in range(B)]
+        eng.generate_batch(prompts, max_new=256)  # compile + warmup
+        t0 = time.perf_counter()
+        outs = eng.generate_batch(prompts, max_new=256)
+        n = sum(len(o) for o in outs)
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "metric": "decode_tokens_per_sec",
+        "metric": f"decode_tokens_per_sec_b{B}",
         "value": round(n / dt, 2),
         "unit": "tokens/s",
         "vs_baseline": 1.0,
         "extra": {"tokens": n, "seconds": round(dt, 3),
-                  "audio_rtf": round((n / 25.0) / dt, 2)},
+                  "audio_rtf": round((n / B / 25.0) / dt, 2),
+                  "streams": B},
     }))
 
 
