@@ -135,6 +135,48 @@ class DecodeEngine:
     def _bucketed(self, n: int) -> int:
         return min(self.max_len, -(-n // self.bucket) * self.bucket)
 
+    def _window_for(self, n: int) -> int:
+        """Smallest power-of-two cache window >= n (min 512)."""
+        w = 512
+        while w < n:
+            w *= 2
+        return min(w, self.max_len)
+
+    def _run_decode(self, state: DecodeState, max_new: int) -> DecodeState:
+        """Windowed decode: run the jitted loop inside a power-of-two cache
+        window that grows as the sequence does — each step attends over
+        O(current length) keys instead of the full max_len cache (the decode
+        loop is cache-bandwidth-bound, so this is ~max_len/length faster for
+        short sessions and batched serving). One compile per window size."""
+        done = 0
+        while done < max_new:
+            cur = int(jnp.max(state.length))
+            window = self._window_for(cur + 1)
+            st_w = state._replace(
+                tokens=state.tokens[:, :window],
+                valid=state.valid[:, :window],
+                cache=state.cache._replace(k=state.cache.k[:, :, :window],
+                                           v=state.cache.v[:, :, :window]))
+            st_w = self._decode(self.params, st_w,
+                                jnp.asarray(max_new, jnp.int32))
+            state = state._replace(
+                tokens=state.tokens.at[:, :window].set(st_w.tokens),
+                valid=state.valid.at[:, :window].set(st_w.valid),
+                length=st_w.length,
+                cache=state.cache._replace(
+                    k=state.cache.k.at[:, :, :window].set(st_w.cache.k),
+                    v=state.cache.v.at[:, :, :window].set(st_w.cache.v),
+                    length=st_w.cache.length),
+                last_logits=st_w.last_logits,
+                presence=st_w.presence,
+                num_generated=st_w.num_generated,
+                finished=st_w.finished,
+                rng=st_w.rng)
+            done = int(jnp.min(state.num_generated))
+            if bool(jnp.all(state.finished)) or window >= self.max_len:
+                break
+        return state
+
     def new_state(self, batch: int = 1) -> DecodeState:
         cache = qwen3.KVCache.create(self.cfg, batch, self.max_len,
                                      self.cache_dtype)
@@ -209,7 +251,7 @@ class DecodeEngine:
             last_logits=logits[:, -1, :].astype(jnp.float32))
 
         cap = min(max_new or self.sp.max_tokens, self.max_len - width)
-        state = self._decode(self.params, state, jnp.asarray(cap, jnp.int32))
+        state = self._run_decode(state, int(cap))
         outs = []
         toks = np.asarray(state.tokens)
         lens = np.asarray(state.length)
@@ -229,8 +271,7 @@ class DecodeEngine:
             num_generated=jnp.zeros_like(state.num_generated),
             finished=jnp.zeros_like(state.finished))
         max_new = min(self.sp.max_tokens, self.max_len - prompt_end)
-        state = self._decode(self.params, state,
-                             jnp.asarray(max_new, jnp.int32))
+        state = self._run_decode(state, int(max_new))
         toks = np.asarray(state.tokens[0])
         end = int(state.length[0])
         return {"token_ids": toks[prompt_end:end].tolist(), "state": state}
