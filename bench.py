@@ -45,6 +45,10 @@ def main():
     args = p.parse_args()
 
     import jax
+    # persistent compile cache: compiles through the axon relay are slow,
+    # and these exact programs are pre-warmed
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from speech_distill_tpu.core.config import (
         DistillConfig, LoraConfig, qwen3_student_0p6b, qwen3_teacher_1p7b)
