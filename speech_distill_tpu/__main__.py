@@ -30,6 +30,12 @@ def main():
     if cmd not in COMMANDS:
         print(f"unknown command: {cmd}; one of {', '.join(COMMANDS)}")
         sys.exit(1)
+    import os
+    if os.environ.get("SDT_FORCE_CPU"):
+        # must run before backend init; the axon sitecustomize overrides
+        # the JAX_PLATFORMS env var, so set jax.config directly
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     module, _ = COMMANDS[cmd]
     import importlib
     importlib.import_module(module).main(sys.argv[2:])

@@ -121,8 +121,16 @@ class DistillCollator:
         }
 
         if t_ids[0] is not None:
+            # teacher pads to its own batch max (reference data.py:280-328),
+            # floored at the student bucket T so the common aligned-prefix
+            # case keeps equal static shapes; teacher rows longer than the
+            # student bucket are preserved, never silently truncated — any
+            # position misalignment then fails loudly at loss time, exactly
+            # like the reference.
+            t_T = max(T, round_up(max(len(t) for t in t_ids),
+                                  self.pad_to_multiple_of))
             tt, tm = pad_sequences(t_ids, t_mask, self.pad_token_id,
-                                   self.pad_to_multiple_of, max_length=T)
+                                   self.pad_to_multiple_of, max_length=t_T)
             batch["teacher_input_ids"] = tt
             batch["teacher_attention_mask"] = tm
 

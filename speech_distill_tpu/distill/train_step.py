@@ -263,6 +263,32 @@ def mask_new_token_grads(grads: Params, old_vocab_size: int) -> Params:
     return out
 
 
+def make_stage1_eval_step(cfg: Qwen3Config):
+    """Loss-only stage-1 evaluation: next-token CE over labels != -100
+    (reference eval_strategy='steps' when eval_size > 0, stage1.py:303-311).
+    Batch carries the [A, B, T] microbatch axis; returns mean metrics."""
+
+    def loss_fn(trainable, mb, base_params):
+        eff = dict(base_params)
+        eff["embed"] = trainable["embed"]
+        if "lm_head" in trainable:
+            eff["lm_head"] = trainable["lm_head"]
+        logits = qwen3.forward(eff, mb["input_ids"], cfg,
+                               attention_mask=mb["attention_mask"])
+        shift_labels = mb["labels"][:, 1:]
+        valid = (shift_labels != losses.IGNORE_INDEX).astype(jnp.float32)
+        ce = losses._ce_per_pos(logits[:, :-1, :], shift_labels)
+        return {"loss": losses._masked_mean(ce, valid)}
+
+    @jax.jit
+    def eval_step(trainable, base_params, batch):
+        ms = jax.lax.map(lambda mb: loss_fn(trainable, mb, base_params),
+                         batch)
+        return jax.tree.map(jnp.mean, ms)
+
+    return eval_step
+
+
 def make_stage1_step(cfg: Qwen3Config, optimizer, old_vocab_size: int,
                      donate: bool = True, fused_loss: bool = False,
                      fused_backend: str = "xla"):

@@ -54,20 +54,43 @@ def train_stage1(config):
         text_prefix=parse_prefix(config.text_prefix),
         speech_bos=config.speech_bos, speech_eos=config.speech_eos)
 
-    id_lists = []
-    for i in range(len(dataset)):
+    def process_one(example):
         try:
-            id_lists.append(processor.process_example(dataset[i])["input_ids"])
+            return processor.process_example(example)["input_ids"]
         except Exception:
-            text = dataset[i].get("text", "").strip()
-            if text:
-                id_lists.append(tokenizer.encode(text))
+            text = example.get("text", "").strip()
+            return tokenizer.encode(text) if text else None
+
+    if config.num_workers > 1:
+        # host-side audio->token work parallelizes across threads
+        # (reference dataloader_num_workers, stage1.py:320)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(config.num_workers) as pool:
+            processed = list(pool.map(
+                process_one, (dataset[i] for i in range(len(dataset)))))
+    else:
+        processed = [process_one(dataset[i]) for i in range(len(dataset))]
+    id_lists = [ids for ids in processed if ids]
+
+    # eval split before packing (reference train_test_split seed=42,
+    # stage1.py:172-182)
+    eval_id_lists: List[List[int]] = []
+    if config.eval_size > 0:
+        order = np.random.default_rng(42).permutation(len(id_lists))
+        n_eval = max(1, int(round(len(id_lists) * config.eval_size))) \
+            if config.eval_size < 1 else int(config.eval_size)
+        eval_id_lists = [id_lists[j] for j in order[:n_eval]]
+        id_lists = [id_lists[j] for j in order[n_eval:]]
+        print(f"Splitting dataset: {len(id_lists)} train, "
+              f"{len(eval_id_lists)} eval")
+
     eos_id = tokenizer.eos_token_id or 0
     packed = pack_sequences(id_lists, config.max_seq_length, eos_id)
     if len(packed) == 0:
         raise ValueError("Train dataset is empty after processing!")
     print(f"Packed {len(id_lists)} examples into {len(packed)} sequences of "
           f"{config.max_seq_length}")
+    eval_packed = pack_sequences(eval_id_lists, config.max_seq_length, eos_id)
 
     mesh = meshlib.make_mesh(MeshConfig(tp=1))
     dp = mesh.shape["dp"]
@@ -102,12 +125,34 @@ def train_stage1(config):
                    "attention_mask": np.ones_like(ids),
                    "labels": labels}
 
+    eval_fn = None
+    if len(eval_packed) > 0:
+        eval_step = train_step.make_stage1_eval_step(cfg)
+        # per-device eval batch (stage1.py:303), rounded up to the dp size
+        eB = (max(config.eval_batch_size, 1) + dp - 1) // dp * dp
+
+        def eval_fn(state):
+            ms = []
+            for i in range(0, len(eval_packed) - eB + 1, eB) or [0]:
+                rows = eval_packed[i:i + eB]
+                if len(rows) < eB:  # repeat-pad final group, static shape
+                    rows = np.resize(rows, (eB, rows.shape[1]))
+                b = {"input_ids": rows[None],
+                     "attention_mask": np.ones_like(rows)[None],
+                     "labels": rows[None].astype(np.int64)}
+                ms.append(jax.device_get(eval_step(
+                    state.trainable, base_s, sharding.shard_batch(mesh, b))))
+            return {k: float(np.mean([m[k] for m in ms])) for k in ms[0]}
+
     loop_cfg = LoopConfig(
         num_epochs=config.num_epochs, logging_steps=config.logging_steps,
         save_steps=config.save_steps, output_dir=config.output_dir,
+        eval_steps=config.eval_steps if eval_fn else None,
+        load_best_at_end=eval_fn is not None,  # stage1.py:311
         report_to="wandb" if config.use_wandb else "none")
 
     state = train_loop(step_fn, state, (base_s,), batch_iter, loop_cfg,
+                       eval_fn=eval_fn,
                        put_batch=lambda b: sharding.shard_batch(mesh, b),
                        tokens_per_batch=B * A * config.max_seq_length)
 

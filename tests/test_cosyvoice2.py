@@ -118,6 +118,7 @@ def test_unified_table_zero_pad_rows():
     assert np.abs(table[-1]).max() == 0
 
 
+@pytest.mark.slow
 def test_convert_torch_state_and_kd_step():
     """Synthetic torch-named CosyVoice2 checkpoint -> converter -> the KD
     step with the split-embedding teacher_forward runs (online sparse)."""

@@ -141,6 +141,32 @@ def test_collator_labels_and_masks():
     assert all(x == IGNORE_INDEX for x in row0[6:])             # padding
 
 
+def test_collator_teacher_longer_than_student_not_truncated():
+    """Teacher rows longer than the student bucket must be preserved
+    (reference pads teacher to its own max, data.py:280-328)."""
+    tok = make_tokenizer()
+    bos = tok.task_token_id
+    pad = tok.speech_eos_id
+    s = [10, 11, bos, 200, 201, 202, 203, 150]          # exactly bucket=8
+    t = s + [204, 205, 206]                              # 3 tokens longer
+    feats = [{"student_input_ids": s, "student_attention_mask": [1] * len(s),
+              "teacher_input_ids": t, "teacher_attention_mask": [1] * len(t)}]
+    col = DistillCollator(pad_token_id=pad, speech_bos_id=bos,
+                          pad_to_multiple_of=8)
+    batch = col(feats)
+    assert batch["input_ids"].shape == (1, 8)
+    assert batch["teacher_input_ids"].shape == (1, 16)   # own bucket, no chop
+    assert list(batch["teacher_input_ids"][0, :11]) == t
+    assert batch["teacher_attention_mask"][0, :11].sum() == 11
+    # same-bucket case keeps equal shapes (static-shape fast path)
+    feats2 = [{"student_input_ids": s[:5],
+               "student_attention_mask": [1] * 5,
+               "teacher_input_ids": s[:7],
+               "teacher_attention_mask": [1] * 7}]
+    b2 = col(feats2)
+    assert b2["input_ids"].shape == b2["teacher_input_ids"].shape == (1, 8)
+
+
 def test_collator_top_k_padding():
     feats = [
         {"student_input_ids": [1, 9, 5], "student_attention_mask": [1, 1, 1],

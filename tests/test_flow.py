@@ -134,6 +134,7 @@ def test_rel_attention_matches_torch_oracle():
 # -- end to end -------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_forward_flow_shapes_and_mask_invariance():
     cfg = tiny_cfg()
     params = flow.init_params(jax.random.PRNGKey(0), cfg)
@@ -164,6 +165,7 @@ def test_forward_flow_shapes_and_mask_invariance():
                                np.asarray(mel[1, :16]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_estimator_cfg_guidance_math():
     """solve_euler applies (1+g)*cond - g*uncond each step."""
     cfg = dataclasses.replace(tiny_cfg(), n_timesteps=1,

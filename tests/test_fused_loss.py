@@ -30,6 +30,7 @@ def test_fused_sparse_matches_materialized(chunk):
         np.testing.assert_allclose(float(a), float(b), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_gradients_match():
     hidden, lm_w, labels, tv, ti = _setup(seed=1)
 
@@ -72,6 +73,7 @@ def test_pallas_backend_matches_materialized():
         np.testing.assert_allclose(float(a), float(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_backend_gradients_match():
     hidden, lm_w, labels, tv, ti = _setup(B=1, T=8, D=16, V=300, K=4, seed=4)
 

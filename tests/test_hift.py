@@ -27,6 +27,7 @@ def test_istft_matches_torch():
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stft_istft_roundtrip():
     n_fft, hop = 16, 4
     rng = np.random.default_rng(1)
@@ -99,6 +100,7 @@ def _tiny_cfg():
         f0_cond_channels=16)
 
 
+@pytest.mark.slow
 def test_hift_forward_shapes():
     cfg = _tiny_cfg()
     params = hift.init_params(jax.random.PRNGKey(0), cfg)

@@ -39,6 +39,7 @@ def _torch_sparse_loss(student_logits, labels, v, i, temperature=2.0,
     return alpha * task + (1 - alpha) * distill
 
 
+@pytest.mark.slow
 def test_kd_loss_curve_within_1pct():
     from transformers import Qwen3Config as HFQwen3Config, Qwen3ForCausalLM
 

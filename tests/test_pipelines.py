@@ -96,6 +96,7 @@ def test_prepare_student_vocab_expansion(tmp_path):
         atol=2e-3)  # bf16 storage rounding
 
 
+@pytest.mark.slow
 def test_prepare_dataset_and_extract_and_train(workspace):
     root = workspace["root"]
     processed = str(root / "processed")
@@ -155,8 +156,15 @@ def test_stage1_pipeline(workspace, tmp_path):
                  "--output_dir", out,
                  "--num_epochs", "1", "--batch_size", "1",
                  "--gradient_accumulation_steps", "1",
-                 "--max_seq_length", "32", "--num_new_tokens", "50",
+                 "--max_seq_length", "16", "--num_new_tokens", "50",
                  "--warmup_steps", "1", "--logging_steps", "1",
-                 "--save_steps", "100"])
+                 "--save_steps", "100",
+                 "--eval_size", "0.25", "--eval_steps", "1",
+                 "--eval_batch_size", "1", "--num_workers", "2"])
     assert os.path.exists(os.path.join(out, "final_model",
                                        "model.safetensors"))
+    # eval wiring produced eval_loss entries (stage1.py:303-311 semantics)
+    import json
+    lines = [json.loads(l) for l in
+             open(os.path.join(out, "metrics.jsonl"))]
+    assert any("eval_loss" in m for m in lines), lines

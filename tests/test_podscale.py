@@ -3,6 +3,8 @@ fused lm-head loss (the BASELINE.json pod-scale configuration, shrunk to a
 tiny model so it runs on the CPU mesh)."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

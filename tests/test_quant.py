@@ -31,6 +31,7 @@ def test_int4_pack_unpack_exact():
     np.testing.assert_array_equal(np.asarray(q["q4"]), np.asarray(q2["q4"]))
 
 
+@pytest.mark.slow
 def test_quantized_teacher_forward_close_to_fp():
     cfg = qwen3_tiny(128)
     cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})

@@ -66,6 +66,7 @@ def test_scan_matches_unrolled():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_decode_cache_matches_full_forward():
     _, _, cfg, params = _tiny_hf_pair()
     rng = np.random.default_rng(2)

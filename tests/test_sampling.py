@@ -152,6 +152,7 @@ def test_decode_engine_generates_until_eos():
     assert len(out2["token_ids"]) <= 12
 
 
+@pytest.mark.slow
 def test_generate_batch_left_padding_matches_single():
     """Batched (left-padded) prefill logits equal per-row unpadded logits."""
     from speech_distill_tpu.infer.engine import DecodeEngine

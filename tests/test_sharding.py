@@ -18,6 +18,7 @@ def _f32(cfg):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_kd_step_dp4_tp2_matches_single_device():
     cfg = _f32(qwen3_tiny(128))
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg)

@@ -71,6 +71,7 @@ def _prompt_features(s3_cfg, n_prompts=1, mel_T=32, seed=0):
     return mels, lens, flow_mel, spk
 
 
+@pytest.mark.slow
 def test_forward_tts_produces_waveform(tiny_tts):
     model, cfg, s3_cfg = tiny_tts
     mels, lens, flow_mel, spk = _prompt_features(s3_cfg)
@@ -97,6 +98,7 @@ def test_forward_tts2_with_raw_inputs(tiny_tts):
     assert len(out["generated_wavs"]) == 1
 
 
+@pytest.mark.slow
 def test_forward_longform_multi_turn_with_eviction(tiny_tts):
     model, cfg, s3_cfg = tiny_tts
     n_prompts = 2

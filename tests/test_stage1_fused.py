@@ -1,4 +1,5 @@
 """Stage-1 step with fused CE == materialized CE (values + updates)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,7 @@ from speech_distill_tpu.distill import train_step
 from speech_distill_tpu.models import qwen3
 
 
+@pytest.mark.slow
 def test_stage1_fused_matches_plain():
     cfg = qwen3_tiny(96)
     cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})

@@ -21,6 +21,7 @@ def tiny_cfg():
         static_chunk_size=4, encoder=enc)
 
 
+@pytest.mark.slow
 def test_flow_streaming_chunk_mask_runs():
     cfg = tiny_cfg()
     params = flow.init_params(jax.random.PRNGKey(0), cfg)

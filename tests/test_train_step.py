@@ -75,6 +75,7 @@ def test_rslora_scaling():
 # -- KD step ----------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_kd_precomputed_loss_decreases(tiny):
     cfg, params = tiny
     dcfg = DistillConfig(lora=LoraConfig(r=4, alpha=8, init_weights="gaussian"))
@@ -91,6 +92,7 @@ def test_kd_precomputed_loss_decreases(tiny):
     assert np.isfinite(float(m["grad_norm"]))
 
 
+@pytest.mark.slow
 def test_kd_online_sparse_matches_precomputed(tiny):
     """Online top-K extraction == offline extraction at fp16 tolerance."""
     cfg, params = tiny
@@ -122,6 +124,7 @@ def test_kd_online_sparse_matches_precomputed(tiny):
                                rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_kd_online_dense_runs(tiny):
     cfg, params = tiny
     teacher_params = qwen3.init_params(jax.random.PRNGKey(7), cfg)
@@ -138,6 +141,7 @@ def test_kd_online_dense_runs(tiny):
     assert float(m["teacher_loss"]) > 0
 
 
+@pytest.mark.slow
 def test_grad_accumulation_averages(tiny):
     """[2, B, T] microbatches == mean of two single-microbatch losses."""
     cfg, params = tiny

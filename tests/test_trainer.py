@@ -37,6 +37,7 @@ def _features(cfg, n=16, seed=0):
     return feats
 
 
+@pytest.mark.slow
 def test_train_loop_with_checkpoint_resume(tmp_path):
     cfg = _f32(qwen3_tiny(64))
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
