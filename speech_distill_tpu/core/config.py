@@ -197,7 +197,7 @@ class DistillConfig(_JsonOverlayMixin):
     alpha: float = 0.5
     top_k: int = 128                   # <=0 -> dense distillation
     online_topk_method: str = "approx"  # online extraction: approx | exact
-    teacher_quant: str = "none"        # none | int8 | int4 (forces dense)
+    teacher_quant: str = "none"        # none | int8 | int4==nf4 (forces dense)
     learning_rate: float = 5e-5
     num_train_epochs: int = 3
     warmup_steps: int = 1000

@@ -56,8 +56,19 @@ def make_sharder(mesh: Mesh):
 
 
 def shard_params(mesh: Mesh, params: Params, cfg: Qwen3Config) -> Params:
-    put = make_sharder(mesh)
-    return put(params, param_pspecs(cfg))
+    from speech_distill_tpu.ops.quant import is_quantized_leaf
+
+    def place(x, s):
+        if is_quantized_leaf(x):
+            # quantized leaves (int8/int4/nf4 dicts) replicate whole: their
+            # aux arrays (scales, blockwise absmax) don't decompose along
+            # the tp axis, and a quantized teacher is small by construction
+            return jax.tree.map(
+                lambda v: jax.device_put(v, NamedSharding(mesh, P())), x)
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree.map(place, params, param_pspecs(cfg),
+                        is_leaf=is_quantized_leaf)
 
 
 def shard_lora(mesh: Mesh, lora_params: Params) -> Params:
