@@ -15,9 +15,11 @@ Architecture (s3tokenizer v2, whisper-encoder lineage):
   ln_post -> FSQ: Linear(d -> 8), tanh clamp, round to {-1,0,1},
   code = sum_i digit_i * 3^i  (3^8 = 6561 codes)
 
-NOTE: bit-exactness against the torch package must be validated with the
-real checkpoint (golden-vector tests); the FSQ rounding and mel framing
-match the published implementations.
+Integer-exact code parity is validated against an independent torch oracle
+of this architecture (tests/test_s3_parity.py: converter round-trip, conv
+length arithmetic for every T mod 4, ragged batches, FSQ rounding edges).
+Golden vectors from the real torch checkpoint remain the final validation
+once the checkpoint is available (no network in this environment).
 """
 from __future__ import annotations
 
@@ -114,13 +116,14 @@ def _conv1d(x, w, b, stride):
 
 def encode(params: Params, mels: jax.Array, cfg: S3Config,
            mask: Optional[jax.Array] = None) -> jax.Array:
-    """mels [B, n_mels, T] -> hidden [B, T//4, n_state].
+    """mels [B, n_mels, T] -> hidden [B, ceil(ceil(T/2)/2), n_state].
 
-    mask: optional [B, T//4] validity mask for attention (padded batches).
+    mask: optional [B, T'] validity mask for attention (padded batches).
     """
+    gelu = lambda v: jax.nn.gelu(v, approximate=False)  # torch F.gelu = erf
     x = mels.swapaxes(-1, -2)                       # [B, T, n_mels]
-    x = jax.nn.gelu(_conv1d(x, params["conv1"]["w"], params["conv1"]["b"], 2))
-    x = jax.nn.gelu(_conv1d(x, params["conv2"]["w"], params["conv2"]["b"], 2))
+    x = gelu(_conv1d(x, params["conv1"]["w"], params["conv1"]["b"], 2))
+    x = gelu(_conv1d(x, params["conv2"]["w"], params["conv2"]["b"], 2))
     T = x.shape[1]
     pos = jnp.asarray(sinusoids(T, cfg.n_state))
     x = x + pos
@@ -149,7 +152,8 @@ def encode(params: Params, mels: jax.Array, cfg: S3Config,
         o = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(h.shape)
         x = x + o @ lp["out"]["w"] + lp["out"]["b"]
         h = _layer_norm(x, lp["ln2"])
-        h = jax.nn.gelu(h @ lp["mlp1"]["w"] + lp["mlp1"]["b"])
+        h = jax.nn.gelu(h @ lp["mlp1"]["w"] + lp["mlp1"]["b"],
+                        approximate=False)
         x = x + h @ lp["mlp2"]["w"] + lp["mlp2"]["b"]
         return x, None
 
@@ -167,14 +171,21 @@ def fsq_encode(params: Params, hidden: jax.Array, cfg: S3Config) -> jax.Array:
     return jnp.sum(digits.astype(jnp.int32) * powers, axis=-1)
 
 
+def conv_out_len(n):
+    """Output length of one k3/s2/p1 conv: ceil(n/2) (floor((n-1)/2)+1)."""
+    return (n + 1) // 2
+
+
 def quantize(params: Params, mels: jax.Array, mels_lens: jax.Array,
              cfg: S3Config) -> Tuple[jax.Array, jax.Array]:
     """Batched mel [B, n_mels, T], lens [B] -> (codes [B, T'], code_lens [B]).
 
-    Matches the reference call surface (utils.py:95). T' = T // 4 (25 Hz).
+    Matches the reference call surface (utils.py:95). Output frames follow
+    the two stride-2/k3/p1 convs exactly: T' = ceil(ceil(T/2)/2) — NOT T//4,
+    which undercounts by one frame whenever T % 4 != 0.
     """
-    T_out = mels.shape[-1] // 4
-    code_lens = (mels_lens // 4).astype(jnp.int32)
+    T_out = conv_out_len(conv_out_len(mels.shape[-1]))
+    code_lens = conv_out_len(conv_out_len(mels_lens)).astype(jnp.int32)
     mask = (jnp.arange(T_out)[None, :] < code_lens[:, None]).astype(jnp.int32)
     hidden = encode(params, mels, cfg, mask)
     codes = fsq_encode(params, hidden, cfg)
@@ -303,8 +314,22 @@ def load_s3_tokenizer(ckpt_path: Optional[str] = None) -> S3Tokenizer:
     state = torch.load(ckpt_path, map_location="cpu", weights_only=True)
     if isinstance(state, dict) and "model" in state:
         state = state["model"]
-    cfg = S3Config()
+    cfg = config_from_state(state)
     return S3Tokenizer(convert_torch_state(state, cfg), cfg)
+
+
+def config_from_state(state: Dict[str, Any]) -> S3Config:
+    """Infer the architecture from checkpoint shapes (head count follows
+    whisper's 64-dim-per-head convention: 1280/64 = 20 for the real v2)."""
+    conv1 = state.get("encoder.conv1.weight", state.get("conv1.weight"))
+    n_state, n_mels = int(conv1.shape[0]), int(conv1.shape[1])
+    n_layer = 1 + max(
+        int(k.split(".")[2]) for k in state if k.startswith("encoder.blocks."))
+    fsq_w = state.get("quantizer.project_down.weight",
+                      state.get("quantizer._codebook.project_down.weight"))
+    return S3Config(n_mels=n_mels, n_state=n_state,
+                    n_head=max(1, n_state // 64), n_layer=n_layer,
+                    fsq_dim=int(fsq_w.shape[0]))
 
 
 def default_speech_tokens_fn():
@@ -322,8 +347,9 @@ def default_speech_tokens_fn():
         if isinstance(audio_input, str):
             from scipy.io.wavfile import read as wav_read
             sr, data = wav_read(audio_input)
+            is_int = np.issubdtype(data.dtype, np.integer)
             data = data.astype(np.float32)
-            if data.dtype != np.float32 or np.abs(data).max() > 2.0:
+            if is_int:  # 16-bit PCM -> [-1, 1] (s3tokenizer.load_audio)
                 data = data / 32768.0
             return tok(data, sr)
         return tok(np.asarray(audio_input, np.float32), 16000)
