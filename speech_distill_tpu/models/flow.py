@@ -237,7 +237,9 @@ def forward_flow(params: Params, token: jax.Array, token_len: jax.Array,
                  embedding: jax.Array, cfg: FlowConfig,
                  rng: Optional[jax.Array] = None,
                  streaming: bool = False,
-                 finalize: bool = True) -> Tuple[jax.Array, jax.Array]:
+                 finalize: bool = True,
+                 noise: Optional[jax.Array] = None
+                 ) -> Tuple[jax.Array, jax.Array]:
     """CausalMaskedDiffWithXvec.forward (flow.py:156-197).
 
     token [B, T] int, prompt_feat [B, Tp, 80], embedding [B, 192]
@@ -272,8 +274,10 @@ def forward_flow(params: Params, token: jax.Array, token_len: jax.Array,
     conds = jnp.where(pmask, pf[:, :T2], conds)
 
     mel_mask = (jnp.arange(T2)[None, :] < h_lens[:, None]).astype(h.dtype)
-    rng = rng if rng is not None else jax.random.PRNGKey(0)
-    z = jax.random.normal(rng, h.shape, h.dtype)
+    if noise is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        noise = jax.random.normal(rng, h.shape, h.dtype)
+    z = noise
     feat = solve_euler(params["estimator"], z, h, mel_mask[..., None] * 1.0,
                        emb, conds, cfg, streaming)
     return feat.astype(jnp.float32), h_lens
