@@ -83,6 +83,8 @@ class Qwen3Config(_JsonOverlayMixin):
 
     # TPU runtime knobs (no reference equivalent; XLA-facing)
     remat: bool = True                 # jax.checkpoint each layer
+    remat_policy: str = "full"         # full | dots (save MXU outputs,
+    #                                    recompute only elementwise in bwd)
     scan_layers: bool = True           # stack layers & lax.scan
     attn_impl: str = "auto"            # auto | xla | pallas
     logits_dtype: str = "float32"

@@ -24,10 +24,34 @@ import optax
 
 from speech_distill_tpu.core.config import DistillConfig, LoraConfig, Qwen3Config
 from speech_distill_tpu.distill import losses
-from speech_distill_tpu.distill.lora import merge_lora
+from speech_distill_tpu.distill.lora import lora_scaling, merge_lora
 from speech_distill_tpu.models import qwen3
 
 Params = Dict[str, Any]
+
+
+def _effective_student(trainable: Params, base_params: Params,
+                       lcfg: LoraConfig, use_lora: bool,
+                       merge_weights: bool):
+    """Resolve (params, adapters, adapter_scale) for the student forward.
+
+    Default is the *unmerged* adapter path (PEFT-equivalent, reference
+    train.py:180-202): base weights stay out of the differentiated graph,
+    so the backward never computes a full [din, dout] weight gradient per
+    target — only the skinny dA/dB ones. ``merge_weights=True`` keeps the
+    old fold-delta-into-W behavior (1 matmul/projection forward, full
+    weight-grad backward) for A/B comparison.
+    """
+    if not use_lora:
+        return trainable, None, 1.0
+    if merge_weights:
+        return merge_lora(base_params, trainable, lcfg), None, 1.0
+    eff = dict(jax.lax.stop_gradient(base_params))
+    if "embed" in trainable:
+        eff["embed"] = trainable["embed"]
+    if "lm_head" in trainable:
+        eff["lm_head"] = trainable["lm_head"]
+    return eff, trainable.get("layers"), lora_scaling(lcfg)
 
 
 class TrainState(NamedTuple):
@@ -66,12 +90,22 @@ def init_state(trainable: Params, optimizer) -> TrainState:
 
 
 def _accumulate(loss_and_grad_fn, trainable, batch, accum_args):
-    """Scan microbatches (leading axis A) and average grads/metrics."""
+    """Scan microbatches (leading axis A) and average grads/metrics.
+
+    A == 1 skips the scan and the fp32 zero-init/add round-trip: grads come
+    back in param dtype — for the full-rank embed/lm_head copies that is one
+    less fp32 materialization of two [159k, D] tensors per step.
+    """
+    A = jax.tree.leaves(batch)[0].shape[0]
+    if A == 1:
+        mb = jax.tree.map(lambda x: x[0], batch)
+        (_, metrics), grads = loss_and_grad_fn(trainable, mb, *accum_args)
+        return grads, metrics
+
     def micro(g_acc, mb):
         (_, metrics), grads = loss_and_grad_fn(trainable, mb, *accum_args)
         return jax.tree.map(jnp.add, g_acc, grads), metrics
 
-    A = jax.tree.leaves(batch)[0].shape[0]
     zero_g = jax.tree.map(lambda x: jnp.zeros_like(x, jnp.float32), trainable)
     g, metrics = jax.lax.scan(micro, zero_g, batch)
     inv = 1.0 / A
@@ -89,6 +123,7 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                  teacher_cfg: Optional[Qwen3Config] = None,
                  teacher_forward: Optional[Callable] = None,
                  use_lora: bool = True,
+                 merge_weights: bool = False,
                  donate: bool = True,
                  fused_loss: bool = False,
                  fused_backend: str = "xla",
@@ -117,14 +152,29 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
     """
     lcfg = distill_cfg.lora
 
+    teacher_extract = None
     if teacher_forward is None and mode != "precomputed":
         t_cfg = teacher_cfg or student_cfg
 
         def teacher_forward(tp, ids, mask):
             return qwen3.forward(tp, ids, t_cfg, attention_mask=mask)
 
+        def teacher_extract(tp, ids, mask):
+            # fused lm-head + chunked exact top-K: never materializes the
+            # [B, T, 159k] fp32 teacher logits (reference train.py:74-94
+            # extracts from dense logits; on TPU that is ~2.6 GB of pure
+            # HBM traffic per step at bs8/seq512)
+            hidden = qwen3.forward(tp, ids, t_cfg, attention_mask=mask,
+                                   return_hidden=True)
+            from speech_distill_tpu.ops.fused_lm_loss import \
+                fused_extract_top_k
+            return fused_extract_top_k(hidden, qwen3.lm_head_weight(tp),
+                                       distill_cfg.top_k,
+                                       student_cfg.vocab_size)
+
     def loss_fn(trainable, mb, base_params, teacher_params):
-        eff = merge_lora(base_params, trainable, lcfg) if use_lora else trainable
+        eff, adapters, ascale = _effective_student(
+            trainable, base_params, lcfg, use_lora, merge_weights)
         labels = mb["labels"]
         smask = mb.get("speech_token_mask")
 
@@ -132,7 +182,8 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
             # fused lm-head path: never materializes [B, T, V] logits
             hidden = qwen3.forward(eff, mb["input_ids"], student_cfg,
                                    attention_mask=mb["attention_mask"],
-                                   return_hidden=True)
+                                   return_hidden=True,
+                                   adapters=adapters, adapter_scale=ascale)
             lm_w = qwen3.lm_head_weight(eff)
             from speech_distill_tpu.ops.fused_lm_loss import fused_sparse_kd_loss
             out = fused_sparse_kd_loss(
@@ -146,7 +197,8 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
             return out.total, metrics
 
         logits = qwen3.forward(eff, mb["input_ids"], student_cfg,
-                               attention_mask=mb["attention_mask"])
+                               attention_mask=mb["attention_mask"],
+                               adapters=adapters, adapter_scale=ascale)
 
         if mode == "precomputed":
             out = losses.sparse_distill_loss(
@@ -155,17 +207,23 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
         else:
             t_ids = mb.get("teacher_input_ids", mb["input_ids"])
             t_mask = mb.get("teacher_attention_mask", mb["attention_mask"])
-            t_logits = jax.lax.stop_gradient(
-                teacher_forward(teacher_params, t_ids, t_mask))
             if mode == "online_sparse":
-                v, i = losses.extract_top_k(
-                    t_logits, distill_cfg.top_k,
-                    student_vocab_size=student_cfg.vocab_size,
-                    method=distill_cfg.online_topk_method)
+                if teacher_extract is not None:
+                    v, i = jax.lax.stop_gradient(
+                        teacher_extract(teacher_params, t_ids, t_mask))
+                else:
+                    t_logits = jax.lax.stop_gradient(
+                        teacher_forward(teacher_params, t_ids, t_mask))
+                    v, i = losses.extract_top_k(
+                        t_logits, distill_cfg.top_k,
+                        student_vocab_size=student_cfg.vocab_size,
+                        method=distill_cfg.online_topk_method)
                 out = losses.sparse_distill_loss(
                     logits, v, i, labels, smask,
                     distill_cfg.temperature, distill_cfg.alpha)
             else:
+                t_logits = jax.lax.stop_gradient(
+                    teacher_forward(teacher_params, t_ids, t_mask))
                 t_logits = t_logits[..., :student_cfg.vocab_size]
                 out = losses.dense_distill_loss(
                     logits, t_logits, labels, smask,
@@ -194,7 +252,8 @@ def make_kd_eval_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                       *, mode: str,
                       teacher_cfg: Optional[Qwen3Config] = None,
                       teacher_forward: Optional[Callable] = None,
-                      use_lora: bool = True):
+                      use_lora: bool = True,
+                      merge_weights: bool = False):
     """Loss-only evaluation step (reference eval_strategy='epoch',
     train.py:341): same loss math as the train step, no grads."""
     lcfg = distill_cfg.lora
@@ -206,10 +265,11 @@ def make_kd_eval_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
             return qwen3.forward(tp, ids, t_cfg, attention_mask=mask)
 
     def loss_fn(trainable, mb, base_params, teacher_params):
-        eff = merge_lora(base_params, trainable, lcfg) if use_lora \
-            else trainable
+        eff, adapters, ascale = _effective_student(
+            trainable, base_params, lcfg, use_lora, merge_weights)
         logits = qwen3.forward(eff, mb["input_ids"], student_cfg,
-                               attention_mask=mb["attention_mask"])
+                               attention_mask=mb["attention_mask"],
+                               adapters=adapters, adapter_scale=ascale)
         labels = mb["labels"]
         smask = mb.get("speech_token_mask")
         if mode == "precomputed":

@@ -118,7 +118,8 @@ class DecodeEngine:
 
     def __init__(self, params, cfg: Qwen3Config, sp: SamplingParams,
                  max_len: int = 8192, prefill_bucket: int = 128,
-                 seed: int = 0, cache_dtype=jnp.bfloat16):
+                 seed: int = 0, cache_dtype=jnp.bfloat16,
+                 prefix_cache_size: int = 4, prefix_cache_min: int = 32):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -131,6 +132,12 @@ class DecodeEngine:
                 p, ids, cfg, attention_mask=mask, positions=pos,
                 cache=cache))
         self._rng = jax.random.PRNGKey(seed)
+        # prompt-prefix KV cache (vLLM enable_prefix_caching equivalent,
+        # reference llm_engine.py:78-114): prefix token tuple -> (k, v)
+        # [L, 1, n, KV, Dh] device arrays, LRU-evicted
+        self.prefix_cache_size = prefix_cache_size
+        self.prefix_cache_min = prefix_cache_min
+        self._prefix_cache: "dict[tuple, tuple]" = {}
 
     def _bucketed(self, n: int) -> int:
         return min(self.max_len, -(-n // self.bucket) * self.bucket)
@@ -219,44 +226,126 @@ class DecodeEngine:
             cache=cache,
             last_logits=logits[:, n - 1, :].astype(jnp.float32))
 
-    def generate_batch(self, prompts: list, max_new: Optional[int] = None
-                       ) -> list:
+    # -- prompt-prefix KV caching ------------------------------------------
+
+    @staticmethod
+    def _common_prefix_len(prompts: list) -> int:
+        n = min(len(p) for p in prompts)
+        first = prompts[0]
+        for i in range(n):
+            t = first[i]
+            for p in prompts[1:]:
+                if p[i] != t:
+                    return i
+        return n
+
+    def _prefill_prefix(self, prefix: tuple):
+        """Prefill ``prefix`` standalone (B=1) and cache its KV slabs.
+
+        Reuses the longest already-cached entry that is a prefix of
+        ``prefix`` and extends it with one more prefill chunk, so growing
+        system prompts pay only for the new tokens."""
+        if prefix in self._prefix_cache:
+            kv = self._prefix_cache.pop(prefix)
+            self._prefix_cache[prefix] = kv          # LRU bump
+            return kv
+        best = ()
+        for key in self._prefix_cache:
+            if len(key) > len(best) and len(key) < len(prefix) \
+                    and prefix[:len(key)] == key:
+                best = key
+        start = len(best)
+        new_ids = list(prefix[start:])
+        n = len(prefix)
+        width = self._bucketed(len(new_ids))
+        S = start + width
+        cache = qwen3.KVCache.create(self.cfg, 1, S, self.cache_dtype)
+        if start:
+            pk, pv = self._prefix_cache[best]
+            cache = cache._replace(
+                k=cache.k.at[:, :, :start].set(pk),
+                v=cache.v.at[:, :, :start].set(pv),
+                length=jnp.asarray(start, jnp.int32))
+        ids = np.zeros((1, width), np.int32)
+        ids[0, :len(new_ids)] = new_ids
+        mask = (np.arange(S) < n).astype(np.int32)[None]
+        _, cache = self._prefill(self.params, jnp.asarray(ids),
+                                 jnp.asarray(mask), cache, None)
+        kv = (cache.k[:, :, :n], cache.v[:, :, :n])
+        self._prefix_cache[prefix] = kv
+        while len(self._prefix_cache) > self.prefix_cache_size:
+            self._prefix_cache.pop(next(iter(self._prefix_cache)))
+        return kv
+
+    def generate_batch(self, prompts: list, max_new: Optional[int] = None,
+                       use_prefix_cache: bool = True) -> list:
         """Batched single-turn decode (serving path; beyond the reference's
         B=1 engines). Prompts are LEFT-padded to one bucket width so all
         rows share the write offset; pads are masked keys with per-row RoPE
-        positions, so results match unpadded decoding."""
+        positions, so results match unpadded decoding.
+
+        ``use_prefix_cache``: when the prompts share a common token prefix
+        (>= prefix_cache_min), it is prefilled once (B=1), its KV broadcast
+        across rows, and kept in an LRU for successive calls — the vLLM
+        ``enable_prefix_caching=True`` equivalent
+        (reference llm_engine.py:78-114)."""
         B = len(prompts)
-        width = self._bucketed(max(len(p) for p in prompts))
+        pre = 0
+        if use_prefix_cache and B >= 1:
+            # every row must keep >= 1 remainder token for its last logits
+            pre = min(self._common_prefix_len(prompts),
+                      min(len(p) for p in prompts) - 1)
+            if pre < self.prefix_cache_min:
+                pre = 0
+        rems = [p[pre:] for p in prompts]
+
+        width = self._bucketed(max(len(r) for r in rems))
         ids = np.zeros((B, width), np.int32)
         valid_np = np.zeros((B, self.max_len), bool)
         pos_np = np.zeros((B, width), np.int32)
-        for b, p in enumerate(prompts):
-            n = len(p)
-            ids[b, width - n:] = p
-            valid_np[b, width - n:width] = True
-            pos_np[b, width - n:] = np.arange(n)
+        for b, r in enumerate(rems):
+            n = len(r)
+            ids[b, width - n:] = r
+            valid_np[b, pre + width - n:pre + width] = True
+            pos_np[b, width - n:] = pre + np.arange(n)
 
         state = self.new_state(B)
+        if pre:
+            pk, pv = self._prefill_prefix(tuple(prompts[0][:pre]))
+            L, _, _, KV, Dh = pk.shape
+            state = state._replace(
+                tokens=state.tokens.at[:, :pre].set(
+                    jnp.asarray(prompts[0][:pre], jnp.int32)[None]),
+                valid=state.valid.at[:, :pre].set(True),
+                cache=state.cache._replace(
+                    k=state.cache.k.at[:, :, :pre].set(
+                        jnp.broadcast_to(pk, (L, B, pre, KV, Dh))),
+                    v=state.cache.v.at[:, :, :pre].set(
+                        jnp.broadcast_to(pv, (L, B, pre, KV, Dh))),
+                    length=jnp.asarray(pre, jnp.int32)))
+            valid_np[:, :pre] = True
+
         mask = np.zeros((B, self.max_len), np.int32)
-        mask[:, :width] = valid_np[:, :width]
+        mask[:, :pre + width] = valid_np[:, :pre + width]
         logits, cache = self._prefill(
             self.params, jnp.asarray(ids), jnp.asarray(mask),
             state.cache, jnp.asarray(pos_np))
-        cache = cache._replace(length=jnp.asarray(width, jnp.int32))
+        total = pre + width
+        cache = cache._replace(length=jnp.asarray(total, jnp.int32))
         state = state._replace(
-            tokens=state.tokens.at[:, :width].set(jnp.asarray(ids)),
-            length=jnp.full((B,), width, jnp.int32),
+            tokens=state.tokens.at[:, pre:total].set(jnp.asarray(ids)),
+            length=jnp.full((B,), total, jnp.int32),
             valid=jnp.asarray(valid_np),
             cache=cache,
             last_logits=logits[:, -1, :].astype(jnp.float32))
 
-        cap = min(max_new or self.sp.max_tokens, self.max_len - width)
+        cap = min(max_new or self.sp.max_tokens, self.max_len - total)
         state = self._run_decode(state, int(cap))
         outs = []
         toks = np.asarray(state.tokens)
         lens = np.asarray(state.length)
         for b in range(B):
-            outs.append(toks[b, width:lens[b]].tolist())
+            outs.append(toks[b, total:lens[b]].tolist())
         return outs
 
     def generate(self, prompt_ids: list,

@@ -186,6 +186,25 @@ def deq(w, dtype=jnp.bfloat16):
     return w
 
 
+def _proj(x: jax.Array, w, la: Optional[Params], key: str,
+          scale: float) -> jax.Array:
+    """Projection with optional *unmerged* LoRA: ``x@W + g*(x@A)@B``.
+
+    Training-time equivalent of PEFT's unmerged adapter forward
+    (reference train.py:180-202 uses PEFT LoRA, which also runs unmerged
+    during training). Unlike merging W+g*A@B into the weights, this keeps
+    the base matmul's backward free of a full [din, dout] weight-gradient:
+    grads flow only through the two skinny adapter matmuls (dA: [din, r],
+    dB: [r, dout]) — the backward saves ~1x forward-FLOPs per target.
+    """
+    y = x @ deq(w, x.dtype)
+    if la is not None and key in la:
+        ab = la[key]
+        h = x @ ab["a"].astype(x.dtype)
+        y = y + (h @ ab["b"].astype(x.dtype)) * jnp.asarray(scale, x.dtype)
+    return y
+
+
 def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
@@ -234,14 +253,15 @@ class KVCache(NamedTuple):
 
 
 def _attention_block(lp: Params, x: jax.Array, cos, sin, mask_bias,
-                     cfg: Qwen3Config, kv_slice=None, cache_len=None):
+                     cfg: Qwen3Config, kv_slice=None, cache_len=None,
+                     la: Optional[Params] = None, lora_scale: float = 1.0):
     """One attention sub-block. Returns (out, (k, v)) for cache update."""
     B, T, D = x.shape
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = x @ deq(lp["q"], x.dtype)
-    k = x @ deq(lp["k"], x.dtype)
-    v = x @ deq(lp["v"], x.dtype)
+    q = _proj(x, lp["q"], la, "q", lora_scale)
+    k = _proj(x, lp["k"], la, "k", lora_scale)
+    v = _proj(x, lp["v"], la, "v", lora_scale)
     if cfg.attention_bias:
         q = q + lp["q_bias"]
         k = k + lp["k_bias"]
@@ -266,21 +286,24 @@ def _attention_block(lp: Params, x: jax.Array, cos, sin, mask_bias,
         new_kv = (ck, cv)
 
     out = sdpa(q, k, v, mask_bias, impl=cfg.attn_impl)  # [B, T, H, Dh]
-    out = out.reshape(B, T, H * Dh) @ deq(lp["o"], x.dtype)
+    out = _proj(out.reshape(B, T, H * Dh), lp["o"], la, "o", lora_scale)
     return out, new_kv
 
 
 def _layer(lp: Params, x: jax.Array, cos, sin, mask_bias, cfg: Qwen3Config,
-           kv_slice=None, cache_len=None):
+           kv_slice=None, cache_len=None, la: Optional[Params] = None,
+           lora_scale: float = 1.0):
+    la_attn = la.get("attn") if la is not None else None
+    la_mlp = la.get("mlp") if la is not None else None
     h, new_kv = _attention_block(
         lp["attn"], rms_norm(x, lp["input_ln"]["scale"], cfg.rms_norm_eps),
-        cos, sin, mask_bias, cfg, kv_slice, cache_len)
+        cos, sin, mask_bias, cfg, kv_slice, cache_len, la_attn, lora_scale)
     x = x + h
     y = rms_norm(x, lp["post_ln"]["scale"], cfg.rms_norm_eps)
-    g = jax.nn.silu((y @ deq(lp["mlp"]["gate"], y.dtype)).astype(jnp.float32)
-                    ).astype(y.dtype)
-    y = (g * (y @ deq(lp["mlp"]["up"], y.dtype))) @ deq(lp["mlp"]["down"],
-                                                        y.dtype)
+    g = jax.nn.silu(_proj(y, lp["mlp"]["gate"], la_mlp, "gate", lora_scale)
+                    .astype(jnp.float32)).astype(y.dtype)
+    y = _proj(g * _proj(y, lp["mlp"]["up"], la_mlp, "up", lora_scale),
+              lp["mlp"]["down"], la_mlp, "down", lora_scale)
     return x + y, new_kv
 
 
@@ -313,12 +336,19 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
             positions: Optional[jax.Array] = None,
             cache: Optional[KVCache] = None,
             inputs_embeds: Optional[jax.Array] = None,
-            return_hidden: bool = False):
+            return_hidden: bool = False,
+            adapters: Optional[Params] = None,
+            adapter_scale: float = 1.0):
     """Run the decoder.
 
     Training/prefill: ``cache=None`` — full causal attention over [B, T].
     Decode: pass a :class:`KVCache`; ``input_ids`` is the fresh chunk
     (usually T=1) appended at ``cache.length``.
+
+    ``adapters``: optional unmerged-LoRA pytree shaped like
+    ``lora_params["layers"]`` ({group: {key: {"a": [L,din,r],
+    "b": [L,r,out]}}}); applied as ``x@W + adapter_scale*(x@A)@B`` per
+    target (see :func:`_proj`). Training-only (``cache=None``).
 
     Returns logits [B, T, V] (in cfg.logits_dtype), or hidden states if
     ``return_hidden`` (for fused lm-head losses), plus the new cache when one
@@ -345,21 +375,35 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
         cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
         mask_bias = _causal_bias(attention_mask, B, T)
 
-        layer_fn = partial(_layer, cfg=cfg)
+        def layer_fn(lp, h, la):
+            return _layer(lp, h, cos, sin, mask_bias, cfg,
+                          la=la, lora_scale=adapter_scale)
         if cfg.remat:
-            layer_fn = jax.checkpoint(layer_fn, static_argnums=())
+            # 'dots' keeps every MXU (dot_general) output resident and only
+            # recomputes elementwise ops in the backward — trades HBM for
+            # skipping the full forward recompute of 'full'
+            policy = jax.checkpoint_policies.checkpoint_dots \
+                if cfg.remat_policy == "dots" else None
+            layer_fn = jax.checkpoint(layer_fn, policy=policy)
 
         if cfg.scan_layers:
-            def body(carry, lp):
-                h, _ = layer_fn(lp, carry, cos, sin, mask_bias)
+            def body(carry, xs):
+                lp, la = xs
+                h, _ = layer_fn(lp, carry, la)
                 return h, None
-            x, _ = jax.lax.scan(body, x, params["layers"])
+            x, _ = jax.lax.scan(body, x, (params["layers"], adapters))
         else:
             for i in range(cfg.num_hidden_layers):
+                la_i = None if adapters is None else \
+                    jax.tree.map(lambda a: a[i], adapters)
                 x, _ = layer_fn(_restructure_layer(params["layers"], i),
-                                x, cos, sin, mask_bias)
+                                x, la_i)
         new_cache = None
     else:
+        if adapters is not None:
+            raise NotImplementedError(
+                "unmerged adapters are a training-path feature; "
+                "merge_and_export the LoRA for decode")
         S = cache.k.shape[2]
         start = cache.length
         if positions is None:

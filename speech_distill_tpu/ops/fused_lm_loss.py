@@ -162,6 +162,66 @@ def fused_sparse_kd_loss(hidden: jax.Array, lm_w: jax.Array,
     return DistillLossOutput(total, task, distill, teacher)
 
 
+def fused_extract_top_k(hidden: jax.Array, lm_w: jax.Array, k: int,
+                        vocab_limit: Optional[int] = None,
+                        chunk_size: int = 16384
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Teacher top-K logprob extraction fused with the lm-head matmul.
+
+    Online-KD equivalent of reference train.py:74-94, computed without ever
+    materializing the [B, T, 159488] fp32 teacher logits (~2.6 GB at
+    bs8/seq512 — all of it HBM write+read traffic the TPU can skip): a
+    ``lax.scan`` over vocab chunks keeps a running logsumexp and a running
+    exact top-K merge, touching only one [N, chunk] logits tile at a time.
+
+    hidden [B, T, D] (teacher final hidden states), lm_w [V, D].
+    Returns (values fp16 logprobs, indices int32), both [B, T, K] — exact
+    same set as ``extract_top_k(unembed(hidden), k, method='exact')``.
+    No gradients flow (teacher is frozen), so the scan is not checkpointed.
+    """
+    B, S, D = hidden.shape
+    h = hidden.reshape(-1, D)
+    N = h.shape[0]
+    w = lm_w[:vocab_limit] if vocab_limit is not None else lm_w
+    V = w.shape[0]
+    pad_v = (V + chunk_size - 1) // chunk_size * chunk_size
+    n_chunks = pad_v // chunk_size
+    if pad_v != V:
+        w = jnp.pad(w, ((0, pad_v - V), (0, 0)))
+    w_chunks = w.reshape(n_chunks, chunk_size, D)
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
+    col_masks = jnp.where(
+        (offsets[:, None] + jnp.arange(chunk_size)[None, :]) < V,
+        0.0, -jnp.inf).astype(jnp.float32)
+
+    neg = jnp.float32(-1e30)
+    init = (jnp.full((N,), neg), jnp.zeros((N,), jnp.float32),
+            jnp.full((N, k), neg), jnp.zeros((N, k), jnp.int32))
+
+    def body(carry, wo):
+        m, s, tv, ti = carry
+        w_c, off, cmask = wo
+        logits = jax.lax.dot_general(
+            h, w_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + cmask[None, :]
+        cm = jnp.max(logits, axis=1)
+        new_m = jnp.maximum(m, cm)
+        s = s * jnp.exp(m - new_m) + jnp.sum(
+            jnp.exp(logits - new_m[:, None]), axis=1)
+        cv, ci = jax.lax.top_k(logits, k)
+        cand_v = jnp.concatenate([tv, cv], axis=1)
+        cand_i = jnp.concatenate([ti, ci.astype(jnp.int32) + off], axis=1)
+        tv, sel = jax.lax.top_k(cand_v, k)
+        ti = jnp.take_along_axis(cand_i, sel, axis=1)
+        return (new_m, s, tv, ti), None
+
+    (m, s, tv, ti), _ = jax.lax.scan(body, init, (w_chunks, offsets,
+                                                  col_masks))
+    lse = m + jnp.log(jnp.maximum(s, 1e-30))
+    v = (tv - lse[:, None]).astype(jnp.float16).reshape(B, S, k)
+    return v, ti.reshape(B, S, k)
+
+
 def fused_cross_entropy(hidden: jax.Array, lm_w: jax.Array,
                         labels: jax.Array, chunk_size: int = 8192
                         ) -> jax.Array:

@@ -101,3 +101,23 @@ def test_fused_cross_entropy_matches():
     ce = losses._ce_per_pos(logits, shift)
     ref = losses._masked_mean(ce, valid)
     np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
+
+
+@pytest.mark.parametrize("chunk", [64, 256, 1024])
+def test_fused_extract_top_k_matches_exact(chunk):
+    """Fused teacher extraction == extract_top_k(method='exact') on the
+    materialized logits: identical index sets, matching logprobs."""
+    rng = np.random.default_rng(3)
+    B, T, D, V, K = 2, 6, 16, 1000, 8
+    hidden = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    logits = hidden @ w.T
+    v_ref, i_ref = losses.extract_top_k(logits, K, student_vocab_size=800,
+                                        method="exact")
+    v, i = fused_lm_loss.fused_extract_top_k(hidden, w, K, vocab_limit=800,
+                                             chunk_size=chunk)
+    np.testing.assert_array_equal(np.sort(np.asarray(i)),
+                                  np.sort(np.asarray(i_ref)))
+    np.testing.assert_allclose(np.asarray(v, np.float32),
+                               np.asarray(v_ref, np.float32),
+                               atol=2e-3, rtol=1e-3)

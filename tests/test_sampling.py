@@ -189,6 +189,62 @@ def test_generate_batch_left_padding_matches_single():
         atol=2e-4, rtol=1e-3)
 
 
+def test_prefix_cache_same_tokens_and_reuse():
+    """generate_batch with a shared prompt prefix: identical output tokens
+    with and without the prefix KV cache, and the prefix is prefilled once
+    then reused across calls (vLLM enable_prefix_caching parity,
+    reference llm_engine.py:78-114)."""
+    from speech_distill_tpu.infer.engine import DecodeEngine
+    cfg = qwen3_tiny(48)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})
+    params = qwen3.init_params(jax.random.PRNGKey(5), cfg)
+    # top_k=1 => deterministic argmax decode, robust to fp noise
+    sp = SamplingParams(stop_token_ids=(47,), max_tokens=6, min_tokens=6,
+                        top_k=1, temperature=1.0, use_ras=False,
+                        repetition_penalty=1.0)
+    shared = list(range(1, 13))           # 12-token common system prefix
+    prompts = [shared + [20, 21, 22], shared + [30, 31], shared + [40]]
+
+    eng = DecodeEngine(params, cfg, sp, max_len=64, prefill_bucket=8,
+                       cache_dtype=jnp.float32, prefix_cache_min=4)
+    cached = eng.generate_batch(prompts, max_new=6)
+    assert eng._prefix_cache, "common prefix should have been cached"
+    plain = eng.generate_batch(prompts, max_new=6, use_prefix_cache=False)
+    assert cached == plain
+
+    # cross-call reuse: same prefix key, no new entry
+    n_entries = len(eng._prefix_cache)
+    again = eng.generate_batch(prompts, max_new=6)
+    assert again == plain
+    assert len(eng._prefix_cache) == n_entries
+
+    # growing prefix extends the cached entry instead of recomputing it
+    longer = shared + [25, 26, 27, 28]
+    prompts2 = [longer + [5], longer + [6]]
+    out2 = eng.generate_batch(prompts2, max_new=4)
+    out2_plain = eng.generate_batch(prompts2, max_new=4,
+                                    use_prefix_cache=False)
+    assert out2 == out2_plain
+
+
+def test_prefix_cache_single_prompt_repeat():
+    """B=1 repeated calls hit the cache (prompt minus last token)."""
+    from speech_distill_tpu.infer.engine import DecodeEngine
+    cfg = qwen3_tiny(32)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})
+    params = qwen3.init_params(jax.random.PRNGKey(6), cfg)
+    sp = SamplingParams(stop_token_ids=(31,), max_tokens=4, min_tokens=4,
+                        top_k=1, temperature=1.0, use_ras=False,
+                        repetition_penalty=1.0)
+    eng = DecodeEngine(params, cfg, sp, max_len=64, prefill_bucket=8,
+                       cache_dtype=jnp.float32, prefix_cache_min=4)
+    prompt = list(range(1, 11))
+    a = eng.generate_batch([prompt], max_new=4)
+    b = eng.generate_batch([prompt], max_new=4)
+    c = eng.generate_batch([prompt], max_new=4, use_prefix_cache=False)
+    assert a == b == c
+
+
 def test_decode_matches_full_forward_logits():
     """The engine's held last_logits after prefill == full forward logits."""
     from speech_distill_tpu.infer.engine import DecodeEngine

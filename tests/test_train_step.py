@@ -72,6 +72,54 @@ def test_rslora_scaling():
     assert lora_scaling(LoraConfig(r=16, alpha=32, use_rslora=True)) == 8.0
 
 
+def test_unmerged_adapter_forward_matches_merged(tiny):
+    """qwen3.forward(adapters=...) == forward(merge_lora(...)) — the
+    training step's unmerged path is numerically the merged model."""
+    cfg, params = tiny
+    lcfg = LoraConfig(r=4, alpha=8, init_weights="pissa")
+    lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, lcfg)
+    g = lora_scaling(lcfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 12)), jnp.int32)
+    mask = jnp.ones((2, 12), jnp.int32)
+
+    merged = merge_lora(base, lora, lcfg)
+    ref = qwen3.forward(merged, ids, cfg, attention_mask=mask)
+
+    eff = dict(base)
+    eff["embed"] = lora["embed"]
+    if "lm_head" in lora:
+        eff["lm_head"] = lora["lm_head"]
+    out = qwen3.forward(eff, ids, cfg, attention_mask=mask,
+                        adapters=lora["layers"], adapter_scale=g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_kd_step_unmerged_matches_merged(tiny):
+    """One KD step with merge_weights=True vs False: same loss and nearly
+    identical updated adapters (the unmerged path is the default)."""
+    cfg, params = tiny
+    dcfg = DistillConfig(lora=LoraConfig(r=4, alpha=8,
+                                         init_weights="gaussian"))
+    lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, dcfg.lora)
+    batch = _batch(cfg)
+    results = {}
+    for mw in (False, True):
+        opt = train_step.make_optimizer(1e-2, 1, 10)
+        state = train_step.init_state(lora, opt)
+        step = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
+                                       donate=False, merge_weights=mw)
+        state, _ = step(state, base, None, batch)   # warmup lr=0
+        state, m = step(state, base, None, batch)
+        results[mw] = (float(m["loss"]), state.trainable)
+    np.testing.assert_allclose(results[False][0], results[True][0],
+                               rtol=1e-5)
+    a_un = np.asarray(results[False][1]["layers"]["attn"]["q"]["a"])
+    a_mg = np.asarray(results[True][1]["layers"]["attn"]["q"]["a"])
+    np.testing.assert_allclose(a_un, a_mg, rtol=1e-3, atol=1e-5)
+
+
 # -- KD step ----------------------------------------------------------------
 
 
