@@ -42,6 +42,9 @@ def main():
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--decode_streams", type=int, default=1,
                    help="decode mode: concurrent sequences (batched serving)")
+    p.add_argument("--prefix_len", type=int, default=0,
+                   help="decode mode: shared prompt-prefix length — measures "
+                        "the prefix-KV-cache serving path vs cold prefill")
     args = p.parse_args()
 
     import jax
@@ -156,22 +159,34 @@ def bench_decode(args):
         out = eng.generate(prompt)
         n = len(out["token_ids"])
     else:
-        prompts = [rng.integers(0, cfg.vocab_size,
-                                int(rng.integers(64, 128))).tolist()
+        shared = rng.integers(0, cfg.vocab_size, args.prefix_len).tolist()
+        prompts = [shared + rng.integers(0, cfg.vocab_size,
+                                         int(rng.integers(64, 128))).tolist()
                    for _ in range(B)]
-        eng.generate_batch(prompts, max_new=256)  # compile + warmup
+        eng.generate_batch(prompts, max_new=256)  # compile + warm the cache
+        extra = {}
+        if args.prefix_len:
+            t0 = time.perf_counter()
+            eng.generate_batch(prompts, max_new=256, use_prefix_cache=False)
+            extra["cold_seconds"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         outs = eng.generate_batch(prompts, max_new=256)
         n = sum(len(o) for o in outs)
     dt = time.perf_counter() - t0
+    extra_d = {"tokens": n, "seconds": round(dt, 3),
+               "audio_rtf": round((n / B / 25.0) / dt, 2), "streams": B}
+    if B > 1:
+        extra_d.update(extra)
+        if args.prefix_len:
+            extra_d["prefix_len"] = args.prefix_len
+            extra_d["prefix_cache_speedup"] = round(
+                extra["cold_seconds"] / dt, 3)
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_b{B}",
         "value": round(n / dt, 2),
         "unit": "tokens/s",
         "vs_baseline": 1.0,
-        "extra": {"tokens": n, "seconds": round(dt, 3),
-                  "audio_rtf": round((n / B / 25.0) / dt, 2),
-                  "streams": B},
+        "extra": extra_d,
     }))
 
 

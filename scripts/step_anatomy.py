@@ -80,70 +80,75 @@ def main():
 
     res = {}
 
+    def eff_of(lo, bp):
+        eff = dict(bp)
+        eff["embed"] = lo["embed"]
+        if "lm_head" in lo:
+            eff["lm_head"] = lo["lm_head"]
+        return eff
+
     for attn in ("pallas", "xla"):
         cfg = dataclasses.replace(cfg0, attn_impl=attn)
 
-        def eff_of(lo):
-            eff = dict(base)
-            eff["embed"] = lo["embed"]
-            if "lm_head" in lo:
-                eff["lm_head"] = lo["lm_head"]
-            return eff
-
+        # NB: base/ids/... passed as ARGUMENTS — large closed-over arrays
+        # become constants shipped through the compile relay (HTTP 413)
         @jax.jit
-        def fwd_hidden(lo):
-            return qwen3.forward(eff_of(lo), ids, cfg, attention_mask=mask,
+        def fwd_hidden(lo, bp, ids, mask):
+            return qwen3.forward(eff_of(lo, bp), ids, cfg,
+                                 attention_mask=mask,
                                  return_hidden=True, adapters=lo["layers"],
                                  adapter_scale=g)
 
         @jax.jit
-        def fwd_logits(lo):
-            return qwen3.forward(eff_of(lo), ids, cfg, attention_mask=mask,
+        def fwd_logits(lo, bp, ids, mask):
+            return qwen3.forward(eff_of(lo, bp), ids, cfg,
+                                 attention_mask=mask,
                                  adapters=lo["layers"], adapter_scale=g)
 
-        @jax.jit
-        def fwd_loss(lo):
-            logits = qwen3.forward(eff_of(lo), ids, cfg, attention_mask=mask,
+        def _loss(lo, bp, ids, mask, tv, ti, labels):
+            logits = qwen3.forward(eff_of(lo, bp), ids, cfg,
+                                   attention_mask=mask,
                                    adapters=lo["layers"], adapter_scale=g)
             return losses.sparse_distill_loss(logits, tv, ti, labels, None,
                                               dcfg.temperature,
                                               dcfg.alpha).total
 
-        grad_full = jax.jit(jax.grad(
-            lambda lo: losses.sparse_distill_loss(
-                qwen3.forward(eff_of(lo), ids, cfg, attention_mask=mask,
-                              adapters=lo["layers"], adapter_scale=g),
-                tv, ti, labels, None, dcfg.temperature, dcfg.alpha).total))
+        fwd_loss = jax.jit(_loss)
+        grad_full = jax.jit(jax.grad(_loss))
 
         grad_nohead = jax.jit(jax.grad(
-            lambda lo: jnp.sum(
-                qwen3.forward(eff_of(lo), ids, cfg, attention_mask=mask,
+            lambda lo, bp, ids, mask: jnp.sum(
+                qwen3.forward(eff_of(lo, bp), ids, cfg, attention_mask=mask,
                               return_hidden=True, adapters=lo["layers"],
                               adapter_scale=g).astype(jnp.float32))))
 
         tag = f"attn={attn}"
-        res[f"fwd_hidden/{tag}"] = timeit(fwd_hidden, lora, steps=args.steps)
-        res[f"fwd_logits/{tag}"] = timeit(fwd_logits, lora, steps=args.steps)
-        res[f"fwd_loss/{tag}"] = timeit(fwd_loss, lora, steps=args.steps)
-        res[f"grad_nohead/{tag}"] = timeit(grad_nohead, lora,
-                                           steps=args.steps)
-        res[f"grad/{tag}"] = timeit(grad_full, lora, steps=args.steps)
+        res[f"fwd_hidden/{tag}"] = timeit(fwd_hidden, lora, base, ids, mask,
+                                          steps=args.steps)
+        res[f"fwd_logits/{tag}"] = timeit(fwd_logits, lora, base, ids, mask,
+                                          steps=args.steps)
+        res[f"fwd_loss/{tag}"] = timeit(fwd_loss, lora, base, ids, mask,
+                                        tv, ti, labels, steps=args.steps)
+        res[f"grad_nohead/{tag}"] = timeit(grad_nohead, lora, base, ids,
+                                           mask, steps=args.steps)
+        res[f"grad/{tag}"] = timeit(grad_full, lora, base, ids, mask,
+                                    tv, ti, labels, steps=args.steps)
         for k, v in res.items():
             if tag in k:
                 print(json.dumps({k: round(v, 1)}), flush=True)
 
     # loss-only from fixed logits, and full step, at the default attn
     cfg = cfg0
-    hidden = fwd_hidden(lora)
-    logits_v = fwd_logits(lora)
+    hidden = fwd_hidden(lora, base, ids, mask)
+    logits_v = fwd_logits(lora, base, ids, mask)
 
     @jax.jit
-    def loss_only(lg):
+    def loss_only(lg, tv, ti, labels):
         return losses.sparse_distill_loss(lg, tv, ti, labels, None,
                                           dcfg.temperature, dcfg.alpha).total
 
     @jax.jit
-    def head_loss_grad(lo, h):
+    def head_loss_grad(lo, h, tv, ti, labels):
         def f(lo):
             w = qwen3.lm_head_weight(
                 {"lm_head": lo["lm_head"]} if "lm_head" in lo
@@ -160,9 +165,10 @@ def main():
     step = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
                                    donate=False)
 
-    res["loss_only"] = timeit(loss_only, logits_v, steps=args.steps)
+    res["loss_only"] = timeit(loss_only, logits_v, tv, ti, labels,
+                              steps=args.steps)
     res["head_loss_grad"] = timeit(head_loss_grad, lora, hidden,
-                                   steps=args.steps)
+                                   tv, ti, labels, steps=args.steps)
     res["full_step"] = timeit(lambda: step(state, base, None, batch1)[1],
                               steps=args.steps)
     print(json.dumps({k: round(v, 1) for k, v in res.items()}, indent=1))

@@ -105,9 +105,12 @@ def sparse_distill_loss(student_logits: jax.Array,
     log_p = jax.nn.log_softmax(v / T, axis=-1)
     p = jnp.exp(log_p)
 
-    # Student full-vocab log-softmax, gathered at teacher indices.
-    log_q_all = jax.nn.log_softmax(s / T, axis=-1)
-    log_q = jnp.take_along_axis(log_q_all, idx, axis=-1)
+    # Student log-probs at the teacher indices: gather-then-normalize —
+    # log_softmax(s/T)[idx] == s[idx]/T - logsumexp(s/T), without ever
+    # materializing the [B, T, V] fp32 log-softmax (2.6 GB of HBM write +
+    # read at bs8/seq512/159k that the gather immediately throws away).
+    lseT = jax.nn.logsumexp(s / T, axis=-1)
+    log_q = jnp.take_along_axis(s, idx, axis=-1) / T - lseT[..., None]
 
     kl_per_pos = jnp.sum(p * (log_p - log_q), axis=-1)
     distill = _masked_mean(kl_per_pos, valid) * (T * T)

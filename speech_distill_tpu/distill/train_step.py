@@ -122,6 +122,7 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                  optimizer, *, mode: str,
                  teacher_cfg: Optional[Qwen3Config] = None,
                  teacher_forward: Optional[Callable] = None,
+                 teacher_extract: Optional[Callable] = None,
                  use_lora: bool = True,
                  merge_weights: bool = False,
                  donate: bool = True,
@@ -152,25 +153,26 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
     """
     lcfg = distill_cfg.lora
 
-    teacher_extract = None
     if teacher_forward is None and mode != "precomputed":
         t_cfg = teacher_cfg or student_cfg
 
         def teacher_forward(tp, ids, mask):
             return qwen3.forward(tp, ids, t_cfg, attention_mask=mask)
 
-        def teacher_extract(tp, ids, mask):
-            # fused lm-head + chunked exact top-K: never materializes the
-            # [B, T, 159k] fp32 teacher logits (reference train.py:74-94
-            # extracts from dense logits; on TPU that is ~2.6 GB of pure
-            # HBM traffic per step at bs8/seq512)
-            hidden = qwen3.forward(tp, ids, t_cfg, attention_mask=mask,
-                                   return_hidden=True)
-            from speech_distill_tpu.ops.fused_lm_loss import \
-                fused_extract_top_k
-            return fused_extract_top_k(hidden, qwen3.lm_head_weight(tp),
-                                       distill_cfg.top_k,
-                                       student_cfg.vocab_size)
+        if teacher_extract is None:
+            def _default_extract(tp, ids, mask):
+                # fused lm-head + chunked exact top-K: never materializes
+                # the [B, T, 159k] fp32 teacher logits (reference
+                # train.py:74-94 extracts from dense logits; on TPU that is
+                # ~2.6 GB of pure HBM traffic per step at bs8/seq512)
+                hidden = qwen3.forward(tp, ids, t_cfg, attention_mask=mask,
+                                       return_hidden=True)
+                from speech_distill_tpu.ops.fused_lm_loss import \
+                    fused_extract_top_k
+                return fused_extract_top_k(hidden, qwen3.lm_head_weight(tp),
+                                           distill_cfg.top_k,
+                                           student_cfg.vocab_size)
+            teacher_extract = _default_extract
 
     def loss_fn(trainable, mb, base_params, teacher_params):
         eff, adapters, ascale = _effective_student(

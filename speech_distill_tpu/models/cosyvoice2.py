@@ -149,6 +149,49 @@ def make_teacher_forward(cfg: CosyVoice2Config):
     return fn
 
 
+def make_teacher_extract(cfg: CosyVoice2Config, k: int,
+                         student_vocab_size: int, chunk_size: int = 16384):
+    """Fused top-K extraction over the split text/speech heads.
+
+    Equivalent to ``extract_top_k(forward(...), k, student_vocab_size,
+    method='exact')`` but never materializes the [B, T, unified_vocab]
+    fp32 logits: each head runs a chunked top-k+logsumexp
+    (ops.fused_lm_loss.fused_topk_lse), tops are merged with globalized
+    indices, and the joint logsumexp is ``logaddexp`` of the per-head ones
+    (the -10000 filler rows of the unified layout underflow to exactly 0
+    probability mass in both formulations, teacher_wrapper.py:126-162).
+    """
+    from speech_distill_tpu.ops.fused_lm_loss import fused_topk_lse
+
+    def fn(params, ids, mask):
+        table = unified_embedding_table(params, cfg)
+        x = jnp.take(table, ids, axis=0)
+        hidden = qwen3.forward(params["backbone"], None, cfg.backbone,
+                               attention_mask=mask, inputs_embeds=x,
+                               return_hidden=True)
+        B, T, D = hidden.shape
+        h = hidden.reshape(-1, D)
+        lm_w = qwen3.lm_head_weight(params["backbone"])
+        n_text = min(lm_w.shape[0], cfg.text_vocab_size, student_vocab_size)
+        tv, ti, lse = fused_topk_lse(h, lm_w, k, n_text, chunk_size)
+        if student_vocab_size > cfg.speech_offset:
+            n_speech = min(cfg.num_decoder_out,
+                           student_vocab_size - cfg.speech_offset)
+            assert k <= n_speech, "top_k exceeds the speech head"
+            tv2, ti2, lse2 = fused_topk_lse(
+                h, params["llm_decoder"]["w"].T, k, n_speech, chunk_size,
+                bias=params["llm_decoder"]["b"])
+            cand_v = jnp.concatenate([tv, tv2], axis=1)
+            cand_i = jnp.concatenate([ti, ti2 + cfg.speech_offset], axis=1)
+            tv, sel = jax.lax.top_k(cand_v, k)
+            ti = jnp.take_along_axis(cand_i, sel, axis=1)
+            lse = jnp.logaddexp(lse, lse2)
+        v = (tv - lse[:, None]).astype(jnp.float16)
+        return v.reshape(B, T, k), ti.reshape(B, T, k)
+
+    return fn
+
+
 def convert_torch_state(state: Dict[str, Any],
                         cfg: CosyVoice2Config) -> Params:
     """Map a reference CosyVoice2 torch checkpoint into this pytree.

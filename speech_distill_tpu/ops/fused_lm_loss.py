@@ -162,37 +162,37 @@ def fused_sparse_kd_loss(hidden: jax.Array, lm_w: jax.Array,
     return DistillLossOutput(total, task, distill, teacher)
 
 
-def fused_extract_top_k(hidden: jax.Array, lm_w: jax.Array, k: int,
-                        vocab_limit: Optional[int] = None,
-                        chunk_size: int = 16384
-                        ) -> Tuple[jax.Array, jax.Array]:
-    """Teacher top-K logprob extraction fused with the lm-head matmul.
+def fused_topk_lse(h: jax.Array, lm_w: jax.Array, k: int,
+                   vocab_limit: Optional[int] = None,
+                   chunk_size: int = 16384,
+                   bias: Optional[jax.Array] = None
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Raw top-K logits + logsumexp of ``h @ lm_w.T (+ bias)``, computed by
+    a ``lax.scan`` over vocab chunks — the [N, V] logits matrix is never
+    materialized, only one [N, chunk] tile at a time.
 
-    Online-KD equivalent of reference train.py:74-94, computed without ever
-    materializing the [B, T, 159488] fp32 teacher logits (~2.6 GB at
-    bs8/seq512 — all of it HBM write+read traffic the TPU can skip): a
-    ``lax.scan`` over vocab chunks keeps a running logsumexp and a running
-    exact top-K merge, touching only one [N, chunk] logits tile at a time.
-
-    hidden [B, T, D] (teacher final hidden states), lm_w [V, D].
-    Returns (values fp16 logprobs, indices int32), both [B, T, K] — exact
-    same set as ``extract_top_k(unembed(hidden), k, method='exact')``.
-    No gradients flow (teacher is frozen), so the scan is not checkpointed.
+    h [N, D], lm_w [V, D], bias [V] optional.
+    Returns (top values fp32 [N, k] raw logits, indices int32 [N, k],
+    lse fp32 [N]). Exact (every global top-k element is top-k in its chunk).
     """
-    B, S, D = hidden.shape
-    h = hidden.reshape(-1, D)
-    N = h.shape[0]
+    N, D = h.shape
     w = lm_w[:vocab_limit] if vocab_limit is not None else lm_w
     V = w.shape[0]
+    if bias is not None:
+        bias = bias[:V].astype(jnp.float32)
     pad_v = (V + chunk_size - 1) // chunk_size * chunk_size
     n_chunks = pad_v // chunk_size
     if pad_v != V:
         w = jnp.pad(w, ((0, pad_v - V), (0, 0)))
+        if bias is not None:
+            bias = jnp.pad(bias, (0, pad_v - V))
     w_chunks = w.reshape(n_chunks, chunk_size, D)
     offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
     col_masks = jnp.where(
         (offsets[:, None] + jnp.arange(chunk_size)[None, :]) < V,
         0.0, -jnp.inf).astype(jnp.float32)
+    if bias is not None:
+        col_masks = col_masks + bias.reshape(n_chunks, chunk_size)
 
     neg = jnp.float32(-1e30)
     init = (jnp.full((N,), neg), jnp.zeros((N,), jnp.float32),
@@ -218,6 +218,27 @@ def fused_extract_top_k(hidden: jax.Array, lm_w: jax.Array, k: int,
     (m, s, tv, ti), _ = jax.lax.scan(body, init, (w_chunks, offsets,
                                                   col_masks))
     lse = m + jnp.log(jnp.maximum(s, 1e-30))
+    return tv, ti, lse
+
+
+def fused_extract_top_k(hidden: jax.Array, lm_w: jax.Array, k: int,
+                        vocab_limit: Optional[int] = None,
+                        chunk_size: int = 16384
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Teacher top-K logprob extraction fused with the lm-head matmul.
+
+    Online-KD equivalent of reference train.py:74-94, computed without ever
+    materializing the [B, T, 159488] fp32 teacher logits (~2.6 GB at
+    bs8/seq512 — all of it HBM write+read traffic the TPU can skip).
+
+    hidden [B, T, D] (teacher final hidden states), lm_w [V, D].
+    Returns (values fp16 logprobs, indices int32), both [B, T, K] — exact
+    same set as ``extract_top_k(unembed(hidden), k, method='exact')``.
+    No gradients flow (teacher is frozen), so the scan is not checkpointed.
+    """
+    B, S, D = hidden.shape
+    tv, ti, lse = fused_topk_lse(hidden.reshape(-1, D), lm_w, k,
+                                 vocab_limit, chunk_size)
     v = (tv - lse[:, None]).astype(jnp.float16).reshape(B, S, k)
     return v, ti.reshape(B, S, k)
 

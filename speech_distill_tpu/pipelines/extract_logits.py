@@ -20,13 +20,31 @@ from speech_distill_tpu.data.collator import pad_sequences, round_up
 
 def make_extract_fn(teacher_forward: Callable, top_k: int,
                     vocab_limit: Optional[int] = None,
-                    method: str = "exact"):
+                    method: str = "exact",
+                    hidden_forward: Optional[Callable] = None,
+                    head_weight_fn: Optional[Callable] = None):
     """jitted (params, ids, mask) -> (top_v fp16 [B,T,K], top_i int32).
 
     With a dp mesh, shard the batch (parallel.sharding.shard_batch with
     microbatched=False) and the same jitted fn runs data-parallel — the
     extraction service scales to a pod slice unchanged.
+
+    When ``hidden_forward`` + ``head_weight_fn`` are given, extraction runs
+    fused with the lm-head matmul (ops.fused_lm_loss.fused_extract_top_k):
+    the [B, T, 159k] fp32 teacher logits are never materialized, and the
+    result set is exact (same as method='exact').
     """
+
+    if hidden_forward is not None and head_weight_fn is not None:
+        from speech_distill_tpu.ops.fused_lm_loss import fused_extract_top_k
+
+        @jax.jit
+        def fused_fn(params, ids, mask):
+            hidden = hidden_forward(params, ids, mask)
+            return fused_extract_top_k(hidden, head_weight_fn(params),
+                                       top_k, vocab_limit)
+
+        return fused_fn
 
     from speech_distill_tpu.distill.losses import extract_top_k
 
@@ -50,6 +68,8 @@ def extract_teacher_logprobs(
         progress: bool = True,
         mesh=None,
         method: str = "exact",
+        hidden_forward: Optional[Callable] = None,
+        head_weight_fn: Optional[Callable] = None,
 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """Order-preserving extraction over a sequence of feature dicts.
 
@@ -58,7 +78,8 @@ def extract_teacher_logprobs(
     indices int32 [t, K]) truncated to the true length t — exactly the
     on-disk format of the reference (extract_teacher_logits.py:119-129).
     """
-    fn = make_extract_fn(teacher_forward, top_k, vocab_limit, method)
+    fn = make_extract_fn(teacher_forward, top_k, vocab_limit, method,
+                         hidden_forward, head_weight_fn)
     put = None
     if mesh is not None:
         from speech_distill_tpu.parallel.sharding import shard_batch
@@ -145,11 +166,16 @@ def main(argv=None):
     def fwd(pp, ids, mask):
         return qwen3.forward(pp, ids, cfg, attention_mask=mask)
 
+    def hidden_fwd(pp, ids, mask):
+        return qwen3.forward(pp, ids, cfg, attention_mask=mask,
+                             return_hidden=True)
+
     feats = [dataset[i] for i in range(len(dataset))]
     all_v, all_i = extract_teacher_logprobs(
         params, fwd, feats, top_k=args.top_k, batch_size=args.batch_size,
         pad_token_id=tokenizer.pad_token_id,
-        pad_to_multiple_of=args.pad_to_multiple_of)
+        pad_to_multiple_of=args.pad_to_multiple_of,
+        hidden_forward=hidden_fwd, head_weight_fn=qwen3.lm_head_weight)
 
     if len(all_v) != len(dataset):
         raise RuntimeError(

@@ -133,7 +133,7 @@ def train(config) -> None:
     mode = "precomputed" if has_topk else (
         "online_dense" if dcfg.use_dense else "online_sparse")
     teacher_cfg = teacher_params = None
-    teacher_forward = None
+    teacher_forward = teacher_extract = None
     if mode != "precomputed":
         if config.teacher_family == "cosyvoice2":
             import torch
@@ -143,6 +143,9 @@ def train(config) -> None:
                                weights_only=True)
             teacher_params = cv2.convert_torch_state(state, cv_cfg)
             teacher_forward = cv2.make_teacher_forward(cv_cfg)
+            if mode == "online_sparse":
+                teacher_extract = cv2.make_teacher_extract(
+                    cv_cfg, dcfg.top_k, s_cfg.vocab_size)
             teacher_cfg = cv_cfg.backbone
         else:
             teacher_cfg, teacher_params = load_pretrained(config.teacher_model)
@@ -196,7 +199,8 @@ def train(config) -> None:
 
     step_fn = train_step.make_kd_step(
         s_cfg, dcfg, opt, mode=mode, teacher_cfg=teacher_cfg,
-        teacher_forward=teacher_forward, use_lora=config.use_lora)
+        teacher_forward=teacher_forward, teacher_extract=teacher_extract,
+        use_lora=config.use_lora)
 
     collator = DistillCollator(
         pad_token_id=tokenizer.pad_token_id,

@@ -208,3 +208,43 @@ def test_prepare_lm_sequences_bistream():
     # input and target lengths line up
     assert lens[0] == sum(1 for x in t if x != cv2.IGNORE_ID) + \
         sum(1 for x in t[:lens[0]] if x == cv2.IGNORE_ID)
+
+
+def test_fused_teacher_extract_matches_dense_topk():
+    """make_teacher_extract == extract_top_k(forward(...), method='exact')
+    over the unified vocab truncated to a student vocab size."""
+    from speech_distill_tpu.distill.losses import extract_top_k
+    cfg, params = _tiny_cv2()
+    rng = np.random.default_rng(4)
+    B, T, K = 2, 7, 6
+    ids = np.concatenate([
+        rng.integers(0, 100, (B, 3)),
+        np.full((B, 1), cfg.sos_id),
+        rng.integers(cfg.speech_offset, cfg.speech_offset + 20, (B, 3)),
+    ], axis=1).astype(np.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+    svs = cfg.unified_vocab_size  # student vocab covers everything
+
+    dense = cv2.forward(params, jnp.asarray(ids), cfg, attention_mask=mask)
+    v_ref, i_ref = extract_top_k(dense, K, student_vocab_size=svs,
+                                 method="exact")
+
+    fn = cv2.make_teacher_extract(cfg, K, svs, chunk_size=32)
+    v, i = fn(params, jnp.asarray(ids), mask)
+    np.testing.assert_array_equal(np.sort(np.asarray(i)),
+                                  np.sort(np.asarray(i_ref)))
+    np.testing.assert_allclose(np.asarray(v, np.float32),
+                               np.asarray(v_ref, np.float32),
+                               atol=3e-3, rtol=2e-3)
+
+    # student vocab that cuts into the speech range
+    svs2 = cfg.speech_offset + 10
+    v_ref2, i_ref2 = extract_top_k(dense, K, student_vocab_size=svs2,
+                                   method="exact")
+    fn2 = cv2.make_teacher_extract(cfg, K, svs2, chunk_size=32)
+    v2, i2 = fn2(params, jnp.asarray(ids), mask)
+    np.testing.assert_array_equal(np.sort(np.asarray(i2)),
+                                  np.sort(np.asarray(i_ref2)))
+    np.testing.assert_allclose(np.asarray(v2, np.float32),
+                               np.asarray(v_ref2, np.float32),
+                               atol=3e-3, rtol=2e-3)
