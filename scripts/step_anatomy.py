@@ -1,14 +1,8 @@
-"""One-process KD step anatomy: where do the 230ms/step actually go?
+"""One-process KD step anatomy: where do the ~230ms/step actually go?
 
-Times isolated jitted subprograms at the bench config (bs8 x seq512,
-unmerged LoRA, precomputed KD):
-  fwd_hidden         student forward to final hidden (no lm head)
-  fwd_logits         + lm-head matmul
-  loss_from_logits   sparse KD loss given materialized logits
-  fwd_loss           forward + loss (value only, no grad)
-  grad               value_and_grad (no optimizer)
-  step               full train step (grad + AdamW)
-and repeats {fwd_hidden, grad} with attn_impl in {pallas, xla}.
+Every timed program returns a SCALAR (tree sum-of-squares of its real
+outputs) so nothing multi-GB is transferred through the relay and XLA
+cannot DCE the work. bs8 x seq512, unmerged LoRA, precomputed KD.
 """
 import argparse
 import dataclasses
@@ -23,18 +17,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, steps=10, warmup=2):
-    out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax_block(out)
+    _block(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         out = fn(*args)
-    jax_block(out)
+    _block(out)
     return (time.perf_counter() - t0) / steps * 1000.0
 
 
-def jax_block(out):
+def _block(out):
     import jax
     leaves = jax.tree.leaves(out)
     if leaves:
@@ -78,7 +71,9 @@ def main():
               "labels": labels[None], "teacher_top_k_v": tv[None],
               "teacher_top_k_i": ti[None]}
 
-    res = {}
+    def sumsq(tree):
+        return sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                   for x in jax.tree.leaves(tree))
 
     def eff_of(lo, bp):
         eff = dict(bp)
@@ -87,23 +82,9 @@ def main():
             eff["lm_head"] = lo["lm_head"]
         return eff
 
+    res = {}
     for attn in ("pallas", "xla"):
         cfg = dataclasses.replace(cfg0, attn_impl=attn)
-
-        # NB: base/ids/... passed as ARGUMENTS — large closed-over arrays
-        # become constants shipped through the compile relay (HTTP 413)
-        @jax.jit
-        def fwd_hidden(lo, bp, ids, mask):
-            return qwen3.forward(eff_of(lo, bp), ids, cfg,
-                                 attention_mask=mask,
-                                 return_hidden=True, adapters=lo["layers"],
-                                 adapter_scale=g)
-
-        @jax.jit
-        def fwd_logits(lo, bp, ids, mask):
-            return qwen3.forward(eff_of(lo, bp), ids, cfg,
-                                 attention_mask=mask,
-                                 adapters=lo["layers"], adapter_scale=g)
 
         def _loss(lo, bp, ids, mask, tv, ti, labels):
             logits = qwen3.forward(eff_of(lo, bp), ids, cfg,
@@ -114,19 +95,17 @@ def main():
                                               dcfg.alpha).total
 
         fwd_loss = jax.jit(_loss)
-        grad_full = jax.jit(jax.grad(_loss))
-
-        grad_nohead = jax.jit(jax.grad(
-            lambda lo, bp, ids, mask: jnp.sum(
-                qwen3.forward(eff_of(lo, bp), ids, cfg, attention_mask=mask,
-                              return_hidden=True, adapters=lo["layers"],
-                              adapter_scale=g).astype(jnp.float32))))
+        grad_full = jax.jit(
+            lambda lo, bp, i_, m_, tv_, ti_, lb: sumsq(
+                jax.grad(_loss)(lo, bp, i_, m_, tv_, ti_, lb)))
+        grad_nohead = jax.jit(
+            lambda lo, bp, i_, m_: sumsq(jax.grad(
+                lambda l2: jnp.sum(qwen3.forward(
+                    eff_of(l2, bp), i_, cfg, attention_mask=m_,
+                    return_hidden=True, adapters=l2["layers"],
+                    adapter_scale=g).astype(jnp.float32)))(lo)))
 
         tag = f"attn={attn}"
-        res[f"fwd_hidden/{tag}"] = timeit(fwd_hidden, lora, base, ids, mask,
-                                          steps=args.steps)
-        res[f"fwd_logits/{tag}"] = timeit(fwd_logits, lora, base, ids, mask,
-                                          steps=args.steps)
         res[f"fwd_loss/{tag}"] = timeit(fwd_loss, lora, base, ids, mask,
                                         tv, ti, labels, steps=args.steps)
         res[f"grad_nohead/{tag}"] = timeit(grad_nohead, lora, base, ids,
@@ -137,36 +116,33 @@ def main():
             if tag in k:
                 print(json.dumps({k: round(v, 1)}), flush=True)
 
-    # loss-only from fixed logits, and full step, at the default attn
+    # head+loss grad from fixed hidden (lm_head + embed-tied grads only)
     cfg = cfg0
-    hidden = fwd_hidden(lora, base, ids, mask)
-    logits_v = fwd_logits(lora, base, ids, mask)
-
-    @jax.jit
-    def loss_only(lg, tv, ti, labels):
-        return losses.sparse_distill_loss(lg, tv, ti, labels, None,
-                                          dcfg.temperature, dcfg.alpha).total
+    hidden = jax.jit(
+        lambda lo, bp, i_, m_: qwen3.forward(
+            eff_of(lo, bp), i_, cfg, attention_mask=m_, return_hidden=True,
+            adapters=lo["layers"], adapter_scale=g)
+    )(lora, base, ids, mask)
 
     @jax.jit
     def head_loss_grad(lo, h, tv, ti, labels):
-        def f(lo):
+        def f(args_):
+            lo_, h_ = args_
             w = qwen3.lm_head_weight(
-                {"lm_head": lo["lm_head"]} if "lm_head" in lo
-                else {"embed": lo["embed"]})
-            lg = jax.lax.dot_general(h, w, (((2,), (1,)), ((), ())),
+                {"lm_head": lo_["lm_head"]} if "lm_head" in lo_
+                else {"embed": lo_["embed"]})
+            lg = jax.lax.dot_general(h_, w, (((2,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             return losses.sparse_distill_loss(lg, tv, ti, labels, None,
                                               dcfg.temperature,
                                               dcfg.alpha).total
-        return jax.grad(f)(lo)
+        return sumsq(jax.grad(f)((lo, h)))
 
     opt = train_step.make_optimizer(5e-5, 10, 1000)
     state = train_step.init_state(lora, opt)
     step = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
                                    donate=False)
 
-    res["loss_only"] = timeit(loss_only, logits_v, tv, ti, labels,
-                              steps=args.steps)
     res["head_loss_grad"] = timeit(head_loss_grad, lora, hidden,
                                    tv, ti, labels, steps=args.steps)
     res["full_step"] = timeit(lambda: step(state, base, None, batch1)[1],
