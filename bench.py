@@ -38,6 +38,10 @@ def main():
     p.add_argument("--no_remat", action="store_true",
                    help="disable per-layer rematerialization (activations "
                         "fit at short seq; saves the recompute pass)")
+    p.add_argument("--remat_policy", default="full",
+                   choices=["full", "dots", "everything"],
+                   help="jax.checkpoint policy ('everything' saves all "
+                        "residuals = no recompute, keeps checkpoint HLO)")
     p.add_argument("--attn", default="auto",
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--decode_streams", type=int, default=1,
@@ -64,7 +68,8 @@ def main():
 
     import dataclasses
     cfg = dataclasses.replace(qwen3_student_0p6b(),
-                              remat=not args.no_remat, attn_impl=args.attn)
+                              remat=not args.no_remat, attn_impl=args.attn,
+                              remat_policy=args.remat_policy)
     dcfg = DistillConfig(top_k=args.top_k,
                          lora=LoraConfig(init_weights="gaussian"))
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg)

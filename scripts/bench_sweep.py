@@ -62,23 +62,24 @@ def main():
 
     # (name, batch, step_kwargs, cfg_kwargs)
     variants = [
-        ("bs8", 8, {}, {}),
-        ("bs8/fused", 8, dict(fused_loss=True), {}),
-        ("bs8/noremat", 8, {}, dict(remat=False)),
-        ("bs8/noremat/fused", 8, dict(fused_loss=True), dict(remat=False)),
         ("bs16", 16, {}, {}),
-        ("bs16/fused", 16, dict(fused_loss=True), {}),
-        ("bs16/noremat/fused", 16, dict(fused_loss=True), dict(remat=False)),
+        ("bs12", 12, {}, {}),
+        ("bs8/save-everything", 8, {}, dict(remat_policy="everything")),
+        ("bs12/save-everything", 12, {}, dict(remat_policy="everything")),
+        ("bs8", 8, {}, {}),
     ]
     results = {}
     for name, B, step_kw, cfg_kw in variants:
+        import gc
+        gc.collect()
         cfg = dataclasses.replace(cfg0, **cfg_kw)
         opt = train_step.make_optimizer(5e-5, 10, 1000)
-        state = train_step.init_state(lora, opt)
         step = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
                                        donate=False, **step_kw)
-        batch = make_batch(B)
+        state = batch = metrics = None
         try:
+            state = train_step.init_state(lora, opt)
+            batch = make_batch(B)
             for _ in range(args.warmup):
                 state, metrics = step(state, base, None, batch)
             float(metrics["loss"])
@@ -91,7 +92,9 @@ def main():
             results[name] = {"error": str(e)[:160]}
             print(json.dumps({"variant": name, "error": str(e)[:160]}),
                   flush=True)
+            del state, batch, metrics
             continue
+        del state, batch, metrics
         tps = args.steps / dt * B * T
         mfu = tps * flops_token / peak
         results[name] = {"ms_per_step": round(dt / args.steps * 1000, 1),

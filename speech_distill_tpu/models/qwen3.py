@@ -380,10 +380,13 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
                           la=la, lora_scale=adapter_scale)
         if cfg.remat:
             # 'dots' keeps every MXU (dot_general) output resident and only
-            # recomputes elementwise ops in the backward — trades HBM for
-            # skipping the full forward recompute of 'full'
-            policy = jax.checkpoint_policies.checkpoint_dots \
-                if cfg.remat_policy == "dots" else None
+            # recomputes elementwise ops in the backward; 'everything' saves
+            # all residuals (no recompute at all — a no-remat equivalent
+            # that keeps the checkpoint HLO structure, which the axon
+            # remote compiler accepts where plain remat=False crashes it)
+            policy = {"dots": jax.checkpoint_policies.checkpoint_dots,
+                      "everything": jax.checkpoint_policies.everything_saveable
+                      }.get(cfg.remat_policy)
             layer_fn = jax.checkpoint(layer_fn, policy=policy)
 
         if cfg.scan_layers:

@@ -31,51 +31,21 @@ from speech_distill_tpu.distill.losses import (DistillLossOutput,
 
 
 class _RowStats(NamedTuple):
-    lse1_m: jax.Array       # [N] running max (temperature 1)
-    lse1_s: jax.Array       # [N] running sum of exp(x - m)
-    lseT_m: jax.Array
-    lseT_s: jax.Array
+    lse1: jax.Array         # [N] logsumexp at temperature 1
+    lseT: jax.Array         # [N] logsumexp at temperature T
     label_logit: jax.Array  # [N]
     topk_logit: jax.Array   # [N, K]
 
 
-def _chunk_update(stats: _RowStats, h, w_chunk, offset, col_mask, labels,
-                  topk_i, temperature):
-    """Fold one vocab chunk into the running stats (checkpointed).
-    col_mask [C]: 0 for real vocab rows, -inf-ish for padding rows."""
-    logits = (h @ w_chunk.T).astype(jnp.float32) + col_mask[None, :]
-    C = logits.shape[1]
-
-    def online(m, s, x):
-        cm = jnp.max(x, axis=1)
-        new_m = jnp.maximum(m, cm)
-        s = s * jnp.exp(m - new_m) + jnp.sum(
-            jnp.exp(x - new_m[:, None]), axis=1)
-        return new_m, s
-
-    m1, s1 = online(stats.lse1_m, stats.lse1_s, logits)
-    mT, sT = online(stats.lseT_m, stats.lseT_s, logits / temperature)
-
-    rel = labels - offset
-    in_range = (rel >= 0) & (rel < C)
-    lab = jnp.take_along_axis(
-        logits, jnp.clip(rel, 0, C - 1)[:, None], axis=1)[:, 0]
-    label_logit = jnp.where(in_range, lab, stats.label_logit)
-
-    rel_k = topk_i - offset
-    in_k = (rel_k >= 0) & (rel_k < C)
-    gk = jnp.take_along_axis(logits, jnp.clip(rel_k, 0, C - 1), axis=1)
-    topk_logit = jnp.where(in_k, gk, stats.topk_logit)
-
-    return _RowStats(m1, s1, mT, sT, label_logit, topk_logit)
-
-
-def _collect_stats(hidden: jax.Array, lm_w: jax.Array, labels: jax.Array,
-                   topk_i: jax.Array, temperature: float,
-                   chunk_size: int) -> _RowStats:
+def _collect_lse(hidden: jax.Array, lm_w: jax.Array, temperature: float,
+                 chunk_size: int) -> Tuple[jax.Array, jax.Array]:
+    """Online logsumexp of hidden @ lm_w.T at temperatures 1 and T, via a
+    checkpointed ``lax.scan`` over vocab chunks. No per-chunk gathers —
+    those lower to one-hot contractions on TPU and dominated the old
+    fused path's cost; the gathered logits are computed separately from
+    W-row gathers (pallas_lm_loss.gathered_logits)."""
     N, D = hidden.shape
     V = lm_w.shape[0]
-    K = topk_i.shape[1]
     pad_v = (V + chunk_size - 1) // chunk_size * chunk_size
     n_chunks = pad_v // chunk_size
     w = lm_w if pad_v == V else jnp.pad(lm_w, ((0, pad_v - V), (0, 0)))
@@ -86,17 +56,40 @@ def _collect_stats(hidden: jax.Array, lm_w: jax.Array, labels: jax.Array,
         (offsets[:, None] + jnp.arange(chunk_size)[None, :]) < V,
         0.0, -1e30).astype(jnp.float32)
 
-    neg = jnp.float32(-1e30)
-    init = _RowStats(
-        jnp.full((N,), neg), jnp.zeros((N,)),
-        jnp.full((N,), neg), jnp.zeros((N,)),
-        jnp.full((N,), neg), jnp.full((N, K), neg))
+    def update(carry, wo):
+        m1, s1, mT, sT = carry
+        w_chunk, col_mask = wo
+        logits = (hidden @ w_chunk.T).astype(jnp.float32) + col_mask[None, :]
 
-    body = jax.checkpoint(
-        lambda st, wo: (_chunk_update(st, hidden, wo[0], wo[1], wo[2],
-                                      labels, topk_i, temperature), None))
-    stats, _ = jax.lax.scan(body, init, (w_chunks, offsets, col_masks))
-    return stats
+        def online(m, s, x):
+            cm = jnp.max(x, axis=1)
+            new_m = jnp.maximum(m, cm)
+            s = s * jnp.exp(m - new_m) + jnp.sum(
+                jnp.exp(x - new_m[:, None]), axis=1)
+            return new_m, s
+
+        m1, s1 = online(m1, s1, logits)
+        mT, sT = online(mT, sT, logits / temperature)
+        return (m1, s1, mT, sT), None
+
+    neg = jnp.float32(-1e30)
+    init = (jnp.full((N,), neg), jnp.zeros((N,)),
+            jnp.full((N,), neg), jnp.zeros((N,)))
+    body = jax.checkpoint(update)
+    (m1, s1, mT, sT), _ = jax.lax.scan(body, init, (w_chunks, col_masks))
+    lse1 = m1 + jnp.log(jnp.maximum(s1, 1e-30))
+    lseT = mT + jnp.log(jnp.maximum(sT, 1e-30))
+    return lse1, lseT
+
+
+def _collect_stats(hidden: jax.Array, lm_w: jax.Array, labels: jax.Array,
+                   topk_i: jax.Array, temperature: float,
+                   chunk_size: int) -> _RowStats:
+    from speech_distill_tpu.ops.pallas_lm_loss import gathered_logits
+    lse1, lseT = _collect_lse(hidden, lm_w, temperature, chunk_size)
+    label_logit = gathered_logits(hidden, lm_w, labels[:, None])[:, 0]
+    topk_logit = gathered_logits(hidden, lm_w, topk_i)
+    return _RowStats(lse1, lseT, label_logit, topk_logit)
 
 
 def fused_sparse_kd_loss(hidden: jax.Array, lm_w: jax.Array,
@@ -133,11 +126,10 @@ def fused_sparse_kd_loss(hidden: jax.Array, lm_w: jax.Array,
         lse1, lseT, label_logit = lm_head_stats(
             h, lm_w, labels_flat, T, 1024, 1024, interpret)
         topk_logit = gathered_logits(h, lm_w, idx_flat)
-        stats = _RowStats(lse1, None, lseT, None, label_logit, topk_logit)
+        stats = _RowStats(lse1, lseT, label_logit, topk_logit)
     else:
         stats = _collect_stats(h, lm_w, labels_flat, idx_flat, T, chunk_size)
-        lse1 = stats.lse1_m + jnp.log(jnp.maximum(stats.lse1_s, 1e-30))
-        lseT = stats.lseT_m + jnp.log(jnp.maximum(stats.lseT_s, 1e-30))
+        lse1, lseT = stats.lse1, stats.lseT
 
     valid_flat = valid.reshape(-1)
     ce = lse1 - stats.label_logit
@@ -255,6 +247,5 @@ def fused_cross_entropy(hidden: jax.Array, lm_w: jax.Array,
     dummy_k = jnp.zeros((h.shape[0], 1), jnp.int32)
     stats = _collect_stats(h, lm_w, jnp.maximum(shift_labels, 0), dummy_k,
                            1.0, chunk_size)
-    lse1 = stats.lse1_m + jnp.log(jnp.maximum(stats.lse1_s, 1e-30))
-    ce = lse1 - stats.label_logit
+    ce = stats.lse1 - stats.label_logit
     return _masked_mean(ce, valid)
