@@ -188,21 +188,17 @@ def deq(w, dtype=jnp.bfloat16):
 
 def _proj(x: jax.Array, w, la: Optional[Params], key: str,
           scale: float) -> jax.Array:
-    """Projection with optional *unmerged* LoRA: ``x@W + g*(x@A)@B``.
-
-    Training-time equivalent of PEFT's unmerged adapter forward
-    (reference train.py:180-202 uses PEFT LoRA, which also runs unmerged
-    during training). Unlike merging W+g*A@B into the weights, this keeps
-    the base matmul's backward free of a full [din, dout] weight-gradient:
-    grads flow only through the two skinny adapter matmuls (dA: [din, r],
-    dB: [r, dout]) — the backward saves ~1x forward-FLOPs per target.
+    """Projection with optional LoRA (training-time equivalent of PEFT's
+    adapter forward, reference train.py:180-202), via the fused
+    merged-forward / skinny-backward custom VJP (ops/lora_linear.py):
+    one big matmul forward, no dense [din, dout] weight gradient backward.
     """
-    y = x @ deq(w, x.dtype)
     if la is not None and key in la:
+        from speech_distill_tpu.ops.lora_linear import lora_linear
         ab = la[key]
-        h = x @ ab["a"].astype(x.dtype)
-        y = y + (h @ ab["b"].astype(x.dtype)) * jnp.asarray(scale, x.dtype)
-    return y
+        return lora_linear(x, deq(w, x.dtype), ab["a"], ab["b"],
+                           float(scale))
+    return x @ deq(w, x.dtype)
 
 
 def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:

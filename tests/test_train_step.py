@@ -227,3 +227,37 @@ def test_stage1_only_new_rows_update(tiny):
     np.testing.assert_array_equal(after[:old_vocab], before[:old_vocab])
     assert np.abs(after[old_vocab:] - before[old_vocab:]).max() > 0
     assert np.isfinite(float(m["loss"]))
+
+
+def test_lora_linear_custom_vjp_matches_autodiff():
+    """ops.lora_linear fused op: forward == merged expression, grads ==
+    autodiff of the explicit expression (reassociated backward)."""
+    from speech_distill_tpu.ops.lora_linear import lora_linear
+    rng = np.random.default_rng(0)
+    B, T, din, dout, r = 2, 5, 16, 24, 4
+    x = jnp.asarray(rng.normal(size=(B, T, din)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(din, dout)), jnp.float32)
+    a = jnp.asarray(rng.normal(size=(din, r)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(r, dout)), jnp.float32)
+    g = 2.5
+
+    def explicit(x, w, a, b):
+        return x @ (w + (a @ b) * g)
+
+    np.testing.assert_allclose(np.asarray(lora_linear(x, w, a, b, g)),
+                               np.asarray(explicit(x, w, a, b)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_fused(args):
+        x, a, b = args
+        return jnp.sum(jnp.sin(lora_linear(x, w, a, b, g)))
+
+    def loss_ref(args):
+        x, a, b = args
+        return jnp.sum(jnp.sin(explicit(x, w, a, b)))
+
+    gf = jax.grad(loss_fused)((x, a, b))
+    gr = jax.grad(loss_ref)((x, a, b))
+    for u, v in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=1e-4, atol=1e-4)
