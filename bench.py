@@ -22,7 +22,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="precomputed",
                    choices=["precomputed", "online_sparse", "online_dense",
-                            "decode"])
+                            "decode", "tts"])
     # per-device batch 8: the reference's effective batch is 16
     # (bs4 x grad-accum 4, train.py:333-334); 8 feeds the MXU better than 4
     # while staying inside that envelope
@@ -65,6 +65,8 @@ def main():
 
     if args.mode == "decode":
         return bench_decode(args)
+    if args.mode == "tts":
+        return bench_tts(args)
 
     import dataclasses
     cfg = dataclasses.replace(qwen3_student_0p6b(),
@@ -192,6 +194,70 @@ def bench_decode(args):
         "unit": "tokens/s",
         "vs_baseline": 1.0,
         "extra": extra_d,
+    }))
+
+
+def bench_tts(args):
+    """Flow-matching decoder + HiFT vocoder throughput (the TTS stack's
+    second hot loop: 15 CFG-doubled UNet evals + NSF/ISTFT per turn,
+    reference soulxpodcast.py:400-428). One typical turn: 75 prompt +
+    150 generated speech tokens (6s of audio at 25 Hz)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+    from speech_distill_tpu.models import flow as flow_lib
+    from speech_distill_tpu.models import hift as hift_lib
+
+    fcfg = flow_lib.FlowConfig()
+    hcfg = hift_lib.HiFTConfig()
+    fparams = flow_lib.init_params(jax.random.PRNGKey(0), fcfg)
+    hparams = hift_lib.init_params(jax.random.PRNGKey(1), hcfg)
+
+    flow_fn = jax.jit(lambda t, tl, pf, pfl, emb, rng: flow_lib.forward_flow(
+        fparams, t, tl, pf, pfl, emb, fcfg, rng=rng))
+    hift_fn = jax.jit(lambda mel, rng: hift_lib.forward(hparams, mel, hcfg,
+                                                        rng=rng))
+
+    rng = np.random.default_rng(0)
+    n_prompt, n_gen, bucket = 75, 150, 64
+    n = n_prompt + n_gen
+    width = -(-n // bucket) * bucket
+    tokens = np.zeros((1, width), np.int32)
+    tokens[0, :n] = rng.integers(0, 6561, n)
+    tlen = jnp.asarray([n], jnp.int32)
+    prompt_mel_len = n_prompt * 2
+    pf = jnp.asarray(rng.normal(size=(1, prompt_mel_len, 80)) * 0.1,
+                     jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(1, 192)), jnp.float32)
+    key = jax.random.PRNGKey(2)
+
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        mels, mel_lens = flow_fn(jnp.asarray(tokens), tlen, pf,
+                                 jnp.asarray([prompt_mel_len], np.int32),
+                                 emb, k1)
+        wav, _ = hift_fn(mels[:, prompt_mel_len:], k2)
+        return wav
+
+    wav = one(key)                     # compile + warmup
+    float(np.asarray(wav[0, 0]))
+    steps = max(3, args.steps // 4)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        wav = one(jax.random.fold_in(key, i))
+    float(np.asarray(wav[0, 0]))
+    dt = (time.perf_counter() - t0) / steps
+
+    audio_s = n_gen / 25.0
+    print(json.dumps({
+        "metric": "tts_flow_vocoder_rtf",
+        "value": round(audio_s / dt, 2),
+        "unit": "x realtime",
+        "vs_baseline": 1.0,
+        "extra": {"turn_seconds": audio_s, "wall_seconds": round(dt, 3),
+                  "cfm_steps": 15, "tokens": n_gen},
     }))
 
 

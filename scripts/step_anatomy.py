@@ -124,27 +124,33 @@ def main():
             adapters=lo["layers"], adapter_scale=g)
     )(lora, base, ids, mask)
 
-    @jax.jit
-    def head_loss_grad(lo, h, tv, ti, labels):
-        def f(args_):
-            lo_, h_ = args_
-            w = qwen3.lm_head_weight(
-                {"lm_head": lo_["lm_head"]} if "lm_head" in lo_
-                else {"embed": lo_["embed"]})
-            lg = jax.lax.dot_general(h_, w, (((2,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            return losses.sparse_distill_loss(lg, tv, ti, labels, None,
-                                              dcfg.temperature,
-                                              dcfg.alpha).total
-        return sumsq(jax.grad(f)((lo, h)))
+    def make_head_loss_grad(head_bwd_dtype):
+        hcfg = dataclasses.replace(cfg, head_bwd_dtype=head_bwd_dtype)
+
+        @jax.jit
+        def head_loss_grad(lo, h, tv, ti, labels):
+            def f(args_):
+                lo_, h_ = args_
+                pp = ({"lm_head": lo_["lm_head"]} if "lm_head" in lo_
+                      else {"embed": lo_["embed"]})
+                lg = qwen3.unembed(pp, h_, hcfg)
+                return losses.sparse_distill_loss(lg, tv, ti, labels, None,
+                                                  dcfg.temperature,
+                                                  dcfg.alpha).total
+            return sumsq(jax.grad(f)((lo, h)))
+        return head_loss_grad
 
     opt = train_step.make_optimizer(5e-5, 10, 1000)
     state = train_step.init_state(lora, opt)
     step = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
                                    donate=False)
 
-    res["head_loss_grad"] = timeit(head_loss_grad, lora, hidden,
-                                   tv, ti, labels, steps=args.steps)
+    for hb in ("bfloat16", "float32"):
+        res[f"head_loss_grad/{hb}"] = timeit(
+            make_head_loss_grad(hb), lora, hidden, tv, ti, labels,
+            steps=args.steps)
+        print(json.dumps({f"head_loss_grad/{hb}":
+                          round(res[f"head_loss_grad/{hb}"], 1)}), flush=True)
     res["full_step"] = timeit(lambda: step(state, base, None, batch1)[1],
                               steps=args.steps)
     print(json.dumps({k: round(v, 1) for k, v in res.items()}, indent=1))

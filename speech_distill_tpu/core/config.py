@@ -88,6 +88,12 @@ class Qwen3Config(_JsonOverlayMixin):
     scan_layers: bool = True           # stack layers & lax.scan
     attn_impl: str = "auto"            # auto | xla | pallas
     logits_dtype: str = "float32"
+    head_bwd_dtype: str = "bfloat16"   # lm-head cotangent dtype: the fp32
+    #                                    d_logits [B,T,159k] would force the
+    #                                    two head bwd matmuls to multi-pass
+    #                                    fp32 MXU rate; bf16 is standard
+    #                                    mixed-precision practice (set
+    #                                    "float32" for exact-autodiff grads)
 
     @property
     def q_dim(self) -> int:

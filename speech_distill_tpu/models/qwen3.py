@@ -434,14 +434,54 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
     return (logits, new_cache) if cache is not None else logits
 
 
-def unembed(params: Params, hidden: jax.Array, cfg: Qwen3Config) -> jax.Array:
-    """lm-head matmul: operands stay in model dtype (bf16 MXU rate), output
-    accumulated/returned in logits_dtype (fp32 for stable softmax)."""
-    w = lm_head_weight(params)
-    out_dt = jnp.dtype(cfg.logits_dtype)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _unembed_mm(hidden, w, out_dt, bwd_dt):
     return jax.lax.dot_general(
         hidden, w, (((hidden.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=out_dt).astype(out_dt)
+
+
+def _unembed_fwd(hidden, w, out_dt, bwd_dt):
+    return _unembed_mm(hidden, w, out_dt, bwd_dt), (hidden, w)
+
+
+def _unembed_bwd(out_dt, bwd_dt, res, g):
+    # The loss math runs in fp32, so the incoming cotangent d_logits is a
+    # [B, T, 159k] fp32 tensor; fed to autodiff's dot_general transpose it
+    # forces both head backward matmuls to multi-pass fp32 MXU rate (~40ms
+    # each at bs8/seq512 on v5e). Casting it to the weight dtype first is
+    # the standard mixed-precision recipe (every bf16 torch/XLA trainer
+    # backpropagates bf16 cotangents); accumulation stays fp32 via
+    # preferred_element_type.
+    hidden, w = res
+    gb = g.astype(bwd_dt)
+    dh = jax.lax.dot_general(
+        gb, w.astype(bwd_dt), (((g.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(hidden.dtype)
+    g2 = gb.reshape(-1, g.shape[-1])
+    h2 = hidden.reshape(-1, hidden.shape[-1]).astype(bwd_dt)
+    dw = jax.lax.dot_general(
+        g2, h2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w.dtype)
+    return dh, dw
+
+
+_unembed_mm.defvjp(_unembed_fwd, _unembed_bwd)
+
+
+def unembed(params: Params, hidden: jax.Array, cfg: Qwen3Config) -> jax.Array:
+    """lm-head matmul: operands stay in model dtype (bf16 MXU rate), output
+    accumulated/returned in logits_dtype (fp32 for stable softmax). The
+    backward casts the fp32 d_logits cotangent to ``cfg.head_bwd_dtype``
+    before the two transpose matmuls (see ``_unembed_bwd``)."""
+    w = lm_head_weight(params)
+    out_dt = jnp.dtype(cfg.logits_dtype)
+    bwd_dt = jnp.dtype(cfg.head_bwd_dtype)
+    if bwd_dt == jnp.float32:
+        return jax.lax.dot_general(
+            hidden, w, (((hidden.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=out_dt).astype(out_dt)
+    return _unembed_mm(hidden, w, out_dt, bwd_dt)
 
 
 def lm_head_weight(params: Params) -> jax.Array:
