@@ -128,7 +128,8 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                  donate: bool = True,
                  fused_loss: bool = False,
                  fused_backend: str = "xla",
-                 loss_chunk_size: int = 16384):
+                 loss_chunk_size: int = 16384,
+                 head_loss: str = "fused"):
     """Build the jitted KD step.
 
     mode:
@@ -144,6 +145,11 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
     backward. Measured on v5e: slower at bs4/seq512 (logits fit easily),
     the right trade at seq>=2048 / large batch where logits+softmax
     residuals dominate HBM.
+
+    ``head_loss='fused'`` (default) computes the sparse-KD head loss via
+    ``ops.fused_lm_loss.head_sparse_kd_loss`` — materialized logits but an
+    analytic one-pass backward with bf16 d_logits and bf16 logits residual.
+    'unfused' keeps plain autodiff through unembed + sparse_distill_loss.
 
     ``teacher_forward(teacher_params, ids, mask) -> logits`` defaults to the
     Qwen3 forward; inject the CosyVoice2 split-embedding policy here.
@@ -198,14 +204,25 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                        "teacher_loss": out.teacher}
             return out.total, metrics
 
-        logits = qwen3.forward(eff, mb["input_ids"], student_cfg,
-                               attention_mask=mb["attention_mask"],
-                               adapters=adapters, adapter_scale=ascale)
+        sparse_fused = head_loss == "fused" and mode != "online_dense"
+        acts = qwen3.forward(eff, mb["input_ids"], student_cfg,
+                             attention_mask=mb["attention_mask"],
+                             return_hidden=sparse_fused,
+                             adapters=adapters, adapter_scale=ascale)
+
+        def sparse_out(v, i):
+            if sparse_fused:
+                from speech_distill_tpu.ops.fused_lm_loss import \
+                    head_sparse_kd_loss
+                return head_sparse_kd_loss(
+                    acts, qwen3.lm_head_weight(eff), labels, v, i, smask,
+                    distill_cfg.temperature, distill_cfg.alpha)
+            return losses.sparse_distill_loss(
+                acts, v, i, labels, smask,
+                distill_cfg.temperature, distill_cfg.alpha)
 
         if mode == "precomputed":
-            out = losses.sparse_distill_loss(
-                logits, mb["teacher_top_k_v"], mb["teacher_top_k_i"], labels,
-                smask, distill_cfg.temperature, distill_cfg.alpha)
+            out = sparse_out(mb["teacher_top_k_v"], mb["teacher_top_k_i"])
         else:
             t_ids = mb.get("teacher_input_ids", mb["input_ids"])
             t_mask = mb.get("teacher_attention_mask", mb["attention_mask"])
@@ -220,15 +237,13 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                         t_logits, distill_cfg.top_k,
                         student_vocab_size=student_cfg.vocab_size,
                         method=distill_cfg.online_topk_method)
-                out = losses.sparse_distill_loss(
-                    logits, v, i, labels, smask,
-                    distill_cfg.temperature, distill_cfg.alpha)
+                out = sparse_out(v, i)
             else:
                 t_logits = jax.lax.stop_gradient(
                     teacher_forward(teacher_params, t_ids, t_mask))
                 t_logits = t_logits[..., :student_cfg.vocab_size]
                 out = losses.dense_distill_loss(
-                    logits, t_logits, labels, smask,
+                    acts, t_logits, labels, smask,
                     distill_cfg.temperature, distill_cfg.alpha)
 
         metrics = {"loss": out.total, "student_loss": out.task,

@@ -371,26 +371,45 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
         cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
         mask_bias = _causal_bias(attention_mask, B, T)
 
-        def layer_fn(lp, h, la):
+        def plain_layer_fn(lp, h, la):
             return _layer(lp, h, cos, sin, mask_bias, cfg,
                           la=la, lora_scale=adapter_scale)
+        layer_fn = plain_layer_fn
         if cfg.remat:
             # 'dots' keeps every MXU (dot_general) output resident and only
             # recomputes elementwise ops in the backward; 'everything' saves
             # all residuals (no recompute at all — a no-remat equivalent
             # that keeps the checkpoint HLO structure, which the axon
-            # remote compiler accepts where plain remat=False crashes it)
+            # remote compiler accepts where plain remat=False crashes it);
+            # 'half' full-remats the first half of the layer stack and saves
+            # everything for the second — half the recompute at half the
+            # residual memory of 'everything'
             policy = {"dots": jax.checkpoint_policies.checkpoint_dots,
                       "everything": jax.checkpoint_policies.everything_saveable
                       }.get(cfg.remat_policy)
-            layer_fn = jax.checkpoint(layer_fn, policy=policy)
+            layer_fn = jax.checkpoint(plain_layer_fn, policy=policy)
 
         if cfg.scan_layers:
-            def body(carry, xs):
-                lp, la = xs
-                h, _ = layer_fn(lp, carry, la)
-                return h, None
-            x, _ = jax.lax.scan(body, x, (params["layers"], adapters))
+            def body_of(fn):
+                def body(carry, xs):
+                    lp, la = xs
+                    h, _ = fn(lp, carry, la)
+                    return h, None
+                return body
+            if cfg.remat and cfg.remat_policy == "half":
+                Lh = cfg.num_hidden_layers // 2
+                save_fn = jax.checkpoint(
+                    plain_layer_fn,
+                    policy=jax.checkpoint_policies.everything_saveable)
+                lo_xs = jax.tree.map(lambda a: a[:Lh],
+                                     (params["layers"], adapters))
+                hi_xs = jax.tree.map(lambda a: a[Lh:],
+                                     (params["layers"], adapters))
+                x, _ = jax.lax.scan(body_of(layer_fn), x, lo_xs)
+                x, _ = jax.lax.scan(body_of(save_fn), x, hi_xs)
+            else:
+                x, _ = jax.lax.scan(body_of(layer_fn), x,
+                                    (params["layers"], adapters))
         else:
             for i in range(cfg.num_hidden_layers):
                 la_i = None if adapters is None else \

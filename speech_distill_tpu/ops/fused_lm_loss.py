@@ -249,3 +249,124 @@ def fused_cross_entropy(hidden: jax.Array, lm_w: jax.Array,
                            1.0, chunk_size)
     ce = stats.lse1 - stats.label_logit
     return _masked_mean(ce, valid)
+
+
+# ---------------------------------------------------------------------------
+# Materialized head + sparse KD loss with an analytic one-pass backward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _head_kd_core(h, w, v, idx, shift_labels, valid, T, alpha):
+    total, task, distill, teacher = _head_kd_fwd(
+        h, w, v, idx, shift_labels, valid, T, alpha)[0]
+    return total, task, distill, teacher
+
+
+def _head_kd_fwd(h, w, v, idx, shift_labels, valid, T, alpha):
+    """h [N, D], w [V, D], v fp32 [N, K] teacher logprobs, idx int32 [N, K],
+    shift_labels int32 [N] (may be IGNORE_INDEX), valid fp32 [N]."""
+    s = jax.lax.dot_general(h, w, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+    log_p = jax.nn.log_softmax(v / T, axis=-1)
+    p = jnp.exp(log_p)
+    lse1 = jax.nn.logsumexp(s, axis=-1)
+    lseT = jax.nn.logsumexp(s / T, axis=-1)
+    safe = jnp.maximum(shift_labels, 0)
+    gold = jnp.take_along_axis(s, safe[:, None], axis=-1)[:, 0]
+    topk = jnp.take_along_axis(s, idx, axis=-1)
+
+    n = jnp.sum(valid)
+    inv_n = jnp.where(n > 0, 1.0 / jnp.maximum(n, 1.0), 0.0)
+    task = jnp.sum((lse1 - gold) * valid) * inv_n
+    log_q = topk / T - lseT[:, None]
+    distill = jnp.sum(jnp.sum(p * (log_p - log_q), axis=-1) * valid) \
+        * inv_n * (T * T)
+
+    hits = (idx == shift_labels[:, None]).astype(jnp.float32) \
+        * valid[:, None]
+    n_hits = jnp.sum(hits)
+    teacher = jnp.where(n_hits > 0,
+                        -jnp.sum(v * hits) / jnp.maximum(n_hits, 1.0), 0.0)
+
+    total = alpha * task + (1.0 - alpha) * distill
+    # residuals: logits saved in bf16 (halves the dominant residual vs
+    # autodiff's fp32 softmax saves); lse/p/gathers are [N]-sized
+    return (total, task, distill, teacher), \
+        (h, w, s.astype(jnp.bfloat16), lse1, lseT, p, idx, shift_labels,
+         valid, inv_n, v.shape)
+
+
+def _head_kd_bwd(T, alpha, res, gs):
+    """Analytic d_logits, ONE fused elementwise pass + K-sparse scatters:
+
+      d task   /ds_j = inv_n * valid * (softmax(s)_j - 1[j = label])
+      d distill/ds_j = inv_n * valid * T * (softmax(s/T)_j - scatter(p)_j)
+
+    Autodiff of the same math walks the fp32 [N, 159k] logits several
+    times (two logsumexp backwards, gather backwards) and materializes
+    d_logits in fp32; here d is built in bf16 directly from the bf16
+    residual logits and the two head transpose matmuls run at bf16 MXU
+    rate. Errors vs exact autodiff are bf16-rounding sized (~0.4% per
+    element, unbiased) — standard mixed-precision territory.
+    """
+    import numpy as np
+    h, w, sb, lse1, lseT, p, idx, shift_labels, valid, inv_n, vshape = res
+    g_total, g_task, g_distill, _ = gs
+    a_task = (g_total * alpha + g_task) * inv_n
+    a_dist = (g_total * (1.0 - alpha) + g_distill) * inv_n * T
+
+    c_task = (a_task * valid)[:, None]                    # [N, 1] fp32
+    c_dist = (a_dist * valid)[:, None]
+    s32 = sb.astype(jnp.float32)
+    d = (c_task * jnp.exp(s32 - lse1[:, None])
+         + c_dist * jnp.exp(s32 / T - lseT[:, None])).astype(jnp.bfloat16)
+
+    rows = jnp.arange(d.shape[0])
+    d = d.at[rows[:, None], idx].add((-c_dist * p).astype(jnp.bfloat16))
+    safe = jnp.maximum(shift_labels, 0)
+    d = d.at[rows, safe].add((-c_task[:, 0]).astype(jnp.bfloat16))
+
+    dh = jax.lax.dot_general(
+        d, w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(h.dtype)
+    dw = jax.lax.dot_general(
+        d, h.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w.dtype)
+
+    f0 = jax.dtypes.float0
+    return (dh, dw, jnp.zeros(vshape, jnp.float32),
+            np.zeros(idx.shape, f0), np.zeros(shift_labels.shape, f0),
+            jnp.zeros_like(valid))
+
+
+_head_kd_core.defvjp(_head_kd_fwd, _head_kd_bwd)
+
+
+def head_sparse_kd_loss(hidden: jax.Array, lm_w: jax.Array,
+                        labels: jax.Array,
+                        teacher_top_k_v: jax.Array,
+                        teacher_top_k_i: jax.Array,
+                        speech_token_mask: Optional[jax.Array] = None,
+                        temperature: float = 2.0,
+                        alpha: float = 0.5) -> DistillLossOutput:
+    """lm-head matmul + sparse top-K KD loss as ONE op with a hand-written
+    backward (see ``_head_kd_bwd``). Forward values are bit-identical to
+    ``losses.sparse_distill_loss(unembed(hidden), ...)`` (same fp32 math);
+    the backward never materializes fp32 d_logits and saves the logits
+    residual in bf16. Default head loss for KD training steps.
+
+    hidden [B, T, D] (pre-shift), lm_w [V, D].
+    """
+    B, S, D = hidden.shape
+    h = hidden[:, :-1, :].reshape(-1, D)
+    shift_labels, valid = _shift_and_mask(labels, speech_token_mask)
+    K = teacher_top_k_i.shape[-1]
+    v = jax.lax.stop_gradient(
+        teacher_top_k_v[:, :-1, :].astype(jnp.float32)).reshape(-1, K)
+    idx = teacher_top_k_i[:, :-1, :].astype(jnp.int32).reshape(-1, K)
+    total, task, distill, teacher = _head_kd_core(
+        h, lm_w, v, idx, shift_labels.reshape(-1), valid.reshape(-1),
+        float(temperature), float(alpha))
+    return DistillLossOutput(total, task, distill, teacher)

@@ -121,3 +121,58 @@ def test_fused_extract_top_k_matches_exact(chunk):
     np.testing.assert_allclose(np.asarray(v, np.float32),
                                np.asarray(v_ref, np.float32),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_head_sparse_kd_loss_forward_exact():
+    """head_sparse_kd_loss forward == sparse_distill_loss(unembed) exactly
+    (same fp32 math, all four outputs), incl. a speech mask."""
+    hidden, lm_w, labels, tv, ti = _setup(seed=5)
+    smask = jnp.asarray(
+        np.random.default_rng(6).integers(0, 2, labels.shape), jnp.int32)
+    out = fused_lm_loss.head_sparse_kd_loss(hidden, lm_w, labels, tv, ti,
+                                            smask)
+    ref = losses.sparse_distill_loss(hidden @ lm_w.T, tv, ti, labels, smask)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6, atol=1e-7)
+
+
+def test_head_sparse_kd_loss_grads_match_autodiff():
+    """Analytic one-pass backward == autodiff, to bf16 rounding of
+    d_logits. Covers dh and dW, masked rows, and the K-sparse scatters."""
+    hidden, lm_w, labels, tv, ti = _setup(seed=7)
+
+    def loss_fast(h, w):
+        return fused_lm_loss.head_sparse_kd_loss(h, w, labels, tv, ti).total
+
+    def loss_ref(h, w):
+        return losses.sparse_distill_loss(h @ w.T, tv, ti, labels).total
+
+    gf = jax.grad(loss_fast, argnums=(0, 1))(hidden, lm_w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(hidden, lm_w)
+    for a, b, name in zip(gf, gr, ["dh", "dW"]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2,
+                                   err_msg=name)
+
+
+def test_head_sparse_kd_loss_aux_grads():
+    """Cotangents through the aux outputs (task/distill) also agree —
+    the bwd handles arbitrary output cotangents, not just total's."""
+    hidden, lm_w, labels, tv, ti = _setup(seed=8)
+
+    def combo_fast(h):
+        out = fused_lm_loss.head_sparse_kd_loss(hidden * 0 + h, lm_w,
+                                                labels, tv, ti)
+        return 0.3 * out.task + 1.7 * out.distill
+
+    def combo_ref(h):
+        out = losses.sparse_distill_loss((hidden * 0 + h) @ lm_w.T, tv, ti,
+                                         labels)
+        return 0.3 * out.task + 1.7 * out.distill
+
+    gf = np.asarray(jax.grad(combo_fast)(hidden), np.float32)
+    gr = np.asarray(jax.grad(combo_ref)(hidden), np.float32)
+    scale = np.abs(gr).max() + 1e-12
+    # bf16-rounded d_logits: per-element noise averages out less at tiny V
+    np.testing.assert_allclose(gf / scale, gr / scale, atol=3.5e-2)
