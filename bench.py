@@ -49,6 +49,10 @@ def main():
     p.add_argument("--prefix_len", type=int, default=0,
                    help="decode mode: shared prompt-prefix length — measures "
                         "the prefix-KV-cache serving path vs cold prefill")
+    p.add_argument("--quant", default="none",
+                   choices=["none", "int8", "int8_embed", "int4", "nf4"],
+                   help="decode mode: weight-only quantized serving "
+                        "(int8_embed also quantizes the tied embed/lm-head)")
     args = p.parse_args()
 
     import jax
@@ -153,6 +157,14 @@ def bench_decode(args):
 
     cfg = qwen3_student_0p6b()
     params = qwen3.init_params_on_device(0, cfg)
+    if args.quant != "none":
+        from speech_distill_tpu.ops.quant import quantize_params
+        method = {"int8": "int8", "int8_embed": "int8",
+                  "int4": "int4", "nf4": "nf4"}[args.quant]
+        bits = 8 if method == "int8" else 4
+        params = jax.jit(lambda p: quantize_params(
+            p, bits=bits, quantize_embed=args.quant == "int8_embed",
+            method=method))(params)
     sp = SamplingParams(max_tokens=256, min_tokens=256,
                         stop_token_ids=(cfg.eos_token_id,),
                         topk_method="approx")
@@ -182,6 +194,8 @@ def bench_decode(args):
     dt = time.perf_counter() - t0
     extra_d = {"tokens": n, "seconds": round(dt, 3),
                "audio_rtf": round((n / B / 25.0) / dt, 2), "streams": B}
+    if args.quant != "none":
+        extra_d["quant"] = args.quant
     if B > 1:
         extra_d.update(extra)
         if args.prefix_len:

@@ -205,6 +205,10 @@ class DistillConfig(_JsonOverlayMixin):
     alpha: float = 0.5
     top_k: int = 128                   # <=0 -> dense distillation
     online_topk_method: str = "approx"  # online extraction: approx | exact
+    online_extract: str = "materialized"  # materialized | fused — fused
+    #   (chunked scan, never materializes teacher logits) measured ~4x
+    #   SLOWER online on v5e (lax.top_k sorts per chunk); materialized
+    #   + approx_max_k is the throughput path, fused saves HBM headroom
     teacher_quant: str = "none"        # none | int8 | int4==nf4 (forces dense)
     learning_rate: float = 5e-5
     num_train_epochs: int = 3

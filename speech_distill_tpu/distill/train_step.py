@@ -165,12 +165,16 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
         def teacher_forward(tp, ids, mask):
             return qwen3.forward(tp, ids, t_cfg, attention_mask=mask)
 
-        if teacher_extract is None:
-            def _default_extract(tp, ids, mask):
+        if teacher_extract is None and \
+                getattr(distill_cfg, "online_extract", "materialized") \
+                == "fused":
+            def _fused_extract(tp, ids, mask):
                 # fused lm-head + chunked exact top-K: never materializes
                 # the [B, T, 159k] fp32 teacher logits (reference
-                # train.py:74-94 extracts from dense logits; on TPU that is
-                # ~2.6 GB of pure HBM traffic per step at bs8/seq512)
+                # train.py:74-94 extracts from dense logits). Measured ~4x
+                # slower than materialized+approx on v5e (lax.top_k sorts
+                # per vocab chunk) — use when HBM headroom matters, not
+                # throughput (config.online_extract).
                 hidden = qwen3.forward(tp, ids, t_cfg, attention_mask=mask,
                                        return_hidden=True)
                 from speech_distill_tpu.ops.fused_lm_loss import \
@@ -178,7 +182,7 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                 return fused_extract_top_k(hidden, qwen3.lm_head_weight(tp),
                                            distill_cfg.top_k,
                                            student_cfg.vocab_size)
-            teacher_extract = _default_extract
+            teacher_extract = _fused_extract
 
     def loss_fn(trainable, mb, base_params, teacher_params):
         eff, adapters, ascale = _effective_student(
