@@ -229,10 +229,13 @@ def bench_tts(args):
     fparams = flow_lib.init_params(jax.random.PRNGKey(0), fcfg)
     hparams = hift_lib.init_params(jax.random.PRNGKey(1), hcfg)
 
-    flow_fn = jax.jit(lambda t, tl, pf, pfl, emb, rng: flow_lib.forward_flow(
-        fparams, t, tl, pf, pfl, emb, fcfg, rng=rng))
-    hift_fn = jax.jit(lambda mel, rng: hift_lib.forward(hparams, mel, hcfg,
-                                                        rng=rng))
+    # pass params as ARGUMENTS: anything the jit closes over ships as
+    # constants in the relay compile request (HTTP 413 past ~1GB)
+    flow_fn = jax.jit(lambda fp, t, tl, pf, pfl, emb, rng:
+                      flow_lib.forward_flow(fp, t, tl, pf, pfl, emb, fcfg,
+                                            rng=rng))
+    hift_fn = jax.jit(lambda hp, mel, rng: hift_lib.forward(hp, mel, hcfg,
+                                                            rng=rng))
 
     rng = np.random.default_rng(0)
     n_prompt, n_gen, bucket = 75, 150, 64
@@ -249,10 +252,10 @@ def bench_tts(args):
 
     def one(key):
         k1, k2 = jax.random.split(key)
-        mels, mel_lens = flow_fn(jnp.asarray(tokens), tlen, pf,
+        mels, mel_lens = flow_fn(fparams, jnp.asarray(tokens), tlen, pf,
                                  jnp.asarray([prompt_mel_len], np.int32),
                                  emb, k1)
-        wav, _ = hift_fn(mels[:, prompt_mel_len:], k2)
+        wav, _ = hift_fn(hparams, mels[:, prompt_mel_len:], k2)
         return wav
 
     wav = one(key)                     # compile + warmup

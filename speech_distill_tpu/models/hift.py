@@ -208,12 +208,16 @@ def decode(params: Params, mel: jax.Array, source: jax.Array,
             # reflection pad (1, 0) on time
             x = jnp.concatenate([x[:, 1:2], x], axis=1)
 
+        # per-stage source-branch downsample stride is structural
+        # (cumprod of the remaining upsample rates), derived from cfg — a
+        # Python int inside the params pytree would become a tracer when
+        # params are jit arguments
+        stride = int(np.prod(cfg.upsample_rates[i + 1:], dtype=np.int64))
         sd = params["source_downs"][i]
-        if sd["stride"] == 1:
+        if stride == 1:
             si = s_stft @ sd["w"][0] + sd["b"]
         else:
-            si = _conv(s_stft, sd, stride=sd["stride"],
-                       padding=sd["stride"] // 2)
+            si = _conv(s_stft, sd, stride=stride, padding=stride // 2)
         si = _resblock(params["source_resblocks"][i], si,
                        cfg.source_resblock_kernel_sizes[i],
                        cfg.source_resblock_dilations[i])
@@ -297,12 +301,7 @@ def init_params(rng: jax.Array, cfg: HiFTConfig) -> Params:
     for i, (u, k, d) in enumerate(zip(cum, cfg.source_resblock_kernel_sizes,
                                       cfg.source_resblock_dilations)):
         ch = C // (2 ** (i + 1))
-        if u == 1:
-            sd = conv(1, nf2, ch)
-            sd["stride"] = 1
-        else:
-            sd = conv(int(u) * 2, nf2, ch)
-            sd["stride"] = int(u)
+        sd = conv(1 if u == 1 else int(u) * 2, nf2, ch)
         source_downs.append(sd)
         source_resblocks.append(resblock(ch, k, d))
     resblocks = []
@@ -404,13 +403,8 @@ def convert_torch_state(state: Dict[str, Any], cfg: HiFTConfig) -> Params:
          "b": jnp.asarray(state[f"f0_predictor.condnet.{2 * i}.bias"])}
         for i in range(5)]
 
-    down_rates = [1] + list(cfg.upsample_rates[::-1][:-1])
-    cum = np.cumprod(down_rates)[::-1]
-    source_downs = []
-    for i, u in enumerate(cum):
-        sd = conv(f"source_downs.{i}")
-        sd["stride"] = int(u) if u != 1 else 1
-        source_downs.append(sd)
+    source_downs = [conv(f"source_downs.{i}")
+                    for i in range(len(cfg.upsample_rates))]
 
     nk = len(cfg.resblock_kernel_sizes)
     return {
@@ -429,7 +423,7 @@ def convert_torch_state(state: Dict[str, Any], cfg: HiFTConfig) -> Params:
         "source_resblocks": [
             resblock(f"source_resblocks.{i}",
                      len(cfg.source_resblock_dilations[i]))
-            for i in range(len(cum))],
+            for i in range(len(cfg.upsample_rates))],
         "resblocks": [[resblock(f"resblocks.{i * nk + j}",
                                 len(cfg.resblock_dilations[j]))
                        for j in range(nk)]
