@@ -22,7 +22,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="precomputed",
                    choices=["precomputed", "online_sparse", "online_dense",
-                            "decode", "tts"])
+                            "decode", "tts", "stage1"])
     # per-device batch 8: the reference's effective batch is 16
     # (bs4 x grad-accum 4, train.py:333-334); 8 feeds the MXU better than 4
     # while staying inside that envelope
@@ -71,6 +71,8 @@ def main():
         return bench_decode(args)
     if args.mode == "tts":
         return bench_tts(args)
+    if args.mode == "stage1":
+        return bench_stage1(args)
 
     import dataclasses
     cfg = dataclasses.replace(qwen3_student_0p6b(),
@@ -208,6 +210,64 @@ def bench_decode(args):
         "unit": "tokens/s",
         "vs_baseline": 1.0,
         "extra": extra_d,
+    }))
+
+
+def bench_stage1(args):
+    """Stage-1 warm-up SFT throughput: packed seq-4096 CE training of the
+    new speech-token embedding rows only (reference stage1.py:298-325,
+    packing=True, liger fused CE -> ops/fused_lm_loss here). Uses the
+    fused lm-head CE: materialized [B*T, 159k] fp32 logits do not fit at
+    these shapes."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from speech_distill_tpu.core.config import qwen3_student_0p6b
+    from speech_distill_tpu.distill import train_step
+    from speech_distill_tpu.models import qwen3
+
+    B, T = max(1, args.batch // 4), 4096
+    cfg = qwen3_student_0p6b()
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    trainable = {"embed": {"weight": params["embed"]["weight"]}}
+    base = dict(params)
+    opt = train_step.make_optimizer(5e-5, 10, 1000)
+    state = train_step.init_state(trainable, opt)
+    old_vocab = 151936
+    step = train_step.make_stage1_step(cfg, opt, old_vocab, donate=False,
+                                       fused_loss=True,
+                                       fused_backend=args.fused_backend)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (1, B, T)),
+                                 jnp.int32),
+        "attention_mask": jnp.ones((1, B, T), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, cfg.vocab_size, (1, B, T)),
+                              jnp.int32),
+    }
+    for _ in range(args.warmup):
+        state, metrics = step(state, base, batch)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, base, batch)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = args.steps / dt
+    tokens_per_sec = steps_per_sec * B * T
+    flops_token = 3.0 * qwen3.flops_per_token(cfg, T)
+    mfu = tokens_per_sec * flops_token / 197e12
+    print(json.dumps({
+        "metric": "stage1_sft_tokens_per_sec_per_chip",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(mfu / 0.35, 3),
+        "extra": {"steps_per_sec": round(steps_per_sec, 3),
+                  "mfu": round(mfu, 4), "batch": B, "seq": T,
+                  "loss": float(metrics["loss"])},
     }))
 
 
