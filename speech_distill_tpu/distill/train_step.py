@@ -208,14 +208,14 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                        "teacher_loss": out.teacher}
             return out.total, metrics
 
-        sparse_fused = head_loss == "fused" and mode != "online_dense"
+        fused_head = head_loss == "fused"
         acts = qwen3.forward(eff, mb["input_ids"], student_cfg,
                              attention_mask=mb["attention_mask"],
-                             return_hidden=sparse_fused,
+                             return_hidden=fused_head,
                              adapters=adapters, adapter_scale=ascale)
 
         def sparse_out(v, i):
-            if sparse_fused:
+            if fused_head:
                 from speech_distill_tpu.ops.fused_lm_loss import \
                     head_sparse_kd_loss
                 return head_sparse_kd_loss(
@@ -246,9 +246,16 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                 t_logits = jax.lax.stop_gradient(
                     teacher_forward(teacher_params, t_ids, t_mask))
                 t_logits = t_logits[..., :student_cfg.vocab_size]
-                out = losses.dense_distill_loss(
-                    acts, t_logits, labels, smask,
-                    distill_cfg.temperature, distill_cfg.alpha)
+                if fused_head:
+                    from speech_distill_tpu.ops.fused_lm_loss import \
+                        head_dense_kd_loss
+                    out = head_dense_kd_loss(
+                        acts, qwen3.lm_head_weight(eff), t_logits, labels,
+                        smask, distill_cfg.temperature, distill_cfg.alpha)
+                else:
+                    out = losses.dense_distill_loss(
+                        acts, t_logits, labels, smask,
+                        distill_cfg.temperature, distill_cfg.alpha)
 
         metrics = {"loss": out.total, "student_loss": out.task,
                    "distill_loss": out.distill, "teacher_loss": out.teacher}

@@ -150,46 +150,80 @@ def make_teacher_forward(cfg: CosyVoice2Config):
 
 
 def make_teacher_extract(cfg: CosyVoice2Config, k: int,
-                         student_vocab_size: int, chunk_size: int = 16384):
-    """Fused top-K extraction over the split text/speech heads.
+                         student_vocab_size: int, chunk_size: int = 16384,
+                         extract: str = "materialized"):
+    """Top-K extraction over the split text/speech heads.
 
-    Equivalent to ``extract_top_k(forward(...), k, student_vocab_size,
-    method='exact')`` but never materializes the [B, T, unified_vocab]
-    fp32 logits: each head runs a chunked top-k+logsumexp
-    (ops.fused_lm_loss.fused_topk_lse), tops are merged with globalized
-    indices, and the joint logsumexp is ``logaddexp`` of the per-head ones
-    (the -10000 filler rows of the unified layout underflow to exactly 0
-    probability mass in both formulations, teacher_wrapper.py:126-162).
+    Equivalent to ``extract_top_k(forward(...), k, student_vocab_size)``
+    without building the unified [B, T, vocab] layout: each head is
+    processed separately, tops merged with globalized indices, joint
+    logsumexp = ``logaddexp`` of the per-head ones (the -10000 filler rows
+    of the unified layout underflow to exactly 0 probability mass in both
+    formulations, teacher_wrapper.py:126-162).
+
+    extract='materialized' (default): per-head dense logits +
+    ``approx_max_k`` — the online-KD throughput path (chunked exact
+    top-k measured ~4x slower on v5e). 'fused': chunked
+    top-k+logsumexp scan that never materializes head logits
+    (ops.fused_lm_loss.fused_topk_lse) — exact, for the offline
+    extraction CLI or HBM-bound configs.
     """
     from speech_distill_tpu.ops.fused_lm_loss import fused_topk_lse
 
-    def fn(params, ids, mask):
+    def _hidden(params, ids, mask):
         table = unified_embedding_table(params, cfg)
         x = jnp.take(table, ids, axis=0)
         hidden = qwen3.forward(params["backbone"], None, cfg.backbone,
                                attention_mask=mask, inputs_embeds=x,
                                return_hidden=True)
         B, T, D = hidden.shape
-        h = hidden.reshape(-1, D)
         lm_w = qwen3.lm_head_weight(params["backbone"])
         n_text = min(lm_w.shape[0], cfg.text_vocab_size, student_vocab_size)
-        tv, ti, lse = fused_topk_lse(h, lm_w, k, n_text, chunk_size)
+        n_speech = 0
         if student_vocab_size > cfg.speech_offset:
             n_speech = min(cfg.num_decoder_out,
                            student_vocab_size - cfg.speech_offset)
             assert k <= n_speech, "top_k exceeds the speech head"
+        return hidden.reshape(-1, D), lm_w, n_text, n_speech, (B, T)
+
+    def _merge(tv, ti, lse, tv2, ti2, lse2):
+        cand_v = jnp.concatenate([tv, tv2], axis=1)
+        cand_i = jnp.concatenate([ti, ti2 + cfg.speech_offset], axis=1)
+        v, sel = jax.lax.top_k(cand_v, k)
+        i = jnp.take_along_axis(cand_i, sel, axis=1)
+        return v, i, jnp.logaddexp(lse, lse2)
+
+    def fn_fused(params, ids, mask):
+        h, lm_w, n_text, n_speech, (B, T) = _hidden(params, ids, mask)
+        tv, ti, lse = fused_topk_lse(h, lm_w, k, n_text, chunk_size)
+        if n_speech:
             tv2, ti2, lse2 = fused_topk_lse(
                 h, params["llm_decoder"]["w"].T, k, n_speech, chunk_size,
                 bias=params["llm_decoder"]["b"])
-            cand_v = jnp.concatenate([tv, tv2], axis=1)
-            cand_i = jnp.concatenate([ti, ti2 + cfg.speech_offset], axis=1)
-            tv, sel = jax.lax.top_k(cand_v, k)
-            ti = jnp.take_along_axis(cand_i, sel, axis=1)
-            lse = jnp.logaddexp(lse, lse2)
+            tv, ti, lse = _merge(tv, ti, lse, tv2, ti2, lse2)
         v = (tv - lse[:, None]).astype(jnp.float16)
         return v.reshape(B, T, k), ti.reshape(B, T, k)
 
-    return fn
+    def fn_materialized(params, ids, mask):
+        h, lm_w, n_text, n_speech, (B, T) = _hidden(params, ids, mask)
+        tl = jax.lax.dot_general(
+            h, lm_w[:n_text], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        lse = jax.nn.logsumexp(tl, axis=-1)
+        tv, ti = jax.lax.approx_max_k(tl, k)
+        if n_speech:
+            sl = jax.lax.dot_general(
+                h, params["llm_decoder"]["w"][:, :n_speech],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) \
+                + params["llm_decoder"]["b"][:n_speech]
+            lse2 = jax.nn.logsumexp(sl, axis=-1)
+            tv2, ti2 = jax.lax.top_k(sl, k)   # 6,564 lanes: exact is cheap
+            tv, ti, lse = _merge(tv, ti, lse, tv2, ti2, lse2)
+        v = (tv - lse[:, None]).astype(jnp.float16)
+        return v.reshape(B, T, k), ti.reshape(B, T, k)
+
+    return fn_materialized if extract == "materialized" else fn_fused
 
 
 def convert_torch_state(state: Dict[str, Any],

@@ -370,3 +370,105 @@ def head_sparse_kd_loss(hidden: jax.Array, lm_w: jax.Array,
         h, lm_w, v, idx, shift_labels.reshape(-1), valid.reshape(-1),
         float(temperature), float(alpha))
     return DistillLossOutput(total, task, distill, teacher)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _head_dense_core(h, w, t, shift_labels, valid, T, alpha):
+    return _head_dense_fwd(h, w, t, shift_labels, valid, T, alpha)[0]
+
+
+def _head_dense_fwd(h, w, t, shift_labels, valid, T, alpha):
+    """h [N, D], w [V, D], t fp32 [N, V] teacher logits (stop-grad),
+    shift_labels int32 [N], valid fp32 [N]."""
+    s = jax.lax.dot_general(h, w, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    lse1_s = jax.nn.logsumexp(s, axis=-1)
+    lseT_s = jax.nn.logsumexp(s / T, axis=-1)
+    lse1_t = jax.nn.logsumexp(t, axis=-1)
+    lseT_t = jax.nn.logsumexp(t / T, axis=-1)
+
+    log_p = t / T - lseT_t[:, None]
+    p = jnp.exp(log_p)
+    log_q = s / T - lseT_s[:, None]
+    kl = jnp.sum(p * (log_p - log_q), axis=-1)
+
+    safe = jnp.maximum(shift_labels, 0)
+    gold_s = jnp.take_along_axis(s, safe[:, None], axis=-1)[:, 0]
+    gold_t = jnp.take_along_axis(t, safe[:, None], axis=-1)[:, 0]
+
+    n = jnp.sum(valid)
+    inv_n = jnp.where(n > 0, 1.0 / jnp.maximum(n, 1.0), 0.0)
+    task = jnp.sum((lse1_s - gold_s) * valid) * inv_n
+    distill = jnp.sum(kl * valid) * inv_n * (T * T)
+    teacher = jnp.sum((lse1_t - gold_t) * valid) * inv_n
+    total = alpha * task + (1.0 - alpha) * distill
+    return (total, task, distill, teacher), \
+        (h, w, s.astype(jnp.bfloat16), t.astype(jnp.bfloat16), lse1_s,
+         lseT_s, lseT_t, shift_labels, valid, inv_n)
+
+
+def _head_dense_bwd(T, alpha, res, gs):
+    """Analytic dense-KD d_logits in one fused elementwise pass:
+
+      d task   /ds_j = inv_n * valid * (softmax(s)_j - 1[j = label])
+      d distill/ds_j = inv_n * valid * T * (softmax(s/T)_j - softmax(t/T)_j)
+
+    (sum_k p_k = 1 collapses the lseT backward to softmax(s/T)/T).
+    Teacher is stop-gradient (reference train.py:60-69 no_grad)."""
+    h, w, sb, tb, lse1_s, lseT_s, lseT_t, shift_labels, valid, inv_n = res
+    g_total, g_task, g_distill, _ = gs
+    a_task = (g_total * alpha + g_task) * inv_n
+    a_dist = (g_total * (1.0 - alpha) + g_distill) * inv_n * T
+
+    c_task = (a_task * valid)[:, None]
+    c_dist = (a_dist * valid)[:, None]
+    s32 = sb.astype(jnp.float32)
+    t32 = tb.astype(jnp.float32)
+    d = (c_task * jnp.exp(s32 - lse1_s[:, None])
+         + c_dist * (jnp.exp(s32 / T - lseT_s[:, None])
+                     - jnp.exp(t32 / T - lseT_t[:, None]))
+         ).astype(jnp.bfloat16)
+    rows = jnp.arange(d.shape[0])
+    safe = jnp.maximum(shift_labels, 0)
+    d = d.at[rows, safe].add((-c_task[:, 0]).astype(jnp.bfloat16))
+
+    dh = jax.lax.dot_general(
+        d, w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(h.dtype)
+    dw = jax.lax.dot_general(
+        d, h.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w.dtype)
+    import numpy as np
+    f0 = jax.dtypes.float0
+    return (dh, dw, jnp.zeros(tb.shape, jnp.float32),
+            np.zeros(shift_labels.shape, f0), jnp.zeros_like(valid))
+
+
+_head_dense_core.defvjp(_head_dense_fwd, _head_dense_bwd)
+
+
+def head_dense_kd_loss(hidden: jax.Array, lm_w: jax.Array,
+                       teacher_logits: jax.Array,
+                       labels: jax.Array,
+                       speech_token_mask: Optional[jax.Array] = None,
+                       temperature: float = 2.0,
+                       alpha: float = 0.5) -> DistillLossOutput:
+    """Dense (full-vocab) KD head loss as one custom-VJP op — the
+    quantized-teacher / top_k<=0 mode (reference train.py:74-79 forces
+    dense). Forward matches ``losses.dense_distill_loss(unembed(hidden),
+    teacher_logits, ...)``; backward is one fused pass emitting bf16
+    d_logits (see ``_head_dense_bwd``).
+
+    hidden [B, T, D] (pre-shift), lm_w [V, D], teacher_logits [B, T, V]
+    (already truncated to the student vocab).
+    """
+    B, S, D = hidden.shape
+    h = hidden[:, :-1, :].reshape(-1, D)
+    V = teacher_logits.shape[-1]
+    t = jax.lax.stop_gradient(
+        teacher_logits[:, :-1, :].astype(jnp.float32)).reshape(-1, V)
+    shift_labels, valid = _shift_and_mask(labels, speech_token_mask)
+    total, task, distill, teacher = _head_dense_core(
+        h, lm_w, t, shift_labels.reshape(-1), valid.reshape(-1),
+        float(temperature), float(alpha))
+    return DistillLossOutput(total, task, distill, teacher)

@@ -145,7 +145,8 @@ def train(config) -> None:
             teacher_forward = cv2.make_teacher_forward(cv_cfg)
             if mode == "online_sparse":
                 teacher_extract = cv2.make_teacher_extract(
-                    cv_cfg, dcfg.top_k, s_cfg.vocab_size)
+                    cv_cfg, dcfg.top_k, s_cfg.vocab_size,
+                    extract=dcfg.online_extract)
             teacher_cfg = cv_cfg.backbone
         else:
             teacher_cfg, teacher_params = load_pretrained(config.teacher_model)

@@ -176,3 +176,39 @@ def test_head_sparse_kd_loss_aux_grads():
     scale = np.abs(gr).max() + 1e-12
     # bf16-rounded d_logits: per-element noise averages out less at tiny V
     np.testing.assert_allclose(gf / scale, gr / scale, atol=3.5e-2)
+
+
+def test_head_dense_kd_loss_forward_exact():
+    """head_dense_kd_loss forward == dense_distill_loss(unembed) (all four
+    outputs, incl. the dense teacher CE monitor and a speech mask)."""
+    hidden, lm_w, labels, _, _ = _setup(seed=9)
+    t_logits = jnp.asarray(
+        np.random.default_rng(10).normal(size=(2, 10, 100)), jnp.float32)
+    smask = jnp.asarray(
+        np.random.default_rng(11).integers(0, 2, labels.shape), jnp.int32)
+    out = fused_lm_loss.head_dense_kd_loss(hidden, lm_w, t_logits, labels,
+                                           smask)
+    ref = losses.dense_distill_loss(hidden @ lm_w.T, t_logits, labels, smask)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5, atol=1e-6)
+
+
+def test_head_dense_kd_loss_grads_match_autodiff():
+    hidden, lm_w, labels, _, _ = _setup(seed=12)
+    t_logits = jnp.asarray(
+        np.random.default_rng(13).normal(size=(2, 10, 100)), jnp.float32)
+
+    def loss_fast(h, w):
+        return fused_lm_loss.head_dense_kd_loss(
+            h, w, t_logits, labels).total
+
+    def loss_ref(h, w):
+        return losses.dense_distill_loss(h @ w.T, t_logits, labels).total
+
+    gf = jax.grad(loss_fast, argnums=(0, 1))(hidden, lm_w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(hidden, lm_w)
+    for a, b, name in zip(gf, gr, ["dh", "dW"]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2,
+                                   err_msg=name)
