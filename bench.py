@@ -53,6 +53,11 @@ def main():
                    choices=["none", "int8", "int8_embed", "int4", "nf4"],
                    help="decode mode: weight-only quantized serving "
                         "(int8_embed also quantizes the tied embed/lm-head)")
+    p.add_argument("--teacher_quant", default="none",
+                   choices=["none", "int8", "nf4"],
+                   help="online modes: quantize the in-loop teacher "
+                        "(reference train.py:139-153; int8/nf4 halve/quarter "
+                        "teacher HBM, dequantized per layer in the scan)")
     args = p.parse_args()
 
     import jax
@@ -92,6 +97,12 @@ def main():
         teacher_cfg = qwen3_teacher_1p7b()
         # on-device init: 3.4GB of bf16 teacher weights never cross the host
         teacher_params = qwen3.init_params_on_device(2, teacher_cfg)
+        if args.teacher_quant != "none":
+            from speech_distill_tpu.ops.quant import quantize_params
+            bits = 8 if args.teacher_quant == "int8" else 4
+            teacher_params = jax.jit(lambda p: quantize_params(
+                p, bits=bits, quantize_embed=args.teacher_quant == "int8",
+                method=args.teacher_quant))(teacher_params)
 
     rng = np.random.default_rng(0)
     B, T, K = args.batch, args.seq, args.top_k
