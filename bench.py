@@ -53,6 +53,10 @@ def main():
                    choices=["none", "int8", "int8_embed", "int4", "nf4"],
                    help="decode mode: weight-only quantized serving "
                         "(int8_embed also quantizes the tied embed/lm-head)")
+    p.add_argument("--donate", action="store_true",
+                   help="donate the train state to the step (in-place "
+                        "buffer reuse; the trainer always does this — off "
+                        "by default here only for state-inspection runs)")
     p.add_argument("--teacher_quant", default="none",
                    choices=["none", "int8", "nf4"],
                    help="online modes: quantize the in-loop teacher "
@@ -120,7 +124,8 @@ def main():
             rng.integers(0, cfg.vocab_size, (1, B, T, K)), jnp.int32)
 
     step = train_step.make_kd_step(cfg, dcfg, opt, mode=args.mode,
-                                   teacher_cfg=teacher_cfg, donate=False,
+                                   teacher_cfg=teacher_cfg,
+                                   donate=args.donate,
                                    fused_loss=args.fused_loss,
                                    fused_backend=args.fused_backend)
 
