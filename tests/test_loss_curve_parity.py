@@ -111,3 +111,95 @@ def test_kd_loss_curve_within_1pct():
         assert abs(a - b) / abs(b) < 0.01, (jax_losses, torch_losses)
     # and losses actually went down
     assert jax_losses[-1] < jax_losses[0]
+
+
+def _torch_dense_loss(student_logits, teacher_logits, labels,
+                      temperature=2.0, alpha=0.5):
+    """Reference dense path (distillation_loss.py:56-71)."""
+    V = student_logits.size(-1)
+    s = student_logits[..., :-1, :].reshape(-1, V)
+    t = teacher_logits[..., :-1, :].reshape(-1, V)
+    l = labels[..., 1:].reshape(-1)
+    valid = l != -100
+    s_v, t_v, l_v = s[valid], t[valid], l[valid]
+    T = temperature
+    log_q = F.log_softmax(s_v / T, -1)
+    p = F.softmax(t_v / T, -1)
+    log_p = F.log_softmax(t_v / T, -1)
+    distill = (p * (log_p - log_q)).sum(-1).mean() * T * T
+    task = F.cross_entropy(s_v, l_v)
+    return alpha * task + (1 - alpha) * distill
+
+
+@pytest.mark.slow
+def test_kd_dense_loss_curve_within_1pct():
+    """online_dense (fused dense head loss, teacher fwd in-jit) tracks a
+    torch loop with the reference's dense KL semantics within 1%."""
+    from transformers import Qwen3Config as HFQwen3Config, Qwen3ForCausalLM
+
+    cfg = qwen3_tiny(128)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})
+    hf_cfg = HFQwen3Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads, head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,
+        max_position_embeddings=cfg.max_position_embeddings,
+        tie_word_embeddings=True, attention_bias=False)
+    torch.manual_seed(0)
+    student_t = Qwen3ForCausalLM(hf_cfg).to(torch.float32)
+    torch.manual_seed(1)
+    teacher_t = Qwen3ForCausalLM(hf_cfg).to(torch.float32).eval()
+    s_params = from_state_dict(student_t.state_dict(), cfg, dtype="float32")
+    t_params = from_state_dict(teacher_t.state_dict(), cfg, dtype="float32")
+
+    rng = np.random.default_rng(0)
+    B, T, steps = 2, 16, 5
+    data = []
+    for _ in range(steps):
+        ids = rng.integers(0, 128, (B, T))
+        labels = ids.copy().astype(np.int64)
+        labels[:, :2] = -100
+        data.append((ids, labels))
+
+    lr, warmup, total = 1e-3, 2, steps
+
+    opt_t = torch.optim.AdamW(student_t.parameters(), lr=lr,
+                              betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt_t, lambda step: (step / warmup if step < warmup
+                             else max(0.0, (total - step) / (total - warmup))))
+    torch_losses = []
+    for ids, labels in data:
+        out = student_t(input_ids=torch.tensor(ids)).logits
+        with torch.no_grad():
+            t_out = teacher_t(input_ids=torch.tensor(ids)).logits
+        loss = _torch_dense_loss(out, t_out, torch.tensor(labels))
+        opt_t.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(student_t.parameters(), 1.0)
+        opt_t.step()
+        sched.step()
+        torch_losses.append(float(loss))
+
+    dcfg = DistillConfig(top_k=0, lora=LoraConfig(use_lora=False))
+    opt = train_step.make_optimizer(lr, warmup, total)
+    state = train_step.init_state(s_params, opt)
+    step = train_step.make_kd_step(cfg, dcfg, opt, mode="online_dense",
+                                   teacher_cfg=cfg, use_lora=False,
+                                   donate=False)
+    jax_losses = []
+    for ids, labels in data:
+        batch = {
+            "input_ids": jnp.asarray(ids, jnp.int32)[None],
+            "attention_mask": jnp.ones((1, B, T), jnp.int32),
+            "labels": jnp.asarray(labels)[None],
+        }
+        state, m = step(state, None, t_params, batch)
+        jax_losses.append(float(m["loss"]))
+
+    for a, b in zip(jax_losses, torch_losses):
+        assert abs(a - b) / abs(b) < 0.01, (jax_losses, torch_losses)
+    assert jax_losses[-1] < jax_losses[0]
