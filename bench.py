@@ -203,6 +203,11 @@ def bench_decode(args):
         eng.generate_batch(prompts, max_new=256)  # compile + warm the cache
         extra = {}
         if args.prefix_len:
+            # unmeasured warmup of the no-cache path too: its prefill runs
+            # at a wider bucket (prefix folded into the batch), a shape the
+            # cached path never compiled — without this, cold_seconds would
+            # include a relay XLA compile and inflate the speedup
+            eng.generate_batch(prompts, max_new=8, use_prefix_cache=False)
             t0 = time.perf_counter()
             eng.generate_batch(prompts, max_new=256, use_prefix_cache=False)
             extra["cold_seconds"] = round(time.perf_counter() - t0, 3)

@@ -17,13 +17,42 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+VARIANT_NAMES = ["bs16", "bs12", "bs8/save-everything",
+                 "bs12/save-everything", "bs8"]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=15)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--seq", type=int, default=512)
     p.add_argument("--top_k", type=int, default=128)
+    p.add_argument("--variant", default=None,
+                   help="run ONE variant in this process (internal)")
     args = p.parse_args()
+
+    if args.variant is None:
+        # dispatcher: one subprocess per variant — several of these are
+        # deliberately memory-risky, and a device OOM poisons the axon
+        # process claim for every later program in the same process
+        import subprocess
+        here = os.path.abspath(__file__)
+        for name in VARIANT_NAMES:
+            proc = subprocess.run(
+                [sys.executable, here, "--variant", name,
+                 "--steps", str(args.steps), "--warmup", str(args.warmup),
+                 "--seq", str(args.seq), "--top_k", str(args.top_k)],
+                capture_output=True, text=True, timeout=1800)
+            lines = [l for l in proc.stdout.splitlines()
+                     if l.startswith("{")]
+            if lines:
+                print(lines[-1], flush=True)
+            else:
+                err = (proc.stderr or "").strip().splitlines()
+                print(json.dumps({"variant": name,
+                                  "error": err[-1][-160:] if err else "?"}),
+                      flush=True)
+        return
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -68,6 +97,8 @@ def main():
         ("bs12/save-everything", 12, {}, dict(remat_policy="everything")),
         ("bs8", 8, {}, {}),
     ]
+    variants = [v for v in variants if v[0] == args.variant]
+    assert variants, f"unknown variant {args.variant}"
     results = {}
     for name, B, step_kw, cfg_kw in variants:
         import gc

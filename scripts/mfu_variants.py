@@ -22,6 +22,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+VARIANT_NAMES = ["merged/full", "unmerged/full", "unmerged/dots",
+                 "unmerged/none", "unmerged/dots/xla", "unmerged/none/xla"]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=15)
@@ -29,7 +33,33 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--seq", type=int, default=512)
     p.add_argument("--top_k", type=int, default=128)
+    p.add_argument("--variant", default=None,
+                   help="run ONE variant in this process (internal)")
     args = p.parse_args()
+
+    if args.variant is None:
+        # dispatcher: one subprocess per variant — the no-remat configs
+        # are memory-risky and a device OOM poisons the axon claim for
+        # every later program in the same process
+        import subprocess
+        here = os.path.abspath(__file__)
+        for name in VARIANT_NAMES:
+            proc = subprocess.run(
+                [sys.executable, here, "--variant", name,
+                 "--steps", str(args.steps), "--warmup", str(args.warmup),
+                 "--batch", str(args.batch), "--seq", str(args.seq),
+                 "--top_k", str(args.top_k)],
+                capture_output=True, text=True, timeout=1800)
+            lines = [l for l in proc.stdout.splitlines()
+                     if l.startswith("{")]
+            if lines:
+                print(lines[-1], flush=True)
+            else:
+                err = (proc.stderr or "").strip().splitlines()
+                print(json.dumps({"variant": name,
+                                  "error": err[-1][-200:] if err else "?"}),
+                      flush=True)
+        return
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -76,6 +106,8 @@ def main():
         ("unmerged/none/xla", dict(merge_weights=False),
          dict(remat=False, attn_impl="xla")),
     ]
+    variants = [v for v in variants if v[0] == args.variant]
+    assert variants, f"unknown variant {args.variant}"
     results = {}
     for name, step_kw, cfg_kw in variants:
         cfg = dataclasses.replace(cfg0, **cfg_kw)

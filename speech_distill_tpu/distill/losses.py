@@ -129,34 +129,6 @@ def sparse_distill_loss(student_logits: jax.Array,
     return DistillLossOutput(total, task, distill, teacher)
 
 
-def _sparse_parts(s, v, idx, shift_labels, valid, T):
-    """Forward pieces shared by value and gradient: returns
-    (task, distill, teacher, n_valid, lse1, lseT, p)."""
-    log_p = jax.nn.log_softmax(v / T, axis=-1)
-    p = jnp.exp(log_p)
-
-    lseT = jax.nn.logsumexp(s / T, axis=-1)
-    lse1 = jax.nn.logsumexp(s, axis=-1)
-    log_q = jnp.take_along_axis(s, idx, axis=-1) / T - lseT[..., None]
-    kl_per_pos = jnp.sum(p * (log_p - log_q), axis=-1)
-
-    safe = jnp.maximum(shift_labels, 0)
-    gold = jnp.take_along_axis(s, safe[..., None], axis=-1)[..., 0]
-    ce_per_pos = lse1 - gold
-
-    n = jnp.sum(valid)
-    inv_n = jnp.where(n > 0, 1.0 / jnp.maximum(n, 1.0), 0.0)
-    task = jnp.sum(ce_per_pos * valid) * inv_n
-    distill = jnp.sum(kl_per_pos * valid) * inv_n * (T * T)
-
-    hits = (idx == shift_labels[..., None]).astype(jnp.float32)
-    hits = hits * valid[..., None]
-    n_hits = jnp.sum(hits)
-    teacher = jnp.where(
-        n_hits > 0, -jnp.sum(v * hits) / jnp.maximum(n_hits, 1.0), 0.0)
-    return task, distill, teacher, inv_n, lse1, lseT, p
-
-
 def distillation_loss(student_logits: jax.Array,
                       labels: jax.Array,
                       teacher_logits: Optional[jax.Array] = None,

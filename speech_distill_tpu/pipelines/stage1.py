@@ -132,17 +132,31 @@ def train_stage1(config):
         eB = (max(config.eval_batch_size, 1) + dp - 1) // dp * dp
 
         def eval_fn(state):
-            ms = []
-            for i in range(0, len(eval_packed) - eB + 1, eB) or [0]:
+            # every eval row is scored exactly once: the final short group
+            # is padded to the static batch shape with repeated rows whose
+            # labels are all IGNORE_INDEX, so they carry zero valid tokens
+            # and drop out of the masked mean; groups are averaged weighted
+            # by their real row count
+            ms, ws = [], []
+            for i in range(0, len(eval_packed), eB):
                 rows = eval_packed[i:i + eB]
-                if len(rows) < eB:  # repeat-pad final group, static shape
-                    rows = np.resize(rows, (eB, rows.shape[1]))
+                n_real = len(rows)
+                if n_real < eB:
+                    pad = np.repeat(rows[-1:], eB - n_real, axis=0)
+                    rows = np.concatenate([rows, pad], axis=0)
+                labels = rows[None].astype(np.int64)
+                if n_real < eB:
+                    labels[0, n_real:] = -100
                 b = {"input_ids": rows[None],
                      "attention_mask": np.ones_like(rows)[None],
-                     "labels": rows[None].astype(np.int64)}
+                     "labels": labels}
                 ms.append(jax.device_get(eval_step(
                     state.trainable, base_s, sharding.shard_batch(mesh, b))))
-            return {k: float(np.mean([m[k] for m in ms])) for k in ms[0]}
+                ws.append(n_real)
+            w = np.asarray(ws, np.float64)
+            w = w / w.sum()
+            return {k: float(sum(wi * m[k] for wi, m in zip(w, ms)))
+                    for k in ms[0]}
 
     loop_cfg = LoopConfig(
         num_epochs=config.num_epochs, logging_steps=config.logging_steps,
