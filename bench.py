@@ -22,7 +22,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="precomputed",
                    choices=["precomputed", "online_sparse", "online_dense",
-                            "decode", "tts", "stage1"])
+                            "decode", "tts", "stage1", "s3"])
     # per-device batch 8: the reference's effective batch is 16
     # (bs4 x grad-accum 4, train.py:333-334); 8 feeds the MXU better than 4
     # while staying inside that envelope
@@ -82,6 +82,8 @@ def main():
         return bench_tts(args)
     if args.mode == "stage1":
         return bench_stage1(args)
+    if args.mode == "s3":
+        return bench_s3(args)
 
     import dataclasses
     cfg = dataclasses.replace(qwen3_student_0p6b(),
@@ -231,6 +233,51 @@ def bench_decode(args):
         "unit": "tokens/s",
         "vs_baseline": 1.0,
         "extra": extra_d,
+    }))
+
+
+def bench_s3(args):
+    """Audio->token throughput of the S3 semantic tokenizer (the raw-data
+    path's bottleneck the reference offloads to dataloader workers,
+    README.md:113-131; BASELINE north-star 'audio->token clips/sec').
+    Batched jitted encoder+FSQ quantize over 10s clips (1,000 mel frames
+    at 100 fps -> 250 codes at 25 Hz)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from speech_distill_tpu.tokenizer import s3
+
+    cfg = s3.S3Config()
+    # on-device init: the ~480MB fp32 encoder is slow through the relay
+    params = s3.init_params_on_device(0, cfg)
+
+    rng = np.random.default_rng(0)
+    B, T = args.batch * 2, 1024          # 10.24s clips, padded bucket
+    mels = jnp.asarray(rng.normal(size=(B, cfg.n_mels, T)) * 0.5,
+                       jnp.float32)
+    lens = jnp.full((B,), 1000, jnp.int32)
+
+    fn = jax.jit(lambda p, m, l: s3.quantize(p, m, l, cfg))
+    codes, clens = fn(params, mels, lens)        # compile + warmup
+    float(jnp.sum(codes))
+    steps = args.steps
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        codes, clens = fn(params, mels, lens)
+    float(jnp.sum(codes))
+    dt = (time.perf_counter() - t0) / steps
+
+    clip_s = 10.0
+    clips_per_sec = B / dt
+    print(json.dumps({
+        "metric": "s3_audio_to_token_clips_per_sec",
+        "value": round(clips_per_sec, 1),
+        "unit": "10s-clips/s/chip",
+        "vs_baseline": 1.0,
+        "extra": {"batch": B,
+                  "x_realtime": round(clips_per_sec * clip_s, 1),
+                  "ms_per_batch": round(dt * 1000, 1)},
     }))
 
 

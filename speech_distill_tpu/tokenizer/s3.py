@@ -86,6 +86,55 @@ def init_params(rng: jax.Array, cfg: S3Config) -> Params:
     }
 
 
+def param_shapes(cfg: S3Config) -> Dict[str, Any]:
+    """(shape, kind) spec mirroring :func:`init_params`'s structure
+    (kind: 'w' normal-init, 'one', 'zero')."""
+    D, L = cfg.n_state, cfg.n_layer
+    block = {
+        "ln1": {"scale": ((L, D), "one"), "bias": ((L, D), "zero")},
+        "q": {"w": ((L, D, D), "w"), "b": ((L, D), "zero")},
+        "k": {"w": ((L, D, D), "w")},
+        "v": {"w": ((L, D, D), "w"), "b": ((L, D), "zero")},
+        "out": {"w": ((L, D, D), "w"), "b": ((L, D), "zero")},
+        "ln2": {"scale": ((L, D), "one"), "bias": ((L, D), "zero")},
+        "mlp1": {"w": ((L, D, 4 * D), "w"), "b": ((L, 4 * D), "zero")},
+        "mlp2": {"w": ((L, 4 * D, D), "w"), "b": ((L, D), "zero")},
+    }
+    return {
+        "conv1": {"w": ((3, cfg.n_mels, D), "w"), "b": ((D,), "zero")},
+        "conv2": {"w": ((3, D, D), "w"), "b": ((D,), "zero")},
+        "blocks": block,
+        "ln_post": {"scale": ((D,), "one"), "bias": ((D,), "zero")},
+        "fsq": {"w": ((D, cfg.fsq_dim), "w"), "b": ((cfg.fsq_dim,), "zero")},
+    }
+
+
+def init_params_on_device(seed: int, cfg: S3Config) -> Params:
+    """Random init in ONE jitted program (the ~480MB fp32 encoder would
+    otherwise cross the relay host->device; cf. qwen3.init_params_on_device)."""
+    def _is_leaf(x):
+        return (isinstance(x, tuple) and len(x) == 2
+                and isinstance(x[0], tuple) and isinstance(x[1], str))
+    shapes = param_shapes(cfg)
+    leaves, treedef = jax.tree.flatten(shapes, is_leaf=_is_leaf)
+
+    @jax.jit
+    def make(seed):
+        key = jax.random.PRNGKey(seed)
+        out = []
+        for i, (shape, kind) in enumerate(leaves):
+            if kind == "one":
+                out.append(jnp.ones(shape, jnp.float32))
+            elif kind == "zero":
+                out.append(jnp.zeros(shape, jnp.float32))
+            else:
+                k = jax.random.fold_in(key, i)
+                out.append(jax.random.normal(k, shape, jnp.float32) * 0.02)
+        return jax.tree.unflatten(treedef, out)
+
+    return make(seed)
+
+
 def sinusoids(length: int, channels: int) -> np.ndarray:
     """Whisper's fixed sinusoidal position embedding."""
     log_timescale = np.log(10000) / (channels // 2 - 1)
