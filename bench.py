@@ -53,6 +53,8 @@ def main():
                    choices=["none", "int8", "int8_embed", "int4", "nf4"],
                    help="decode mode: weight-only quantized serving "
                         "(int8_embed also quantizes the tied embed/lm-head)")
+    p.add_argument("--tts_batch", type=int, default=1,
+                   help="tts mode: concurrent turns through flow+vocoder")
     p.add_argument("--donate", action="store_true",
                    help="donate the train state to the step (in-place "
                         "buffer reuse; the trainer always does this — off "
@@ -366,22 +368,23 @@ def bench_tts(args):
                                                             rng=rng))
 
     rng = np.random.default_rng(0)
+    B = args.tts_batch
     n_prompt, n_gen, bucket = 75, 150, 64
     n = n_prompt + n_gen
     width = -(-n // bucket) * bucket
-    tokens = np.zeros((1, width), np.int32)
-    tokens[0, :n] = rng.integers(0, 6561, n)
-    tlen = jnp.asarray([n], jnp.int32)
+    tokens = np.zeros((B, width), np.int32)
+    tokens[:, :n] = rng.integers(0, 6561, (B, n))
+    tlen = jnp.full((B,), n, jnp.int32)
     prompt_mel_len = n_prompt * 2
-    pf = jnp.asarray(rng.normal(size=(1, prompt_mel_len, 80)) * 0.1,
+    pf = jnp.asarray(rng.normal(size=(B, prompt_mel_len, 80)) * 0.1,
                      jnp.float32)
-    emb = jnp.asarray(rng.normal(size=(1, 192)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(B, 192)), jnp.float32)
     key = jax.random.PRNGKey(2)
 
     def one(key):
         k1, k2 = jax.random.split(key)
         mels, mel_lens = flow_fn(fparams, jnp.asarray(tokens), tlen, pf,
-                                 jnp.asarray([prompt_mel_len], np.int32),
+                                 jnp.full((B,), prompt_mel_len, np.int32),
                                  emb, k1)
         wav, _ = hift_fn(hparams, mels[:, prompt_mel_len:], k2)
         return wav
@@ -397,12 +400,12 @@ def bench_tts(args):
 
     audio_s = n_gen / 25.0
     print(json.dumps({
-        "metric": "tts_flow_vocoder_rtf",
-        "value": round(audio_s / dt, 2),
+        "metric": f"tts_flow_vocoder_rtf_b{B}",
+        "value": round(audio_s * B / dt, 2),
         "unit": "x realtime",
         "vs_baseline": 1.0,
         "extra": {"turn_seconds": audio_s, "wall_seconds": round(dt, 3),
-                  "cfm_steps": 15, "tokens": n_gen},
+                  "cfm_steps": 15, "tokens": n_gen, "batch": B},
     }))
 
 

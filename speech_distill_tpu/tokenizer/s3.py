@@ -226,18 +226,28 @@ def conv_out_len(n):
 
 
 def quantize(params: Params, mels: jax.Array, mels_lens: jax.Array,
-             cfg: S3Config) -> Tuple[jax.Array, jax.Array]:
+             cfg: S3Config, precision: str = "float32"
+             ) -> Tuple[jax.Array, jax.Array]:
     """Batched mel [B, n_mels, T], lens [B] -> (codes [B, T'], code_lens [B]).
 
     Matches the reference call surface (utils.py:95). Output frames follow
     the two stride-2/k3/p1 convs exactly: T' = ceil(ceil(T/2)/2) — NOT T//4,
     which undercounts by one frame whenever T % 4 != 0.
+
+    ``precision``: matmul precision for the encoder. The default
+    'float32' keeps full fp32 MXU passes so the FSQ rounding matches the
+    fp32 torch reference bit-exactly; JAX's TPU default would run the
+    fp32 dots as single-pass bf16, whose ~0.4% noise can flip codes whose
+    tanh projection lands near a +-0.5 rounding boundary. 'bfloat16' is
+    ~3x faster when occasional single-digit code flips are acceptable.
     """
     T_out = conv_out_len(conv_out_len(mels.shape[-1]))
     code_lens = conv_out_len(conv_out_len(mels_lens)).astype(jnp.int32)
     mask = (jnp.arange(T_out)[None, :] < code_lens[:, None]).astype(jnp.int32)
-    hidden = encode(params, mels, cfg, mask)
-    codes = fsq_encode(params, hidden, cfg)
+    with jax.default_matmul_precision(
+            "float32" if precision == "float32" else "bfloat16"):
+        hidden = encode(params, mels, cfg, mask)
+        codes = fsq_encode(params, hidden, cfg)
     return codes * mask, code_lens
 
 
