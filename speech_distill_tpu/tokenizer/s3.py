@@ -360,6 +360,33 @@ class S3Tokenizer:
                                jnp.asarray([T], jnp.int32))
         return np.asarray(codes)[0, :int(lens[0])].tolist()
 
+    def batch(self, audios, srs=None):
+        """Many clips -> list[list[int]] codes in ONE padded quantize call
+        (reference ``get_speech_tokens_batch``, utils.py:102-147: pad mels
+        to the batch max, batched quantize, split by true lengths). Mels
+        are padded to a bucket multiple so repeated batches of similar
+        lengths reuse one compiled program."""
+        from speech_distill_tpu.audio.resample import resample
+        mels, lens = [], []
+        for i, audio in enumerate(audios):
+            sr = 16000 if srs is None else int(srs[i])
+            audio = np.asarray(audio, np.float32)
+            if sr != 16000:
+                audio = resample(audio, sr, 16000)
+            mel = np.asarray(log_mel_spectrogram(
+                jnp.asarray(audio, jnp.float32), self.cfg.n_mels))
+            mels.append(mel)
+            lens.append(mel.shape[-1])
+        T = max(lens)
+        Tp = -(-T // self.pad_to) * self.pad_to
+        batch = np.zeros((len(mels), self.cfg.n_mels, Tp), np.float32)
+        for i, mel in enumerate(mels):
+            batch[i, :, :mel.shape[-1]] = mel
+        codes, clens = self._fn(self.params, jnp.asarray(batch),
+                                jnp.asarray(lens, jnp.int32))
+        codes, clens = np.asarray(codes), np.asarray(clens)
+        return [codes[i, :int(clens[i])].tolist() for i in range(len(mels))]
+
 
 def load_s3_tokenizer(ckpt_path: Optional[str] = None) -> S3Tokenizer:
     """Load from a torch checkpoint path (or $S3_TOKENIZER_CKPT)."""

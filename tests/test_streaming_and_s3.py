@@ -102,3 +102,21 @@ def test_s3_tokens_feed_processor():
         {"audio": {"array": audio, "sampling_rate": 16000},
          "text": "hi", "lang": "en"})
     assert len(out["input_ids"]) > 10
+
+
+def test_s3_tokenizer_batch_matches_single():
+    """S3Tokenizer.batch == per-clip calls (reference
+    get_speech_tokens_batch vs get_speech_tokens, utils.py:51-147),
+    including ragged lengths padded to the batch max."""
+    import numpy as np
+    from speech_distill_tpu.tokenizer import s3 as s3_mod
+
+    cfg = s3_mod.s3_tiny()
+    params = s3_mod.init_params(jax.random.PRNGKey(0), cfg)
+    tok = s3_mod.S3Tokenizer(params, cfg, pad_to_multiple_of=16)
+    rng = np.random.default_rng(0)
+    audios = [rng.normal(size=n).astype(np.float32) * 0.1
+              for n in (16000, 9601, 12800)]
+    batched = tok.batch(audios)
+    singles = [tok(a) for a in audios]
+    assert batched == singles
