@@ -22,7 +22,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="precomputed",
                    choices=["precomputed", "online_sparse", "online_dense",
-                            "decode", "tts", "stage1", "s3"])
+                            "decode", "tts", "stage1", "s3",
+                            "extract"])
     # per-device batch 8: the reference's effective batch is 16
     # (bs4 x grad-accum 4, train.py:333-334); 8 feeds the MXU better than 4
     # while staying inside that envelope
@@ -53,6 +54,10 @@ def main():
                    choices=["none", "int8", "int8_embed", "int4", "nf4"],
                    help="decode mode: weight-only quantized serving "
                         "(int8_embed also quantizes the tied embed/lm-head)")
+    p.add_argument("--extract_impl", default="fused",
+                   choices=["fused", "materialized"],
+                   help="extract mode: fused chunked scan vs materialized "
+                        "logits + chunked exact top-k")
     p.add_argument("--tts_batch", type=int, default=1,
                    help="tts mode: concurrent turns through flow+vocoder")
     p.add_argument("--donate", action="store_true",
@@ -86,6 +91,8 @@ def main():
         return bench_stage1(args)
     if args.mode == "s3":
         return bench_s3(args)
+    if args.mode == "extract":
+        return bench_extract(args)
 
     import dataclasses
     cfg = dataclasses.replace(qwen3_student_0p6b(),
@@ -280,6 +287,67 @@ def bench_s3(args):
         "extra": {"batch": B,
                   "x_realtime": round(clips_per_sec * clip_s, 1),
                   "ms_per_batch": round(dt * 1000, 1)},
+    }))
+
+
+def bench_extract(args):
+    """Offline teacher top-K logit extraction throughput (the L4 pipeline,
+    reference extract_teacher_logits.py:95-129 — a 10-60min one-time GPU
+    pass). Teacher 1.7B forward + fused exact top-K (the bit-parity
+    artifact path used by pipelines/extract_logits.py)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from speech_distill_tpu.core.config import (qwen3_student_0p6b,
+                                                qwen3_teacher_1p7b)
+    from speech_distill_tpu.models import qwen3
+    from speech_distill_tpu.ops.fused_lm_loss import fused_extract_top_k
+
+    t_cfg = qwen3_teacher_1p7b()
+    s_cfg = qwen3_student_0p6b()
+    teacher = qwen3.init_params_on_device(2, t_cfg)
+    B, T, K = args.batch, args.seq, args.top_k
+
+    if args.extract_impl == "fused":
+        @jax.jit
+        def extract(tp, ids, mask):
+            hidden = qwen3.forward(tp, ids, t_cfg, attention_mask=mask,
+                                   return_hidden=True)
+            return fused_extract_top_k(hidden, qwen3.lm_head_weight(tp), K,
+                                       s_cfg.vocab_size)
+    else:
+        from speech_distill_tpu.distill.losses import extract_top_k
+
+        @jax.jit
+        def extract(tp, ids, mask):
+            logits = qwen3.forward(tp, ids, t_cfg, attention_mask=mask)
+            return extract_top_k(logits, K, s_cfg.vocab_size,
+                                 method="exact")
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, s_cfg.vocab_size, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+    v, i = extract(teacher, ids, mask)       # compile + warmup
+    float(jnp.sum(i))
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        v, i = extract(teacher, ids, mask)
+    float(jnp.sum(i))
+    dt = (time.perf_counter() - t0) / args.steps
+
+    tokens_per_sec = B * T / dt
+    flops_token = qwen3.flops_per_token(t_cfg, T)
+    print(json.dumps({
+        "metric": "extract_teacher_topk_tokens_per_sec_per_chip",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": 1.0,
+        "extra": {"batch": B, "seq": T, "top_k": K,
+                  "impl": args.extract_impl,
+                  "seqs_per_sec": round(B / dt, 2),
+                  "teacher_fwd_mfu": round(
+                      tokens_per_sec * flops_token / 197e12, 4)},
     }))
 
 
