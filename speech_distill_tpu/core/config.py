@@ -205,6 +205,13 @@ class DistillConfig(_JsonOverlayMixin):
     alpha: float = 0.5
     top_k: int = 128                   # <=0 -> dense distillation
     online_topk_method: str = "approx"  # online extraction: approx | exact
+    online_topk_recall: float = 0.95   # approx_max_k recall target; the
+    #                                    tokens a lower recall misses are
+    #                                    tail entries of the renormalized
+    #                                    top-K with negligible KL mass.
+    #                                    Measured on v5e: 0.95 is +25%
+    #                                    step throughput over 0.99 with a
+    #                                    0.01% KD-loss difference
     online_extract: str = "materialized"  # materialized | fused — fused
     #   (chunked scan, never materializes teacher logits) measured ~4x
     #   SLOWER online on v5e (lax.top_k sorts per chunk); materialized
