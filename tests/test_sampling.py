@@ -259,3 +259,36 @@ def test_decode_matches_full_forward_logits():
     full = qwen3.forward(params, jnp.asarray([prompt]), cfg)
     np.testing.assert_allclose(np.asarray(st.last_logits[0]),
                                np.asarray(full[0, -1]), atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_windowed_decode_across_window_boundary():
+    """Greedy decode whose generation CROSSES the power-of-two cache-window
+    boundary (512 -> 1024) must equal greedy decode computed by repeated
+    full forward passes with no cache — locks the window hand-off logic
+    (engine._run_decode: tokens/valid/cache slab copies between windows)."""
+    from speech_distill_tpu.infer.engine import DecodeEngine
+    cfg = qwen3_tiny(64)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    n_gen = 24
+    sp = SamplingParams(temperature=1.0, repetition_penalty=1.0, top_k=1,
+                        top_p=1.0, min_tokens=n_gen, max_tokens=n_gen,
+                        stop_token_ids=(63,), use_ras=False,
+                        topk_method="exact")
+    eng = DecodeEngine(params, cfg, sp, max_len=2048, prefill_bucket=128,
+                       cache_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 62, 500).tolist()   # window 512; crosses at 513
+    got = eng.generate(prompt)["token_ids"]
+
+    ids = list(prompt)
+    want = []
+    for _ in range(n_gen):
+        logits = qwen3.forward(params, jnp.asarray([ids], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        want.append(nxt)
+        ids.append(nxt)
+        if nxt == 63:
+            break
+    assert got == want, (got, want)
