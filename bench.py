@@ -54,8 +54,9 @@ def main():
                    choices=["none", "int8", "int8_embed", "int4", "nf4"],
                    help="decode mode: weight-only quantized serving "
                         "(int8_embed also quantizes the tied embed/lm-head)")
-    p.add_argument("--topk_recall", type=float, default=0.99,
-                   help="online_sparse: approx_max_k recall target")
+    p.add_argument("--topk_recall", type=float, default=None,
+                   help="online_sparse: approx_max_k recall target "
+                        "(default: DistillConfig.online_topk_recall=0.95)")
     p.add_argument("--extract_impl", default="fused",
                    choices=["fused", "materialized"],
                    help="extract mode: fused chunked scan vs materialized "
@@ -101,8 +102,10 @@ def main():
                               remat=not args.no_remat, attn_impl=args.attn,
                               remat_policy=args.remat_policy)
     dcfg = DistillConfig(top_k=args.top_k,
-                         online_topk_recall=args.topk_recall,
                          lora=LoraConfig(init_weights="gaussian"))
+    if args.topk_recall is not None:
+        import dataclasses as _dc
+        dcfg = _dc.replace(dcfg, online_topk_recall=args.topk_recall)
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
     lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, dcfg.lora)
     del params
