@@ -32,8 +32,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block: int,
     (1, 1, block) row blocks); programs write disjoint slices."""
     h = pl.program_id(1)
     iq = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # [Bq, Dh]
+    # matmul OPERANDS stay in the input dtype (bf16 in training) with fp32
+    # accumulation via preferred_element_type — fp32xfp32 operands would
+    # run the MXU in multi-pass mode (~6x slower); softmax math is fp32.
+    # The softmax scale is applied to the fp32 product, not the operands.
+    q = q_ref[0, 0]                                      # [Bq, Dh]
     Bq, Dh = q.shape
+    op_dt = q.dtype
 
     m = jnp.full((Bq,), NEG_INF, jnp.float32)
     l = jnp.zeros((Bq,), jnp.float32)
@@ -43,10 +48,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block: int,
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, 0, pl.ds(j * block, block), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * block, block), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(j * block, block), :]
+        v = v_ref[0, 0, pl.ds(j * block, block), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * scale
         k_pos = j * block + jax.lax.broadcasted_iota(jnp.int32, (Bq, block), 1)
         s = jnp.where(k_pos <= q_pos, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1))
@@ -54,7 +59,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block: int,
         correction = jnp.exp(m - m_new)
         l_new = l * correction + jnp.sum(p, axis=1)
         acc_new = acc * correction[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(op_dt), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
@@ -69,26 +74,28 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                block: int, scale: float):
     h = pl.program_id(1)
     iq = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    op_dt = q.dtype
     lse = lse_ref[0, h, pl.ds(iq * block, block)]
     delta = delta_ref[0, h, pl.ds(iq * block, block)]
     Bq, Dh = q.shape
     q_pos = iq * block + jax.lax.broadcasted_iota(jnp.int32, (Bq, block), 0)
 
     def body(j, dq):
-        k = k_ref[0, 0, pl.ds(j * block, block), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * block, block), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(j * block, block), :]
+        v = v_ref[0, 0, pl.ds(j * block, block), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * scale
         k_pos = j * block + jax.lax.broadcasted_iota(jnp.int32, (Bq, block), 1)
         s = jnp.where(k_pos <= q_pos, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta[:, None])
-        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+        return dq + jax.lax.dot_general(
+            ds.astype(op_dt), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, iq + 1, body, jnp.zeros((Bq, Dh), jnp.float32))
     dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
@@ -98,35 +105,38 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, *, block: int, scale: float, n_blocks: int):
     h = pl.program_id(1)
     ik = pl.program_id(2)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    op_dt = k.dtype
     Bk, Dh = k.shape
     k_pos = ik * block + jax.lax.broadcasted_iota(jnp.int32, (block, Bk), 1)
 
     def body(j, carry):
         dk, dv = carry
-        q = q_ref[0, 0, pl.ds(j * block, block), :].astype(jnp.float32) * scale
-        do = do_ref[0, 0, pl.ds(j * block, block), :].astype(jnp.float32)
+        q = q_ref[0, 0, pl.ds(j * block, block), :]
+        do = do_ref[0, 0, pl.ds(j * block, block), :]
         lse = lse_ref[0, h, pl.ds(j * block, block)]
         delta = delta_ref[0, h, pl.ds(j * block, block)]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * scale
         q_pos = j * block + jax.lax.broadcasted_iota(jnp.int32, (block, Bk), 0)
         s = jnp.where(k_pos <= q_pos, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])                     # [Bq, Bk]
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        dv = dv + jax.lax.dot_general(
+            p.astype(op_dt), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta[:, None])
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        dk = dk + jax.lax.dot_general(
+            ds.astype(op_dt), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return dk, dv
 
     dk, dv = jax.lax.fori_loop(
         ik, n_blocks, body,
         (jnp.zeros((Bk, Dh), jnp.float32), jnp.zeros((Bk, Dh), jnp.float32)))
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
