@@ -88,12 +88,14 @@ class Qwen3Config(_JsonOverlayMixin):
     scan_layers: bool = True           # stack layers & lax.scan
     attn_impl: str = "auto"            # auto | xla | pallas
     logits_dtype: str = "float32"
-    head_bwd_dtype: str = "bfloat16"   # lm-head cotangent dtype: the fp32
-    #                                    d_logits [B,T,159k] would force the
-    #                                    two head bwd matmuls to multi-pass
-    #                                    fp32 MXU rate; bf16 is standard
-    #                                    mixed-precision practice (set
-    #                                    "float32" for exact-autodiff grads)
+    head_bwd_dtype: str = "float32"    # lm-head cotangent dtype for the
+    #                                    UNFUSED unembed path (stage-1
+    #                                    plain loss, eval, head_loss=
+    #                                    'unfused'). bf16 measured speed-
+    #                                    NEUTRAL on v5e (the fused head
+    #                                    ops carry the real win) and costs
+    #                                    exact-autodiff grad parity, so
+    #                                    exact fp32 is the default
 
     @property
     def q_dim(self) -> int:
