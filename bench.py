@@ -45,6 +45,8 @@ def main():
                         "residuals = no recompute, keeps checkpoint HLO)")
     p.add_argument("--attn", default="auto",
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--decode_max_len", type=int, default=4096,
+                   help="decode mode: KV cache capacity per stream")
     p.add_argument("--decode_streams", type=int, default=1,
                    help="decode mode: concurrent sequences (batched serving)")
     p.add_argument("--prefix_len", type=int, default=0,
@@ -203,7 +205,7 @@ def bench_decode(args):
     sp = SamplingParams(max_tokens=256, min_tokens=256,
                         stop_token_ids=(cfg.eos_token_id,),
                         topk_method="approx")
-    eng = DecodeEngine(params, cfg, sp, max_len=4096)
+    eng = DecodeEngine(params, cfg, sp, max_len=args.decode_max_len)
     rng = np.random.default_rng(0)
     B = args.decode_streams
     if B == 1:
