@@ -106,8 +106,7 @@ def main():
     dcfg = DistillConfig(top_k=args.top_k,
                          lora=LoraConfig(init_weights="gaussian"))
     if args.topk_recall is not None:
-        import dataclasses as _dc
-        dcfg = _dc.replace(dcfg, online_topk_recall=args.topk_recall)
+        dcfg = dataclasses.replace(dcfg, online_topk_recall=args.topk_recall)
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
     lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, dcfg.lora)
     del params

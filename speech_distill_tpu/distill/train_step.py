@@ -241,8 +241,7 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                         t_logits, distill_cfg.top_k,
                         student_vocab_size=student_cfg.vocab_size,
                         method=distill_cfg.online_topk_method,
-                        recall=getattr(distill_cfg, "online_topk_recall",
-                                       0.99))
+                        recall=distill_cfg.online_topk_recall)
                 out = sparse_out(v, i)
             else:
                 t_logits = jax.lax.stop_gradient(
@@ -314,7 +313,7 @@ def make_kd_eval_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                 v, i = losses.extract_top_k(
                     t_logits, distill_cfg.top_k, student_cfg.vocab_size,
                     method=distill_cfg.online_topk_method,
-                    recall=getattr(distill_cfg, "online_topk_recall", 0.99))
+                    recall=distill_cfg.online_topk_recall)
                 out = losses.sparse_distill_loss(
                     logits, v, i, labels, smask, distill_cfg.temperature,
                     distill_cfg.alpha)

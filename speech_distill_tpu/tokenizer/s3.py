@@ -244,8 +244,10 @@ def quantize(params: Params, mels: jax.Array, mels_lens: jax.Array,
     T_out = conv_out_len(conv_out_len(mels.shape[-1]))
     code_lens = conv_out_len(conv_out_len(mels_lens)).astype(jnp.int32)
     mask = (jnp.arange(T_out)[None, :] < code_lens[:, None]).astype(jnp.int32)
-    with jax.default_matmul_precision(
-            "float32" if precision == "float32" else "bfloat16"):
+    if precision not in ("float32", "bfloat16"):
+        raise ValueError(f"precision must be 'float32' or 'bfloat16', "
+                         f"got {precision!r}")
+    with jax.default_matmul_precision(precision):
         hidden = encode(params, mels, cfg, mask)
         codes = fsq_encode(params, hidden, cfg)
     return codes * mask, code_lens
@@ -367,6 +369,8 @@ class S3Tokenizer:
         are padded to a bucket multiple so repeated batches of similar
         lengths reuse one compiled program."""
         from speech_distill_tpu.audio.resample import resample
+        if not audios:
+            return []
         mels, lens = [], []
         for i, audio in enumerate(audios):
             sr = 16000 if srs is None else int(srs[i])

@@ -19,8 +19,8 @@ def _load(name, path):
     return mod
 
 
-ref_text = pytest.importorskip("os").path.exists(f"{REF}/text.py") and \
-    _load("ref_text", f"{REF}/text.py")
+ref_text = _load("ref_text", f"{REF}/text.py") \
+    if os.path.exists(f"{REF}/text.py") else None
 ref_parser = _load("ref_parser", f"{REF}/parser.py") \
     if os.path.exists(f"{REF}/parser.py") else None
 
