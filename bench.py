@@ -40,7 +40,7 @@ def main():
                    help="disable per-layer rematerialization (activations "
                         "fit at short seq; saves the recompute pass)")
     p.add_argument("--remat_policy", default="full",
-                   choices=["full", "dots", "everything"],
+                   choices=["full", "dots", "half", "everything"],
                    help="jax.checkpoint policy ('everything' saves all "
                         "residuals = no recompute, keeps checkpoint HLO)")
     p.add_argument("--attn", default="auto",

@@ -368,13 +368,15 @@ def make_stage1_eval_step(cfg: Qwen3Config):
         shift_labels = mb["labels"][:, 1:]
         valid = (shift_labels != losses.IGNORE_INDEX).astype(jnp.float32)
         ce = losses._ce_per_pos(logits[:, :-1, :], shift_labels)
-        return {"loss": losses._masked_mean(ce, valid)}
+        # sums (not means): the caller aggregates groups by valid-token
+        # count so the overall metric is the exact per-token mean
+        return {"loss_sum": jnp.sum(ce * valid), "n_tokens": jnp.sum(valid)}
 
     @jax.jit
     def eval_step(trainable, base_params, batch):
         ms = jax.lax.map(lambda mb: loss_fn(trainable, mb, base_params),
                          batch)
-        return jax.tree.map(jnp.mean, ms)
+        return jax.tree.map(jnp.sum, ms)
 
     return eval_step
 

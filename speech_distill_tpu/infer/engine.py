@@ -290,6 +290,11 @@ class DecodeEngine:
         ``enable_prefix_caching=True`` equivalent
         (reference llm_engine.py:78-114)."""
         B = len(prompts)
+        longest = max(len(p) for p in prompts)
+        if longest >= self.max_len:
+            raise ValueError(
+                f"prompt length {longest} leaves no room to generate "
+                f"(max_len={self.max_len})")
         pre = 0
         if use_prefix_cache and B >= 1:
             # every row must keep >= 1 remainder token for its last logits
@@ -298,6 +303,13 @@ class DecodeEngine:
             if pre < self.prefix_cache_min:
                 pre = 0
         rems = [p[pre:] for p in prompts]
+        if pre and pre + self._bucketed(max(len(r) for r in rems)) \
+                > self.max_len:
+            # bucketed remainder after the shared prefix would overflow the
+            # cache (the _bucketed clamp only bounds the remainder width);
+            # fall back to prefilling the full prompts in-row
+            pre = 0
+            rems = prompts
 
         width = self._bucketed(max(len(r) for r in rems))
         ids = np.zeros((B, width), np.int32)
@@ -340,6 +352,11 @@ class DecodeEngine:
             last_logits=logits[:, -1, :].astype(jnp.float32))
 
         cap = min(max_new or self.sp.max_tokens, self.max_len - total)
+        if cap <= 0:
+            raise ValueError(
+                f"bucketed prompt width {total} fills the cache "
+                f"(max_len={self.max_len}); raise max_len or shrink "
+                f"prefill_bucket")
         state = self._run_decode(state, int(cap))
         outs = []
         toks = np.asarray(state.tokens)

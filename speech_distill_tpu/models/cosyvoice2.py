@@ -151,7 +151,8 @@ def make_teacher_forward(cfg: CosyVoice2Config):
 
 def make_teacher_extract(cfg: CosyVoice2Config, k: int,
                          student_vocab_size: int, chunk_size: int = 16384,
-                         extract: str = "materialized"):
+                         extract: str = "materialized",
+                         recall: float = 0.95):
     """Top-K extraction over the split text/speech heads.
 
     Equivalent to ``extract_top_k(forward(...), k, student_vocab_size)``
@@ -210,7 +211,7 @@ def make_teacher_extract(cfg: CosyVoice2Config, k: int,
             h, lm_w[:n_text], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         lse = jax.nn.logsumexp(tl, axis=-1)
-        tv, ti = jax.lax.approx_max_k(tl, k)
+        tv, ti = jax.lax.approx_max_k(tl, k, recall_target=recall)
         if n_speech:
             sl = jax.lax.dot_general(
                 h, params["llm_decoder"]["w"][:, :n_speech],

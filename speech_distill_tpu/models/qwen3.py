@@ -411,11 +411,21 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
                 x, _ = jax.lax.scan(body_of(layer_fn), x,
                                     (params["layers"], adapters))
         else:
+            layer_fns = [layer_fn] * cfg.num_hidden_layers
+            if cfg.remat and cfg.remat_policy == "half":
+                # full-remat the first half, save everything for the second —
+                # mirror of the scan_layers branch above
+                save_fn = jax.checkpoint(
+                    plain_layer_fn,
+                    policy=jax.checkpoint_policies.everything_saveable)
+                Lh = cfg.num_hidden_layers // 2
+                layer_fns = [layer_fn] * Lh \
+                    + [save_fn] * (cfg.num_hidden_layers - Lh)
             for i in range(cfg.num_hidden_layers):
                 la_i = None if adapters is None else \
                     jax.tree.map(lambda a: a[i], adapters)
-                x, _ = layer_fn(_restructure_layer(params["layers"], i),
-                                x, la_i)
+                x, _ = layer_fns[i](_restructure_layer(params["layers"], i),
+                                    x, la_i)
         new_cache = None
     else:
         if adapters is not None:

@@ -135,9 +135,10 @@ def train_stage1(config):
             # every eval row is scored exactly once: the final short group
             # is padded to the static batch shape with repeated rows whose
             # labels are all IGNORE_INDEX, so they carry zero valid tokens
-            # and drop out of the masked mean; groups are averaged weighted
-            # by their real row count
-            ms, ws = [], []
+            # and drop out; the step returns (sum of CE, valid-token count)
+            # per group, so the aggregate is the EXACT per-token mean even
+            # with uneven valid-token counts across groups
+            loss_sum, n_tokens = 0.0, 0.0
             for i in range(0, len(eval_packed), eB):
                 rows = eval_packed[i:i + eB]
                 n_real = len(rows)
@@ -150,13 +151,11 @@ def train_stage1(config):
                 b = {"input_ids": rows[None],
                      "attention_mask": np.ones_like(rows)[None],
                      "labels": labels}
-                ms.append(jax.device_get(eval_step(
-                    state.trainable, base_s, sharding.shard_batch(mesh, b))))
-                ws.append(n_real)
-            w = np.asarray(ws, np.float64)
-            w = w / w.sum()
-            return {k: float(sum(wi * m[k] for wi, m in zip(w, ms)))
-                    for k in ms[0]}
+                m = jax.device_get(eval_step(
+                    state.trainable, base_s, sharding.shard_batch(mesh, b)))
+                loss_sum += float(m["loss_sum"])
+                n_tokens += float(m["n_tokens"])
+            return {"loss": loss_sum / max(n_tokens, 1.0)}
 
     loop_cfg = LoopConfig(
         num_epochs=config.num_epochs, logging_steps=config.logging_steps,

@@ -146,7 +146,8 @@ def train(config) -> None:
             if mode == "online_sparse":
                 teacher_extract = cv2.make_teacher_extract(
                     cv_cfg, dcfg.top_k, s_cfg.vocab_size,
-                    extract=dcfg.online_extract)
+                    extract=dcfg.online_extract,
+                    recall=dcfg.online_topk_recall)
             teacher_cfg = cv_cfg.backbone
         else:
             teacher_cfg, teacher_params = load_pretrained(config.teacher_model)

@@ -66,6 +66,29 @@ def test_scan_matches_unrolled():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.parametrize("scan", [True, False])
+def test_remat_half_policy_grads_match(scan):
+    """remat_policy='half' (both scan and unrolled branches, ADVICE r2)
+    gives identical loss and grads to full remat."""
+    _, _, cfg, params = _tiny_hf_pair()
+    ids = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.vocab_size, (2, 9)))
+
+    def loss_of(c):
+        def f(p):
+            lg = qwen3.forward(p, ids, c)
+            return jnp.sum(jnp.square(lg.astype(jnp.float32))) * 1e-3
+        return jax.value_and_grad(f)(params)
+
+    base = type(cfg)(**{**cfg.__dict__, "scan_layers": scan, "remat": True})
+    half = type(base)(**{**base.__dict__, "remat_policy": "half"})
+    l0, g0 = loss_of(base)
+    l1, g1 = loss_of(half)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), g0, g1)
+
+
 @pytest.mark.slow
 def test_decode_cache_matches_full_forward():
     _, _, cfg, params = _tiny_hf_pair()

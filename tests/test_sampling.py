@@ -245,6 +245,39 @@ def test_prefix_cache_single_prompt_repeat():
     assert a == b == c
 
 
+def test_prefix_cache_overflow_falls_back():
+    """Long prompts sharing a long prefix near max_len: the engine must not
+    let prefix + bucketed remainder exceed the cache (ADVICE r2) — it falls
+    back to plain prefill and still returns correct tokens; a prompt with no
+    room to generate raises."""
+    from speech_distill_tpu.infer.engine import DecodeEngine
+    cfg = qwen3_tiny(48)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})
+    params = qwen3.init_params(jax.random.PRNGKey(7), cfg)
+    sp = SamplingParams(stop_token_ids=(47,), max_tokens=4, min_tokens=4,
+                        top_k=1, temperature=1.0, use_ras=False,
+                        repetition_penalty=1.0)
+    eng = DecodeEngine(params, cfg, sp, max_len=34, prefill_bucket=8,
+                       cache_dtype=jnp.float32, prefix_cache_min=4)
+    # 32-token prompts sharing a 20-token prefix: plain width = 32 fits
+    # (cap 2), but pre(20) + bucketed-remainder(16) = 36 > 34 — the guard
+    # must drop the prefix instead of overflowing the cache
+    shared = list(range(1, 21))
+    prompts = [shared + [30 + i for i in range(12)],
+               shared + [20 + i for i in range(12)]]
+    cached = eng.generate_batch(prompts, max_new=2)
+    plain = eng.generate_batch(prompts, max_new=2, use_prefix_cache=False)
+    assert cached == plain
+    assert all(len(o) >= 1 for o in cached)
+    # prompt >= max_len: no room to generate at all
+    with pytest.raises(ValueError):
+        eng.generate_batch([list(range(40))])
+    # prompt whose bucketed width fills the cache exactly: error, not
+    # silently-empty output
+    with pytest.raises(ValueError):
+        eng.generate_batch([list(range(33))], use_prefix_cache=False)
+
+
 def test_decode_matches_full_forward_logits():
     """The engine's held last_logits after prefill == full forward logits."""
     from speech_distill_tpu.infer.engine import DecodeEngine
