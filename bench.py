@@ -22,7 +22,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="precomputed",
                    choices=["precomputed", "online_sparse", "online_dense",
-                            "decode", "tts", "stage1", "s3",
+                            "decode", "serve", "tts", "stage1", "s3",
                             "extract"])
     # per-device batch 8: the reference's effective batch is 16
     # (bs4 x grad-accum 4, train.py:333-334); 8 feeds the MXU better than 4
@@ -59,10 +59,11 @@ def main():
     p.add_argument("--topk_recall", type=float, default=None,
                    help="online_sparse: approx_max_k recall target "
                         "(default: DistillConfig.online_topk_recall=0.95)")
-    p.add_argument("--extract_impl", default="fused",
-                   choices=["fused", "materialized"],
-                   help="extract mode: fused chunked scan vs materialized "
-                        "logits + chunked exact top-k")
+    p.add_argument("--extract_impl", default="materialized",
+                   choices=["fused", "materialized", "chunked"],
+                   help="extract mode: fused chunked scan; materialized "
+                        "logits + segmented exact top-k (default); or the "
+                        "old materialized + chunked exact top-k")
     p.add_argument("--tts_batch", type=int, default=1,
                    help="tts mode: concurrent turns through flow+vocoder")
     p.add_argument("--donate", action="store_true",
@@ -90,6 +91,8 @@ def main():
 
     if args.mode == "decode":
         return bench_decode(args)
+    if args.mode == "serve":
+        return bench_serve(args)
     if args.mode == "tts":
         return bench_tts(args)
     if args.mode == "stage1":
@@ -252,6 +255,82 @@ def bench_decode(args):
     }))
 
 
+def bench_serve(args):
+    """Continuous-batching serving throughput: a queue of requests with
+    VARIABLE generation lengths through a fixed slot pool — streams retire
+    on completion and queued prompts join mid-flight (the vLLM scheduler
+    capability, reference llm_engine.py:78-114). Compared against the
+    static generate_batch path, where every batch runs until its slowest
+    request."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+    from speech_distill_tpu.core.config import (SamplingParams,
+                                                qwen3_student_0p6b)
+    from speech_distill_tpu.infer.continuous import ContinuousEngine
+    from speech_distill_tpu.infer.engine import DecodeEngine
+    from speech_distill_tpu.models import qwen3
+
+    cfg = qwen3_student_0p6b()
+    params = qwen3.init_params_on_device(0, cfg)
+    if args.quant != "none":
+        from speech_distill_tpu.ops.quant import quantize_params
+        method = {"int8": "int8", "int8_embed": "int8",
+                  "int4": "int4", "nf4": "nf4"}[args.quant]
+        bits = 8 if method == "int8" else 4
+        params = jax.jit(lambda p: quantize_params(
+            p, bits=bits, quantize_embed=args.quant == "int8_embed",
+            method=method))(params)
+    S = args.decode_streams
+    sp = SamplingParams(max_tokens=512, min_tokens=1,
+                        stop_token_ids=(cfg.eos_token_id,),
+                        topk_method="approx")
+    rng = np.random.default_rng(0)
+    N = 3 * S
+    prompts = [rng.integers(0, cfg.vocab_size,
+                            int(rng.integers(64, 128))).tolist()
+               for _ in range(N)]
+    # variable generation lengths (exponential-ish service times — the
+    # regime where continuous batching wins): mean ~160, range [32, 448]
+    caps = np.clip(rng.exponential(160, N).astype(int), 32, 448).tolist()
+
+    ceng = ContinuousEngine(params, cfg, sp, slots=S,
+                            max_len=args.decode_max_len,
+                            chunk_steps=32, cache_dtype=jnp.bfloat16)
+    # warmup/compile: prefill bucket + chunk-decode + insert programs
+    ceng.serve(prompts[:S], max_new=8)
+    t0 = time.perf_counter()
+    outs = ceng.serve(prompts, max_new_per_request=caps)
+    dt = time.perf_counter() - t0
+    n_tok = sum(len(o) for o in outs)
+
+    # static baseline: S-wide batches, each runs to its slowest request
+    eng = DecodeEngine(params, cfg, sp, max_len=args.decode_max_len)
+    eng.generate_batch(prompts[:S], max_new=8)       # compile
+    t0 = time.perf_counter()
+    static_tok = 0
+    for g in range(0, N, S):
+        group_caps = caps[g:g + S]
+        bo = eng.generate_batch(prompts[g:g + S],
+                                max_new=int(max(group_caps)))
+        static_tok += sum(min(len(o), c) for o, c in zip(bo, group_caps))
+    static_dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": f"serve_continuous_tokens_per_sec_s{S}",
+        "value": round(n_tok / dt, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round((n_tok / dt) / (static_tok / static_dt), 3),
+        "extra": {"slots": S, "requests": N, "tokens": n_tok,
+                  "seconds": round(dt, 2),
+                  "static_tokens_per_sec": round(static_tok / static_dt, 1),
+                  "static_seconds": round(static_dt, 2),
+                  "quant": args.quant},
+    }))
+
+
 def bench_s3(args):
     """Audio->token throughput of the S3 semantic tokenizer (the raw-data
     path's bottleneck the reference offloads to dataloader workers,
@@ -323,6 +402,16 @@ def bench_extract(args):
                                    return_hidden=True)
             return fused_extract_top_k(hidden, qwen3.lm_head_weight(tp), K,
                                        s_cfg.vocab_size)
+    elif args.extract_impl == "chunked":
+        from speech_distill_tpu.distill.losses import chunked_top_k
+
+        @jax.jit
+        def extract(tp, ids, mask):
+            logits = qwen3.forward(tp, ids, t_cfg, attention_mask=mask)
+            logits = logits[..., :s_cfg.vocab_size].astype(jnp.float32)
+            lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+            v, i = chunked_top_k(logits, K)
+            return (v - lse).astype(jnp.float16), i.astype(jnp.int32)
     else:
         from speech_distill_tpu.distill.losses import extract_top_k
 

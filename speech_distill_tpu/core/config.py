@@ -230,6 +230,9 @@ class DistillConfig(_JsonOverlayMixin):
     gradient_checkpointing: bool = True
     seed: int = 42
     pad_to_multiple_of: int = 128      # mandatory static shapes on TPU
+    shuffle_buffer_size: int = 0       # 0 -> whole-epoch shuffle (exact
+    #   permutation, O(epoch) host RAM); >0 -> windowed shuffle buffer
+    #   (O(buffer) RAM, streaming — pod-scale corpora)
     lora: LoraConfig = field(default_factory=LoraConfig)
 
     @property

@@ -31,24 +31,83 @@ class LoopConfig:
     load_best_at_end: bool = True         # reference train.py:343
 
 
+def shuffled_stream(dataset: Iterable,
+                    shuffle_seed: Optional[int] = None,
+                    epoch: int = 0,
+                    shuffle_buffer: Optional[int] = None,
+                    host_count: int = 1,
+                    host_index: int = 0) -> Iterator:
+    """Stream dataset items with O(shuffle_buffer) host memory.
+
+    Replaces the materialize-the-epoch ``list(dataset)`` (the reference
+    relies on torch DataLoader workers + sampler, train.py:348-353; here a
+    windowed shuffle buffer gives the streaming equivalent):
+
+      * ``host_count``/``host_index``: deterministic every-Nth-item shard
+        split (multi-host data loading hook), applied BEFORE shuffling so
+        hosts draw disjoint items regardless of buffer size.
+      * ``shuffle_buffer=None`` (or >= dataset size): the buffer swallows
+        the whole stream and emits ``rng.permutation`` of it — *identical*
+        order to the old materialized implementation for the same
+        (seed, epoch).
+      * bounded ``shuffle_buffer=W``: classic windowed shuffle — fill W
+        items, then for each incoming item emit a uniformly drawn buffer
+        slot and replace it; drain the tail in a final permutation. Every
+        item is emitted exactly once; order is deterministic per
+        (seed, epoch, W).
+    """
+    it = iter(dataset)
+    if host_count > 1:
+        it = (x for i, x in enumerate(it) if i % host_count == host_index)
+    if shuffle_seed is None:
+        yield from it
+        return
+    rng = np.random.default_rng(shuffle_seed + epoch)
+    if shuffle_buffer is None:
+        items = list(it)
+        for i in rng.permutation(len(items)):
+            yield items[i]
+        return
+    buf: List = []
+    for x in it:
+        if len(buf) < shuffle_buffer:
+            buf.append(x)
+            continue
+        j = int(rng.integers(len(buf)))
+        out, buf[j] = buf[j], x
+        yield out
+    for i in rng.permutation(len(buf)):
+        yield buf[i]
+
+
 def batches_from(dataset: Iterable[Dict[str, np.ndarray]],
                  collate: Callable, batch_size: int, accum: int,
                  drop_last: bool = True,
                  shuffle_seed: Optional[int] = None,
-                 epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-    """Group examples into [A, B, ...] microbatched host batches."""
-    items: List = list(dataset)
-    if shuffle_seed is not None:
-        order = np.random.default_rng(shuffle_seed + epoch).permutation(len(items))
-        items = [items[i] for i in order]
+                 epoch: int = 0,
+                 shuffle_buffer: Optional[int] = None,
+                 host_count: int = 1,
+                 host_index: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Group examples into [A, B, ...] microbatched host batches.
+
+    Streaming: host memory is O(shuffle_buffer + batch_size*accum), not
+    O(epoch) — see :func:`shuffled_stream` for the shuffle/shard semantics
+    (``shuffle_buffer=None`` reproduces the old materialized order).
+    """
     chunk = batch_size * accum
-    for i in range(0, len(items), chunk):
-        group = items[i:i + chunk]
+    group: List = []
+    for x in shuffled_stream(dataset, shuffle_seed, epoch, shuffle_buffer,
+                             host_count, host_index):
+        group.append(x)
         if len(group) < chunk:
-            if drop_last:
-                return
-            # repeat-pad the final group to a full static shape
-            group = group + group[: chunk - len(group)]
+            continue
+        big = collate(group)
+        group = []
+        yield {k: v.reshape((accum, batch_size) + v.shape[1:])
+               for k, v in big.items()}
+    if group and not drop_last:
+        # repeat-pad (tiling) the final group to a full static shape
+        group = (group * (-(-chunk // len(group))))[:chunk]
         big = collate(group)
         yield {k: v.reshape((accum, batch_size) + v.shape[1:])
                for k, v in big.items()}

@@ -1,0 +1,242 @@
+"""Continuous batching: slot-based serving with mid-flight join/leave.
+
+The static-shape-friendly half of vLLM's scheduler (the engine the
+reference leans on for fast decode, soulxpodcast/engine/llm_engine.py:78-114):
+a fixed number of decode SLOTS share one jitted decode program and one
+preallocated KV cache [L, SLOTS, max_len, KV, Dh]; when a stream finishes
+(EOS / its own max_new), its slot retires immediately and the next queued
+prompt prefills into it while the other slots keep decoding — finished rows
+never burn decode steps as padding the way ``DecodeEngine.generate_batch``'s
+run-until-slowest static batch does.
+
+TPU-first design (vs vLLM's paged CUDA cache):
+  * per-slot rows are CONTIGUOUS (no paging): slot b's tokens occupy cache
+    columns [0, length_b) of row b — a retiring slot is recycled wholesale,
+    so no block table, no fragmentation, and every shape stays static
+  * per-slot cache write columns via ``qwen3.forward(cache_positions=...)``
+    — the one model extension continuous batching needs
+  * the decode loop runs in jitted CHUNKS of ``chunk_steps`` via
+    ``lax.while_loop`` (early-exits when every slot is finished); the host
+    scheduler runs between chunks: retire finished slots, prefill queued
+    prompts into free slots (one B=1 prefill per join, one compile per
+    prompt-width bucket)
+  * join/leave does not perturb other slots: sampling state (presence set,
+    RAS window, RNG) and KV are all per-row
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speech_distill_tpu.core.config import Qwen3Config, SamplingParams
+from speech_distill_tpu.infer.engine import DecodeState, sample_next_token
+from speech_distill_tpu.models import qwen3
+
+
+def make_chunk_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
+                         win_size: Optional[int] = None):
+    """Jitted ``decode_chunk(params, state, n_steps) -> state``: up to
+    ``n_steps`` continuous-batching decode steps (early exit when all slots
+    are finished). Rows write their KV at per-slot columns (st.length)."""
+    win = win_size or sp.win_size
+    eos_ids = tuple(sp.stop_token_ids)
+    pad_id = eos_ids[0]
+
+    def step_body(params, st: DecodeState) -> DecodeState:
+        B, max_len = st.tokens.shape
+        tok, rng = sample_next_token(sp, st, win, eos_ids)
+        live = jnp.logical_and(~st.finished, st.length < max_len)
+        token = jnp.where(live, tok, pad_id)
+
+        rows = jnp.arange(B)
+        # dead rows target an out-of-range column -> write dropped
+        col = jnp.where(live, st.length, max_len + 1)
+        tokens = st.tokens.at[rows, col].set(token, mode="drop")
+        valid = st.valid.at[rows, col].set(True, mode="drop")
+        vcol = jnp.where(live, token, st.presence.shape[1] + 1)
+        presence = st.presence.at[rows, vcol].set(True, mode="drop")
+        is_eos = jnp.zeros(B, bool)
+        for e in eos_ids:
+            is_eos = jnp.logical_or(is_eos, token == e)
+        finished = jnp.logical_or(
+            st.finished,
+            jnp.logical_or(jnp.logical_and(live, is_eos),
+                           st.length + 1 >= max_len))
+
+        # contiguous per-slot rows: RoPE position == cache column == length
+        write_col = jnp.minimum(st.length, max_len - 1)
+        logits, cache = qwen3.forward(params, token[:, None], cfg,
+                                      attention_mask=valid.astype(jnp.int32),
+                                      cache=st.cache,
+                                      cache_positions=write_col)
+        return DecodeState(tokens, st.length + live.astype(jnp.int32),
+                           valid, cache,
+                           logits[:, -1, :].astype(jnp.float32), presence,
+                           st.num_generated + live.astype(jnp.int32),
+                           finished, rng)
+
+    @jax.jit
+    def decode_chunk(params, st: DecodeState, n_steps) -> DecodeState:
+        def cond(c):
+            s, i = c
+            return jnp.logical_and(i < n_steps, jnp.any(~s.finished))
+
+        def body(c):
+            s, i = c
+            return step_body(params, s), i + 1
+
+        st, _ = jax.lax.while_loop(cond, body, (st, jnp.zeros((), jnp.int32)))
+        return st
+
+    return decode_chunk
+
+
+class ContinuousEngine:
+    """Slot scheduler over the chunked decode program.
+
+    ``serve(prompts)`` runs an offered workload through ``slots`` concurrent
+    decode lanes: prompts queue, join a lane the moment one frees, and
+    retire on EOS or their per-request ``max_new`` — aggregate throughput
+    is bounded by the decode program, not by the slowest stream of a static
+    batch."""
+
+    def __init__(self, params, cfg: Qwen3Config, sp: SamplingParams,
+                 slots: int = 8, max_len: int = 4096,
+                 prefill_bucket: int = 128, chunk_steps: int = 32,
+                 seed: int = 0, cache_dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.sp = sp
+        self.slots = slots
+        self.max_len = max_len
+        self.bucket = prefill_bucket
+        self.chunk_steps = chunk_steps
+        self.cache_dtype = cache_dtype
+        self._decode = make_chunk_decode_fn(cfg, sp)
+        self._prefill = jax.jit(
+            lambda p, ids, mask, cache: qwen3.forward(
+                p, ids, cfg, attention_mask=mask, cache=cache))
+        self._insert = jax.jit(self._insert_impl)
+        self._rng = jax.random.PRNGKey(seed)
+
+    def _bucketed(self, n: int) -> int:
+        return min(self.max_len, -(-n // self.bucket) * self.bucket)
+
+    def new_state(self) -> DecodeState:
+        B, V = self.slots, self.cfg.vocab_size
+        cache = qwen3.KVCache.create(self.cfg, B, self.max_len,
+                                     self.cache_dtype)
+        self._rng, sub = jax.random.split(self._rng)
+        return DecodeState(
+            tokens=jnp.zeros((B, self.max_len), jnp.int32),
+            length=jnp.zeros((B,), jnp.int32),
+            valid=jnp.zeros((B, self.max_len), bool),
+            cache=cache,
+            last_logits=jnp.zeros((B, V), jnp.float32),
+            presence=jnp.zeros((B, V), bool),
+            num_generated=jnp.zeros((B,), jnp.int32),
+            finished=jnp.ones((B,), bool),     # all slots start idle
+            rng=sub)
+
+    @staticmethod
+    def _insert_impl(state: DecodeState, b, token_row, valid_row,
+                     k_new, v_new, n, logits_row) -> DecodeState:
+        """Install a prefilled prompt into slot ``b`` (all-traced; one
+        compile per prompt-width bucket)."""
+        dus = jax.lax.dynamic_update_slice
+        one = jnp.reshape(n, (1,))
+        zero = jnp.zeros((1,), jnp.int32)
+        cache = state.cache._replace(
+            k=dus(state.cache.k, k_new, (0, b, 0, 0, 0)),
+            v=dus(state.cache.v, v_new, (0, b, 0, 0, 0)))
+        V = state.presence.shape[1]
+        return state._replace(
+            tokens=dus(state.tokens, token_row[None], (b, 0)),
+            length=dus(state.length, one, (b,)),
+            valid=dus(state.valid, valid_row[None], (b, 0)),
+            cache=cache,
+            last_logits=dus(state.last_logits, logits_row[None], (b, 0)),
+            presence=dus(state.presence, jnp.zeros((1, V), bool), (b, 0)),
+            num_generated=dus(state.num_generated, zero, (b,)),
+            finished=dus(state.finished, jnp.zeros((1,), bool), (b,)))
+
+    def _prefill_slot(self, state: DecodeState, b: int,
+                      prompt: Sequence[int]) -> DecodeState:
+        n = len(prompt)
+        if n >= self.max_len:
+            raise ValueError(f"prompt length {n} leaves no room to "
+                             f"generate (max_len={self.max_len})")
+        width = self._bucketed(n)
+        ids = np.zeros((1, width), np.int32)
+        ids[0, :n] = prompt
+        mask = (np.arange(width) < n).astype(np.int32)[None]
+        tmp = qwen3.KVCache.create(self.cfg, 1, width, self.cache_dtype)
+        logits, tmp = self._prefill(self.params, jnp.asarray(ids),
+                                    jnp.asarray(mask), tmp)
+        token_row = np.zeros((self.max_len,), np.int32)
+        token_row[:n] = prompt
+        valid_row = np.zeros((self.max_len,), bool)
+        valid_row[:n] = True
+        # stale columns beyond n in k_new are masked by valid_row forever
+        pad = self.max_len - width
+        k_new = tmp.k if pad >= 0 else tmp.k[:, :, :self.max_len]
+        v_new = tmp.v if pad >= 0 else tmp.v[:, :, :self.max_len]
+        return self._insert(
+            state, jnp.asarray(b, jnp.int32), jnp.asarray(token_row),
+            jnp.asarray(valid_row), k_new, v_new,
+            jnp.asarray(n, jnp.int32),
+            logits[0, n - 1, :].astype(jnp.float32))
+
+    def serve(self, prompts: Sequence[Sequence[int]],
+              max_new: Optional[int] = None,
+              max_new_per_request: Optional[Sequence[int]] = None
+              ) -> List[List[int]]:
+        """Run every prompt to completion through the slot pool; returns
+        generated token ids per prompt (order-preserving)."""
+        cap_default = max_new or self.sp.max_tokens
+        queue = deque(range(len(prompts)))
+        outputs: List[Optional[List[int]]] = [None] * len(prompts)
+        slot_req = [-1] * self.slots           # request id per slot
+        slot_plen = [0] * self.slots
+        slot_cap = [0] * self.slots
+        state = self.new_state()
+
+        while queue or any(r >= 0 for r in slot_req):
+            # fill free slots from the queue
+            for b in range(self.slots):
+                if slot_req[b] < 0 and queue:
+                    rid = queue.popleft()
+                    state = self._prefill_slot(state, b, prompts[rid])
+                    slot_req[b] = rid
+                    slot_plen[b] = len(prompts[rid])
+                    slot_cap[b] = (max_new_per_request[rid]
+                                   if max_new_per_request is not None
+                                   else cap_default)
+
+            state = self._decode(self.params, state,
+                                 jnp.asarray(self.chunk_steps, jnp.int32))
+
+            lengths = np.asarray(state.length)
+            ngen = np.asarray(state.num_generated)
+            fin = np.asarray(state.finished)
+            done = [b for b in range(self.slots) if slot_req[b] >= 0
+                    and (fin[b] or ngen[b] >= slot_cap[b])]
+            if done:
+                toks = np.asarray(state.tokens)
+                force = np.array(fin)
+                for b in done:
+                    rid = slot_req[b]
+                    # clamp to the request cap: the chunk may overshoot by
+                    # up to chunk_steps before the host re-checks
+                    n_keep = min(int(ngen[b]), slot_cap[b])
+                    start = slot_plen[b]
+                    outputs[rid] = toks[b, start:start + n_keep].tolist()
+                    slot_req[b] = -1
+                    force[b] = True
+                # cap-reached slots must stop decoding until refilled
+                state = state._replace(finished=jnp.asarray(force))
+        return outputs  # type: ignore[return-value]

