@@ -56,6 +56,10 @@ def main():
                    choices=["none", "int8", "int8_embed", "int4", "nf4"],
                    help="decode mode: weight-only quantized serving "
                         "(int8_embed also quantizes the tied embed/lm-head)")
+    p.add_argument("--serve_phase", default="both",
+                   choices=["both", "continuous", "static"],
+                   help="serve mode: run one phase (continuous slots vs "
+                        "static batches) or both via subprocesses")
     p.add_argument("--topk_recall", type=float, default=None,
                    help="online_sparse: approx_max_k recall target "
                         "(default: DistillConfig.online_topk_recall=0.95)")
@@ -255,22 +259,62 @@ def bench_decode(args):
     }))
 
 
+def _serve_workload(vocab: int, S: int):
+    """Seeded workload shared by both serve phases (run in separate
+    processes): variable generation lengths (exponential-ish service
+    times — the regime where continuous batching wins)."""
+    rng = np.random.default_rng(0)
+    N = 3 * S
+    prompts = [rng.integers(0, vocab, int(rng.integers(64, 128))).tolist()
+               for _ in range(N)]
+    caps = np.clip(rng.exponential(160, N).astype(int), 32, 448).tolist()
+    return prompts, caps
+
+
 def bench_serve(args):
     """Continuous-batching serving throughput: a queue of requests with
     VARIABLE generation lengths through a fixed slot pool — streams retire
     on completion and queued prompts join mid-flight (the vLLM scheduler
     capability, reference llm_engine.py:78-114). Compared against the
     static generate_batch path, where every batch runs until its slowest
-    request."""
+    request. Each phase runs in its own process: two engines' KV caches
+    (2 x 7.5 GB at 16x4096) do not fit one HBM, and an OOM poisons the
+    axon process claim (CLAUDE.md)."""
+    if args.serve_phase == "both":
+        import subprocess
+        import sys
+        res = {}
+        for ph in ("continuous", "static"):
+            r = subprocess.run(
+                [sys.executable, __file__, "--mode", "serve",
+                 "--serve_phase", ph, "--quant", args.quant,
+                 "--decode_streams", str(args.decode_streams),
+                 "--decode_max_len", str(args.decode_max_len)],
+                capture_output=True, text=True)
+            if r.returncode != 0:
+                raise RuntimeError(f"serve phase {ph} failed:\n{r.stderr[-2000:]}")
+            res[ph] = json.loads(r.stdout.strip().splitlines()[-1])
+        c, s = res["continuous"], res["static"]
+        print(json.dumps({
+            "metric": f"serve_continuous_tokens_per_sec_s{args.decode_streams}",
+            "value": c["tokens_per_sec"],
+            "unit": "tokens/s",
+            "vs_baseline": round(c["tokens_per_sec"] / s["tokens_per_sec"], 3),
+            "extra": {"slots": args.decode_streams,
+                      "requests": c["requests"], "tokens": c["tokens"],
+                      "seconds": c["seconds"],
+                      "static_tokens_per_sec": s["tokens_per_sec"],
+                      "static_seconds": s["seconds"],
+                      "quant": args.quant},
+        }))
+        return
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    import numpy as np
     from speech_distill_tpu.core.config import (SamplingParams,
                                                 qwen3_student_0p6b)
-    from speech_distill_tpu.infer.continuous import ContinuousEngine
-    from speech_distill_tpu.infer.engine import DecodeEngine
     from speech_distill_tpu.models import qwen3
 
     cfg = qwen3_student_0p6b()
@@ -287,48 +331,37 @@ def bench_serve(args):
     sp = SamplingParams(max_tokens=512, min_tokens=1,
                         stop_token_ids=(cfg.eos_token_id,),
                         topk_method="approx")
-    rng = np.random.default_rng(0)
-    N = 3 * S
-    prompts = [rng.integers(0, cfg.vocab_size,
-                            int(rng.integers(64, 128))).tolist()
-               for _ in range(N)]
-    # variable generation lengths (exponential-ish service times — the
-    # regime where continuous batching wins): mean ~160, range [32, 448]
-    caps = np.clip(rng.exponential(160, N).astype(int), 32, 448).tolist()
+    prompts, caps = _serve_workload(cfg.vocab_size, S)
+    N = len(prompts)
 
-    ceng = ContinuousEngine(params, cfg, sp, slots=S,
-                            max_len=args.decode_max_len,
-                            chunk_steps=32, cache_dtype=jnp.bfloat16)
-    # warmup/compile: prefill bucket + chunk-decode + insert programs
-    ceng.serve(prompts[:S], max_new=8)
-    t0 = time.perf_counter()
-    outs = ceng.serve(prompts, max_new_per_request=caps)
-    dt = time.perf_counter() - t0
-    n_tok = sum(len(o) for o in outs)
+    if args.serve_phase == "continuous":
+        from speech_distill_tpu.infer.continuous import ContinuousEngine
+        ceng = ContinuousEngine(params, cfg, sp, slots=S,
+                                max_len=args.decode_max_len,
+                                chunk_steps=32, cache_dtype=jnp.bfloat16)
+        # warmup/compile: prefill bucket + chunk-decode + insert programs
+        ceng.serve(prompts[:S], max_new=8)
+        t0 = time.perf_counter()
+        outs = ceng.serve(prompts, max_new_per_request=caps)
+        dt = time.perf_counter() - t0
+        n_tok = sum(len(o) for o in outs)
+    else:
+        from speech_distill_tpu.infer.engine import DecodeEngine
+        eng = DecodeEngine(params, cfg, sp, max_len=args.decode_max_len)
+        eng.generate_batch(prompts[:S], max_new=8)       # compile
+        t0 = time.perf_counter()
+        n_tok = 0
+        # static baseline: S-wide batches, each runs to its slowest request
+        for g in range(0, N, S):
+            group_caps = caps[g:g + S]
+            bo = eng.generate_batch(prompts[g:g + S],
+                                    max_new=int(max(group_caps)))
+            n_tok += sum(min(len(o), c) for o, c in zip(bo, group_caps))
+        dt = time.perf_counter() - t0
 
-    # static baseline: S-wide batches, each runs to its slowest request
-    eng = DecodeEngine(params, cfg, sp, max_len=args.decode_max_len)
-    eng.generate_batch(prompts[:S], max_new=8)       # compile
-    t0 = time.perf_counter()
-    static_tok = 0
-    for g in range(0, N, S):
-        group_caps = caps[g:g + S]
-        bo = eng.generate_batch(prompts[g:g + S],
-                                max_new=int(max(group_caps)))
-        static_tok += sum(min(len(o), c) for o, c in zip(bo, group_caps))
-    static_dt = time.perf_counter() - t0
-
-    print(json.dumps({
-        "metric": f"serve_continuous_tokens_per_sec_s{S}",
-        "value": round(n_tok / dt, 1),
-        "unit": "tokens/s",
-        "vs_baseline": round((n_tok / dt) / (static_tok / static_dt), 3),
-        "extra": {"slots": S, "requests": N, "tokens": n_tok,
-                  "seconds": round(dt, 2),
-                  "static_tokens_per_sec": round(static_tok / static_dt, 1),
-                  "static_seconds": round(static_dt, 2),
-                  "quant": args.quant},
-    }))
+    print(json.dumps({"phase": args.serve_phase, "requests": N,
+                      "tokens": n_tok, "seconds": round(dt, 2),
+                      "tokens_per_sec": round(n_tok / dt, 1)}))
 
 
 def bench_s3(args):

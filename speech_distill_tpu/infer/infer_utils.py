@@ -94,10 +94,20 @@ def initiate_model(seed: int, model_path: str, llm_engine: str = "jax",
                          hift_params, hift_cfg, seed=seed)
 
     if spk_emb_fn is None:
-        try:
-            spk_emb_fn = make_onnx_spk_emb_fn(model_path)
-        except ImportError:
-            spk_emb_fn = None
+        # JAX CAM++ preferred (a torch state_dict named campplus.pt);
+        # fall back to the reference's onnxruntime path when only
+        # campplus.onnx is present (dataloader.py:93-102)
+        camp_pt = os.path.join(model_path, "campplus.pt")
+        if os.path.exists(camp_pt):
+            from speech_distill_tpu.models import campplus
+            camp_params = campplus.convert_torch_state(
+                torch.load(camp_pt, map_location="cpu", weights_only=True))
+            spk_emb_fn = campplus.make_spk_emb_fn(camp_params)
+        else:
+            try:
+                spk_emb_fn = make_onnx_spk_emb_fn(model_path)
+            except ImportError:
+                spk_emb_fn = None
     dataset = PodcastInferHandler(tokenizer, None, spk_emb_fn=spk_emb_fn,
                                   add_task_token=add_task_token,
                                   add_speaker_id=add_speaker_id)
