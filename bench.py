@@ -23,7 +23,7 @@ def main():
     p.add_argument("--mode", default="precomputed",
                    choices=["precomputed", "online_sparse", "online_dense",
                             "decode", "serve", "tts", "stage1", "s3",
-                            "extract"])
+                            "extract", "all"])
     # per-device batch 8: the reference's effective batch is 16
     # (bs4 x grad-accum 4, train.py:333-334); 8 feeds the MXU better than 4
     # while staying inside that envelope
@@ -93,6 +93,8 @@ def main():
     from speech_distill_tpu.distill.lora import init_lora
     from speech_distill_tpu.models import qwen3
 
+    if args.mode == "all":
+        return bench_all()
     if args.mode == "decode":
         return bench_decode(args)
     if args.mode == "serve":
@@ -257,6 +259,42 @@ def bench_decode(args):
         "vs_baseline": 1.0,
         "extra": extra_d,
     }))
+
+
+def bench_all():
+    """Every benchmark surface as one reproducible artifact: runs each
+    mode in its own subprocess (sequential — the TPU claim is exclusive,
+    and per-process isolation keeps one OOM from poisoning the rest),
+    streams one JSON line per result, and writes BENCH_ALL.json."""
+    import subprocess
+    import sys
+    runs = [
+        ("precomputed", []),
+        ("online_sparse", []),
+        ("online_dense", []),
+        ("stage1", []),
+        ("extract", []),
+        ("decode", []),
+        ("decode_serving16_int8", ["--mode", "decode", "--decode_streams",
+                                   "16", "--quant", "int8_embed"]),
+        ("serve", ["--mode", "serve", "--quant", "int8_embed",
+                   "--decode_streams", "16", "--decode_max_len", "1024"]),
+        ("tts", []),
+        ("s3", []),
+    ]
+    results = []
+    for name, extra in runs:
+        cmd = [sys.executable, __file__] + (extra or ["--mode", name])
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            entry = {"bench": name, "error": r.stderr[-500:]}
+        else:
+            entry = {"bench": name,
+                     **json.loads(r.stdout.strip().splitlines()[-1])}
+        results.append(entry)
+        print(json.dumps(entry), flush=True)
+    with open("BENCH_ALL.json", "w") as f:
+        json.dump(results, f, indent=1)
 
 
 def _serve_workload(vocab: int, S: int):

@@ -60,12 +60,72 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def fused_clip_adamw(schedule, b1: float = 0.9, b2: float = 0.999,
+                     eps: float = 1e-8, weight_decay: float = 0.0,
+                     max_grad_norm: float = 1.0):
+    """clip_by_global_norm + AdamW as ONE traversal.
+
+    Numerically identical to ``optax.chain(clip_by_global_norm, adamw)``
+    (verified leaf-exact in tests), but each leaf's clip-scale, moment
+    updates, bias correction and decayed update are emitted as a single
+    fused elementwise chain — the optax chain materializes an intermediate
+    updates tree per transform, which XLA schedules as separate passes
+    over the 163M-row embed table (~12 ms/step measured vs a ~4 ms HBM
+    floor, round-2 anatomy).
+
+    State is a plain ``(count, mu, nu)`` tuple so
+    ``parallel.sharding.shard_opt_state`` shards the moment trees like
+    params.
+    """
+
+    def init(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return (jnp.zeros((), jnp.int32), z,
+                jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        count, mu, nu = state
+        gsq = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                  for g in jax.tree.leaves(grads))
+        gnorm = jnp.sqrt(gsq)
+        # optax.clip_by_global_norm semantics: scale only when over
+        scale = jnp.where(gnorm < max_grad_norm, 1.0,
+                          max_grad_norm / jnp.maximum(gnorm, 1e-30))
+        t = count + 1
+        bc1 = 1.0 - b1 ** t.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** t.astype(jnp.float32)
+        lr = schedule(count)
+
+        flat_g, treedef = jax.tree.flatten(grads)
+        flat_m = jax.tree.leaves(mu)
+        flat_v = jax.tree.leaves(nu)
+        flat_p = jax.tree.leaves(params) if params is not None \
+            else [None] * len(flat_g)
+
+        ups, ms, vs = [], [], []
+        for g, m, v, p in zip(flat_g, flat_m, flat_v, flat_p):
+            gc = g * scale
+            m2 = b1 * m + (1.0 - b1) * gc
+            v2 = b2 * v + (1.0 - b2) * jnp.square(gc)
+            upd = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+            if weight_decay and p is not None:
+                upd = upd + weight_decay * p
+            ups.append((-lr * upd).astype(g.dtype))
+            ms.append(m2)
+            vs.append(v2)
+        return (treedef.unflatten(ups),
+                (t, treedef.unflatten(ms), treedef.unflatten(vs)))
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(learning_rate: float, warmup_steps: int, total_steps: int,
                    weight_decay: float = 0.0, max_grad_norm: float = 1.0,
-                   eight_bit: bool = False):
+                   eight_bit: bool = False, fused: bool = True):
     """AdamW + linear warmup/decay + global-norm clip (HF Trainer defaults
     the reference inherits: train.py:331-354). ``eight_bit`` switches to
-    int8-quantized moments (stage1.py:316 adamw_8bit equivalent)."""
+    int8-quantized moments (stage1.py:316 adamw_8bit equivalent);
+    ``fused`` (default) uses the single-traversal clip+AdamW."""
     warmup_steps = max(1, warmup_steps)
     total_steps = max(total_steps, warmup_steps + 1)
     schedule = optax.schedules.join_schedules([
@@ -77,6 +137,9 @@ def make_optimizer(learning_rate: float, warmup_steps: int, total_steps: int,
         from speech_distill_tpu.distill.optim8bit import adamw_8bit
         return adamw_8bit(schedule, weight_decay=weight_decay,
                           max_grad_norm=max_grad_norm)
+    if fused:
+        return fused_clip_adamw(schedule, weight_decay=weight_decay,
+                                max_grad_norm=max_grad_norm)
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,

@@ -198,6 +198,12 @@ def _proj(x: jax.Array, w, la: Optional[Params], key: str,
         ab = la[key]
         return lora_linear(x, deq(w, x.dtype), ab["a"], ab["b"],
                            float(scale))
+    if isinstance(w, dict) and "q4" in w and w["q4"].ndim == 2 \
+            and jax.default_backend() == "tpu":
+        # fused in-register nibble unpack: streams the packed weight at
+        # 0.5 byte/param instead of materializing bf16 (ops/quant_matmul)
+        from speech_distill_tpu.ops.quant_matmul import quantized_matmul
+        return quantized_matmul(x, w)
     return x @ deq(w, x.dtype)
 
 

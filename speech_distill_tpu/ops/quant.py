@@ -40,15 +40,22 @@ def quantize_array_int8(w: jax.Array) -> Dict[str, jax.Array]:
 def quantize_array_int4(w: jax.Array) -> Dict[str, jax.Array]:
     """Symmetric per-output-channel int4, two codes packed per uint8 along
     the second-to-last axis (the contraction dim; must be even). The leading
-    (layer-scan) axis is untouched so stacked weights still scan."""
+    (layer-scan) axis is untouched so stacked weights still scan.
+
+    Split-halves layout: packed row r holds contraction row r in the HIGH
+    nibble and row K/2 + r in the LOW nibble — so unpacking is two
+    contiguous half-matrices (two dots over split x), with NO row
+    interleave. This is what lets the fused dequant-matmul kernel
+    (ops/quant_matmul.py) unpack in-register."""
     wf = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(wf), axis=_reduce_axes(wf.ndim), keepdims=True)
     scale = absmax / 7.0
     q = jnp.clip(jnp.round(wf / jnp.maximum(scale, 1e-12)), -7, 7)
     q = (q + 8).astype(jnp.uint8)            # [1, 15]
     assert q.shape[-2] % 2 == 0, "int4 packing needs even contraction dim"
-    hi = q[..., 0::2, :]
-    lo = q[..., 1::2, :]
+    half = q.shape[-2] // 2
+    hi = q[..., :half, :]
+    lo = q[..., half:, :]
     packed = (hi << 4) | lo
     return {"q4": packed, "scale": scale.astype(jnp.float32)}
 
@@ -138,9 +145,8 @@ def dequantize_array(p: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
         packed = p["q4"]
         hi = (packed >> 4).astype(jnp.int32) - 8
         lo = (packed & 0xF).astype(jnp.int32) - 8
-        K = packed.shape[-2]
-        q = jnp.stack([hi, lo], axis=-2)                 # [..., K, 2, D]
-        q = q.reshape(packed.shape[:-2] + (2 * K, packed.shape[-1]))
+        # split-halves layout: hi nibbles are rows [0, K/2), lo are the rest
+        q = jnp.concatenate([hi, lo], axis=-2)
         return (q.astype(jnp.float32) * p["scale"]).astype(dtype)
     if "nf4" in p:
         return _dequantize_nf4(p, dtype)

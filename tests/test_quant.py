@@ -133,3 +133,35 @@ def test_quantized_forces_dense():
     assert DistillConfig(teacher_quant="int8").use_dense
     assert DistillConfig(teacher_quant="int4").use_dense
     assert not DistillConfig(teacher_quant="none", top_k=128).use_dense
+
+
+def test_int4_fused_matmul_matches_dequant():
+    """Pallas fused dequant-matmul (interpret mode on CPU) == XLA
+    dequantize-then-matmul, across M padding and leading batch dims."""
+    from speech_distill_tpu.ops.quant_matmul import (int4_matmul,
+                                                     quantized_matmul)
+    rng = np.random.default_rng(3)
+    K, N = 1024, 512
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    leaf = quant.quantize_array_int4(jnp.asarray(w))
+    deq = quant.dequantize_array(leaf, jnp.float32)
+
+    # fp32 reference: the kernel's only rounding is the bf16 cast of x
+    # (the unpacked int grid and the fp32 scale are exact in the kernel,
+    # unlike the XLA path's lossy bf16 weight materialization)
+    deq32 = np.asarray(deq, np.float32)
+
+    for M in (1, 3, 16, 33):
+        x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+        want = np.asarray(x.astype(jnp.bfloat16), np.float32) @ deq32
+        got = np.asarray(int4_matmul(x, leaf["q4"],
+                                     leaf["scale"].reshape(1, N),
+                                     interpret=True))
+        np.testing.assert_allclose(got, want, atol=0.5, rtol=2e-2)
+
+    # leading batch dims through quantized_matmul
+    x3 = jnp.asarray(rng.normal(size=(2, 5, K)), jnp.float32)
+    got = np.asarray(quantized_matmul(x3, leaf, interpret=True))
+    want = (np.asarray(x3.astype(jnp.bfloat16), np.float32).reshape(-1, K)
+            @ deq32).reshape(2, 5, N)
+    np.testing.assert_allclose(got, want, atol=0.5, rtol=2e-2)

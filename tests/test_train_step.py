@@ -261,3 +261,39 @@ def test_lora_linear_custom_vjp_matches_autodiff():
     for u, v in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fused_clip_adamw_matches_optax_chain():
+    """fused_clip_adamw (one traversal) is leaf-exact vs
+    optax.chain(clip_by_global_norm, adamw) over several steps, both under
+    and over the clip threshold, with and without weight decay."""
+    import optax
+    for wd in (0.0, 0.01):
+        sched = optax.schedules.linear_schedule(1e-3, 0.0, 10)
+        ref = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                        weight_decay=wd))
+        fused = train_step.fused_clip_adamw(sched, weight_decay=wd,
+                                            max_grad_norm=1.0)
+        rng = np.random.default_rng(0)
+        params = {"a": jnp.asarray(rng.normal(size=(4, 8)), jnp.float32),
+                  "b": {"c": jnp.asarray(rng.normal(size=(16,)),
+                                         jnp.float32)}}
+        s_ref = ref.init(params)
+        s_fused = fused.init(params)
+        p_ref = params
+        p_fused = jax.tree.map(lambda x: x, params)
+        for step in range(5):
+            scale = 0.01 if step % 2 == 0 else 10.0   # under / over clip
+            grads = jax.tree.map(
+                lambda p: jnp.asarray(
+                    rng.normal(size=p.shape) * scale, jnp.float32), params)
+            u_ref, s_ref = ref.update(grads, s_ref, p_ref)
+            u_fused, s_fused = fused.update(grads, s_fused, p_fused)
+            for a, b in zip(jax.tree.leaves(u_ref),
+                            jax.tree.leaves(u_fused)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-7, rtol=1e-6)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            p_fused = optax.apply_updates(p_fused, u_fused)
