@@ -53,9 +53,12 @@ def main():
                    help="decode mode: shared prompt-prefix length — measures "
                         "the prefix-KV-cache serving path vs cold prefill")
     p.add_argument("--quant", default="none",
-                   choices=["none", "int8", "int8_embed", "int4", "nf4"],
+                   choices=["none", "int8", "int8_embed", "int4",
+                            "int4_embed", "nf4"],
                    help="decode mode: weight-only quantized serving "
-                        "(int8_embed also quantizes the tied embed/lm-head)")
+                        "(*_embed also quantizes the tied embed/lm-head "
+                        "to int8; int4 layer weights use the fused "
+                        "dequant-matmul kernel)")
     p.add_argument("--serve_phase", default="both",
                    choices=["both", "continuous", "static"],
                    help="serve mode: run one phase (continuous slots vs "
@@ -205,10 +208,12 @@ def bench_decode(args):
     if args.quant != "none":
         from speech_distill_tpu.ops.quant import quantize_params
         method = {"int8": "int8", "int8_embed": "int8",
-                  "int4": "int4", "nf4": "nf4"}[args.quant]
+                  "int4": "int4", "int4_embed": "int4",
+                  "nf4": "nf4"}[args.quant]
         bits = 8 if method == "int8" else 4
         params = jax.jit(lambda p: quantize_params(
-            p, bits=bits, quantize_embed=args.quant == "int8_embed",
+            p, bits=bits,
+            quantize_embed=args.quant.endswith("_embed"),
             method=method))(params)
     sp = SamplingParams(max_tokens=256, min_tokens=256,
                         stop_token_ids=(cfg.eos_token_id,),
@@ -360,10 +365,12 @@ def bench_serve(args):
     if args.quant != "none":
         from speech_distill_tpu.ops.quant import quantize_params
         method = {"int8": "int8", "int8_embed": "int8",
-                  "int4": "int4", "nf4": "nf4"}[args.quant]
+                  "int4": "int4", "int4_embed": "int4",
+                  "nf4": "nf4"}[args.quant]
         bits = 8 if method == "int8" else 4
         params = jax.jit(lambda p: quantize_params(
-            p, bits=bits, quantize_embed=args.quant == "int8_embed",
+            p, bits=bits,
+            quantize_embed=args.quant.endswith("_embed"),
             method=method))(params)
     S = args.decode_streams
     sp = SamplingParams(max_tokens=512, min_tokens=1,

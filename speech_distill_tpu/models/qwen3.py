@@ -207,7 +207,15 @@ def _proj(x: jax.Array, w, la: Optional[Params], key: str,
     return x @ deq(w, x.dtype)
 
 
+# Trace-time perf-ablation switches (scripts/fwd_anatomy.py only): lets a
+# measurement script price individual VPU passes without forking the model.
+ABLATE: set = set()
+
+
 def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    if "bf16_norm" in ABLATE:
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(var + eps) * scale.astype(x.dtype)
     xf = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
     y = xf * jax.lax.rsqrt(var + eps)
@@ -221,6 +229,26 @@ def rope_angles(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.
     ang = positions.astype(jnp.float32)[..., None] * freq  # [..., T, half]
     ang = jnp.concatenate([ang, ang], axis=-1)
     return jnp.cos(ang), jnp.sin(ang)
+
+
+def _norm_rope(x: jax.Array, scale: jax.Array, cos: jax.Array,
+               sin: jax.Array, eps: float) -> jax.Array:
+    """rms_norm + rope in ONE fp32 region (one upcast, one downcast)
+    instead of two round trips — measurement candidate for the per-layer
+    VPU passes (ABLATE='fused_qkrope'); numerics identical to
+    rms_norm-then-apply_rope (same fp32 math, associativity aside)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    c = cos[:, :, None, :]
+    s = sin[:, :, None, :]
+    half = x.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    rf = jnp.concatenate([-x2, x1], axis=-1)
+    return (xf * c + rf * s).astype(x.dtype)
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
@@ -272,11 +300,16 @@ def _attention_block(lp: Params, x: jax.Array, cos, sin, mask_bias,
     k = k.reshape(B, T, KV, Dh)
     v = v.reshape(B, T, KV, Dh)
 
-    if cfg.qk_norm:
-        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    if "fused_qkrope" in ABLATE and cfg.qk_norm:
+        q = _norm_rope(q, lp["q_norm"], cos, sin, cfg.rms_norm_eps)
+        k = _norm_rope(k, lp["k_norm"], cos, sin, cfg.rms_norm_eps)
+    else:
+        if cfg.qk_norm and "no_qknorm" not in ABLATE:
+            q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        if "no_rope" not in ABLATE:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
 
     new_kv = (k, v)
     if kv_slice is not None:

@@ -180,7 +180,11 @@ def quantize_params(params: Params, bits: int = 8,
         if group in layers and key in layers[group]:
             layers[group][key] = fn(layers[group][key])
     out["layers"] = layers
-    if quantize_embed and bits == 8:
+    if quantize_embed:
+        # embed/lm_head always int8 (per-row gather + the unembed matmul
+        # both want row-addressable codes; int8 convert fuses into the
+        # XLA dot) — combine with int4/nf4 layer weights for the lowest
+        # total decode traffic
         out["embed"] = {"weight": quantize_array_int8(
             params["embed"]["weight"])}
         if "lm_head" in params:

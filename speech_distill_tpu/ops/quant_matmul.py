@@ -32,9 +32,10 @@ def _kernel(x_hi_ref, x_lo_ref, p_ref, scale_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p = p_ref[:]                                     # [bk2, bn] uint8
-    hi = ((p >> 4).astype(jnp.int32) - 8).astype(jnp.bfloat16)
-    lo = ((p & 0xF).astype(jnp.int32) - 8).astype(jnp.bfloat16)
+    # widen to i32 BEFORE the shift/mask: Mosaic has no i8 vector shrui
+    p = p_ref[:].astype(jnp.int32)                   # [bk2, bn] from uint8
+    hi = ((p >> 4) - 8).astype(jnp.bfloat16)
+    lo = ((p & 0xF) - 8).astype(jnp.bfloat16)
     acc_ref[:] += (
         jnp.dot(x_hi_ref[:], hi, preferred_element_type=jnp.float32)
         + jnp.dot(x_lo_ref[:], lo, preferred_element_type=jnp.float32))
