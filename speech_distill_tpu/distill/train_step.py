@@ -66,12 +66,16 @@ def fused_clip_adamw(schedule, b1: float = 0.9, b2: float = 0.999,
     """clip_by_global_norm + AdamW as ONE traversal.
 
     Numerically identical to ``optax.chain(clip_by_global_norm, adamw)``
-    (verified leaf-exact in tests), but each leaf's clip-scale, moment
-    updates, bias correction and decayed update are emitted as a single
-    fused elementwise chain — the optax chain materializes an intermediate
-    updates tree per transform, which XLA schedules as separate passes
-    over the 163M-row embed table (~12 ms/step measured vs a ~4 ms HBM
-    floor, round-2 anatomy).
+    (verified leaf-exact in tests), emitting each leaf's clip-scale,
+    moment updates, bias correction and decayed update as a single
+    elementwise chain.
+
+    Measured (round 3, isolated update on the real LoRA+embed tree,
+    v5e-1): fused 7.3 ms vs optax chain 6.2 ms — XLA already fuses the
+    chain's passes, so this is NOT the default (round-2's "optimizer
+    ~12 ms vs ~4 ms floor" anatomy estimate was a full-step subtraction
+    artifact). Kept as a tested alternative and as the measurement record
+    for VERDICT r2 #9.
 
     State is a plain ``(count, mu, nu)`` tuple so
     ``parallel.sharding.shard_opt_state`` shards the moment trees like
@@ -121,11 +125,12 @@ def fused_clip_adamw(schedule, b1: float = 0.9, b2: float = 0.999,
 
 def make_optimizer(learning_rate: float, warmup_steps: int, total_steps: int,
                    weight_decay: float = 0.0, max_grad_norm: float = 1.0,
-                   eight_bit: bool = False, fused: bool = True):
+                   eight_bit: bool = False, fused: bool = False):
     """AdamW + linear warmup/decay + global-norm clip (HF Trainer defaults
     the reference inherits: train.py:331-354). ``eight_bit`` switches to
     int8-quantized moments (stage1.py:316 adamw_8bit equivalent);
-    ``fused`` (default) uses the single-traversal clip+AdamW."""
+    ``fused`` uses the single-traversal clip+AdamW (measured neutral on
+    v5e — see :func:`fused_clip_adamw`)."""
     warmup_steps = max(1, warmup_steps)
     total_steps = max(total_steps, warmup_steps + 1)
     schedule = optax.schedules.join_schedules([
