@@ -124,6 +124,7 @@ def run_torch(out: str):
 
 
 def run_jax(out: str):
+    import functools
     import time
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -131,8 +132,10 @@ def run_jax(out: str):
     # exact-ish fp32 matmuls: parity is the point, not throughput
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
-    from speech_distill_tpu.core.config import DistillConfig, LoraConfig
+    import optax
+    from speech_distill_tpu.distill import losses as loss_lib
     from speech_distill_tpu.distill import train_step
+    from speech_distill_tpu.models import qwen3
     from speech_distill_tpu.models.hf_loader import from_state_dict
 
     cfg, model = build_torch_model()
@@ -142,24 +145,37 @@ def run_jax(out: str):
     del model
     data = make_data()
 
-    dcfg = DistillConfig(temperature=TEMPERATURE, alpha=ALPHA, top_k=K,
-                         lora=LoraConfig(use_lora=False))
     opt = train_step.make_optimizer(LR, WARMUP, STEPS)
-    state = train_step.init_state(params, opt)
-    step = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
-                                   use_lora=False, donate=False)
+    opt_state = opt.init(params)
+    mask = jnp.ones((B, T), jnp.int32)
+
+    # split grad / donated-apply programs: full-param fp32 0.6B training
+    # (params + grads + 2 moments + a non-donated update copy) does not
+    # fit 16G HBM in one non-donating program; donating the APPLY program
+    # alone keeps the peak ~10G. (This also retests donation on the axon
+    # relay with a small elementwise program — VERDICT r2 #9.)
+    @jax.jit
+    def grad_fn(p, ids, labels, v, i):
+        def f(p):
+            logits = qwen3.forward(p, ids, cfg, attention_mask=mask)
+            return loss_lib.sparse_distill_loss(
+                logits, v, i, labels, None, TEMPERATURE, ALPHA).total
+        return jax.value_and_grad(f)(p)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def apply_fn(p, g, s):
+        u, s2 = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s2
+
     losses = []
     for n, (ids, labels, v, i) in enumerate(data):
         t0 = time.perf_counter()
-        batch = {
-            "input_ids": jnp.asarray(ids, jnp.int32)[None],
-            "attention_mask": jnp.ones((1, B, T), jnp.int32),
-            "labels": jnp.asarray(labels)[None],
-            "teacher_top_k_v": jnp.asarray(v)[None],
-            "teacher_top_k_i": jnp.asarray(i)[None],
-        }
-        state, m = step(state, None, None, batch)
-        losses.append(float(m["loss"]))
+        loss, g = grad_fn(params, jnp.asarray(ids, jnp.int32),
+                          jnp.asarray(labels), jnp.asarray(v),
+                          jnp.asarray(i))
+        params, opt_state = apply_fn(params, g, opt_state)
+        del g
+        losses.append(float(loss))
         print(f"jax step {n}: {losses[-1]:.6f} "
               f"({time.perf_counter() - t0:.1f}s)", flush=True)
     json.dump({"losses": losses}, open(out, "w"))
