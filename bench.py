@@ -66,6 +66,10 @@ def main():
     p.add_argument("--topk_recall", type=float, default=None,
                    help="online_sparse: approx_max_k recall target "
                         "(default: DistillConfig.online_topk_recall=0.95)")
+    p.add_argument("--online_topk_method", default=None,
+                   choices=["approx", "exact"],
+                   help="online_sparse: teacher top-K extraction method "
+                        "(exact = segmented bit-parity selection)")
     p.add_argument("--extract_impl", default="materialized",
                    choices=["fused", "materialized", "chunked"],
                    help="extract mode: fused chunked scan; materialized "
@@ -119,6 +123,9 @@ def main():
                          lora=LoraConfig(init_weights="gaussian"))
     if args.topk_recall is not None:
         dcfg = dataclasses.replace(dcfg, online_topk_recall=args.topk_recall)
+    if args.online_topk_method is not None:
+        dcfg = dataclasses.replace(dcfg,
+                                   online_topk_method=args.online_topk_method)
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
     lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, dcfg.lora)
     del params
