@@ -1,0 +1,154 @@
+"""Paged decode attention: single-token queries over a block-table KV pool.
+
+The TPU-native equivalent of vLLM's PagedAttention (the engine the reference
+leans on for fast decode, soulxpodcast/engine/llm_engine.py:78-114). KV lives
+in a shared pool of fixed-size pages [KV, P, page_size, Dh]; each slot's
+pages are named by a block table row, so memory is allocated on demand and
+identical prompt prefixes can share pages (see infer/paged.py).
+
+Why a Pallas kernel: batched decode is KV-bandwidth-bound. A contiguous
+[B, max_len] cache reads every column every step regardless of how full each
+row is; an XLA gather over the block table would round-trip the gathered KV
+through HBM. This kernel DMAs exactly ceil(length/page_size) pages per
+(row, kv-head) straight from the pool into VMEM (double-buffered, so the
+next page streams in while the current one is in the MXU) — per-step HBM
+traffic is proportional to the tokens actually present, not to max_len.
+
+Layouts (decode step, T == 1):
+  q            [B, KV, G, Dh]   (H = KV * G query heads, GQA-grouped)
+  k/v pool     [KV, P, page_size, Dh]  (page-contiguous per kv-head)
+  block_tables [B, max_pages] int32    (pool page ids; entries beyond
+                                        ceil(len/page_size) are never read)
+  lengths      [B] int32               (valid keys incl. the current token;
+                                        0 => row is idle, output is zeros)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(bt_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
+                   k_scr, v_scr, sem, *, page_size: int, scale: float):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    L = len_ref[b]
+    n_pages = jax.lax.div(L + page_size - 1, page_size)
+
+    def copies(p, slot):
+        page = bt_ref[b, p]
+        ck = pltpu.make_async_copy(k_hbm.at[h, page], k_scr.at[slot],
+                                   sem.at[slot, 0])
+        cv = pltpu.make_async_copy(v_hbm.at[h, page], v_scr.at[slot],
+                                   sem.at[slot, 1])
+        return ck, cv
+
+    @pl.when(n_pages > 0)
+    def _start_first():
+        ck, cv = copies(0, 0)
+        ck.start()
+        cv.start()
+
+    q = q_ref[0, 0]                       # [G, Dh]
+    G, Dh = q.shape
+    op_dt = q.dtype
+
+    def body(p, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(p, 2)
+
+        @pl.when(p + 1 < n_pages)
+        def _start_next():
+            nk, nv = copies(p + 1, jax.lax.rem(p + 1, 2))
+            nk.start()
+            nv.start()
+
+        ck, cv = copies(p, slot)
+        ck.wait()
+        cv.wait()
+        k = k_scr[slot]                   # [page_size, Dh]
+        v = v_scr[slot]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        k_pos = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (G, page_size), 1)
+        s = jnp.where(k_pos < L, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1))
+        pexp = jnp.exp(s - m_new[:, None])
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(pexp, axis=1)
+        acc_new = acc * corr[:, None] + jax.lax.dot_general(
+            pexp.astype(op_dt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((G,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((G,), jnp.float32)
+    a0 = jnp.zeros((G, Dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, a0))
+    l_safe = jnp.maximum(l, 1e-30)
+    out = jnp.where(n_pages > 0, acc / l_safe[:, None], 0.0)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                    block_tables: jax.Array, lengths: jax.Array,
+                    interpret: bool = False) -> jax.Array:
+    """q: [B, KV, G, Dh] single-token queries -> [B, KV, G, Dh]."""
+    B, KV, G, Dh = q.shape
+    page_size = k_pool.shape[2]
+    scale = Dh ** -0.5
+    grid = (B, KV)
+    q_spec = pl.BlockSpec((1, 1, G, Dh), lambda b, h, bt, ln: (b, h, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_decode_kernel, page_size=page_size, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[q_spec,
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=q_spec,
+            scratch_shapes=[pltpu.VMEM((2, page_size, Dh), k_pool.dtype),
+                            pltpu.VMEM((2, page_size, Dh), v_pool.dtype),
+                            pltpu.SemaphoreType.DMA((2, 2))],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(block_tables, lengths, q, k_pool, v_pool)
+
+
+def paged_attention_xla(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                        block_tables: jax.Array,
+                        lengths: jax.Array) -> jax.Array:
+    """Gather-based reference (correctness oracle; used on CPU meshes).
+
+    Materializes the gathered KV [B, max_pages*page_size, ...] — same math
+    as the kernel, but with an extra HBM round-trip the kernel avoids.
+    """
+    B, KV, G, Dh = q.shape
+    ps = k_pool.shape[2]
+    mp = block_tables.shape[1]
+    # [KV, B, mp, ps, Dh] -> [B, S, KV, Dh]
+    k = jnp.take(k_pool, block_tables, axis=1)
+    v = jnp.take(v_pool, block_tables, axis=1)
+    k = k.transpose(1, 2, 3, 0, 4).reshape(B, mp * ps, KV, Dh)
+    v = v.transpose(1, 2, 3, 0, 4).reshape(B, mp * ps, KV, Dh)
+    scale = Dh ** -0.5
+    s = jnp.einsum("bkgd,bskd->bkgs", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    valid = (jnp.arange(mp * ps)[None] < lengths[:, None])  # [B, S]
+    s = jnp.where(valid[:, None, None, :], s, NEG_INF)
+    # idle rows (length 0) are fully masked: force a uniform softmax and
+    # zero the output to match the kernel
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bkgs,bskd->bkgd", p.astype(v.dtype), v)
+    out = jnp.where((lengths > 0)[:, None, None, None], out, 0)
+    return out.astype(q.dtype)
