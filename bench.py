@@ -60,9 +60,19 @@ def main():
                         "to int8; int4 layer weights use the fused "
                         "dequant-matmul kernel)")
     p.add_argument("--serve_phase", default="both",
-                   choices=["both", "continuous", "static"],
-                   help="serve mode: run one phase (continuous slots vs "
-                        "static batches) or both via subprocesses")
+                   choices=["both", "continuous", "static", "paged",
+                            "compare"],
+                   help="serve mode: run one phase (continuous slots / "
+                        "static batches / paged-KV slots), 'both' "
+                        "(continuous vs static) or 'compare' (all three) "
+                        "via subprocesses")
+    p.add_argument("--paged_pool_frac", type=float, default=1.0,
+                   help="paged serve: KV pool size as a fraction of "
+                        "slots*max_len (paged attention reads resident "
+                        "tokens only, so <1.0 trades preemption risk for "
+                        "HBM; 1.0 = same memory as the contiguous engine)")
+    p.add_argument("--page_size", type=int, default=128,
+                   help="paged serve: tokens per KV page")
     p.add_argument("--topk_recall", type=float, default=None,
                    help="online_sparse: approx_max_k recall target "
                         "(default: DistillConfig.online_topk_recall=0.95)")
@@ -330,21 +340,46 @@ def bench_serve(args):
     request. Each phase runs in its own process: two engines' KV caches
     (2 x 7.5 GB at 16x4096) do not fit one HBM, and an OOM poisons the
     axon process claim (CLAUDE.md)."""
-    if args.serve_phase == "both":
+    if args.serve_phase in ("both", "compare"):
         import subprocess
         import sys
+        phases = (("continuous", "static") if args.serve_phase == "both"
+                  else ("static", "continuous", "paged"))
         res = {}
-        for ph in ("continuous", "static"):
+        for ph in phases:
             r = subprocess.run(
                 [sys.executable, __file__, "--mode", "serve",
                  "--serve_phase", ph, "--quant", args.quant,
                  "--decode_streams", str(args.decode_streams),
-                 "--decode_max_len", str(args.decode_max_len)],
+                 "--decode_max_len", str(args.decode_max_len),
+                 "--paged_pool_frac", str(args.paged_pool_frac),
+                 "--page_size", str(args.page_size)],
                 capture_output=True, text=True)
             if r.returncode != 0:
                 raise RuntimeError(f"serve phase {ph} failed:\n{r.stderr[-2000:]}")
             res[ph] = json.loads(r.stdout.strip().splitlines()[-1])
-        c, s = res["continuous"], res["static"]
+        s = res["static"]
+        if args.serve_phase == "compare":
+            pg, c = res["paged"], res["continuous"]
+            print(json.dumps({
+                "metric": f"serve_paged_tokens_per_sec_s{args.decode_streams}",
+                "value": pg["tokens_per_sec"],
+                "unit": "tokens/s",
+                "vs_baseline": round(pg["tokens_per_sec"]
+                                     / s["tokens_per_sec"], 3),
+                "extra": {"slots": args.decode_streams,
+                          "requests": pg["requests"],
+                          "tokens": pg["tokens"],
+                          "seconds": pg["seconds"],
+                          "preemptions": pg.get("preemptions", 0),
+                          "pool_frac": args.paged_pool_frac,
+                          "page_size": args.page_size,
+                          "continuous_tokens_per_sec": c["tokens_per_sec"],
+                          "static_tokens_per_sec": s["tokens_per_sec"],
+                          "quant": args.quant},
+            }))
+            return
+        c = res["continuous"]
         print(json.dumps({
             "metric": f"serve_continuous_tokens_per_sec_s{args.decode_streams}",
             "value": c["tokens_per_sec"],
@@ -397,6 +432,27 @@ def bench_serve(args):
         outs = ceng.serve(prompts, max_new_per_request=caps)
         dt = time.perf_counter() - t0
         n_tok = sum(len(o) for o in outs)
+    elif args.serve_phase == "paged":
+        from speech_distill_tpu.infer.paged import PagedEngine
+        max_pages = -(-args.decode_max_len // args.page_size)
+        num_pages = max(max_pages,
+                        int(S * max_pages * args.paged_pool_frac))
+        peng = PagedEngine(params, cfg, sp, slots=S,
+                           max_len=args.decode_max_len,
+                           num_pages=num_pages, page_size=args.page_size,
+                           chunk_steps=32, cache_dtype=jnp.bfloat16)
+        peng.serve(prompts[:S], max_new=8)    # warmup/compile
+        t0 = time.perf_counter()
+        outs = peng.serve(prompts, max_new_per_request=caps)
+        dt = time.perf_counter() - t0
+        n_tok = sum(len(o) for o in outs)
+        print(json.dumps({"phase": "paged", "requests": N, "tokens": n_tok,
+                          "seconds": round(dt, 2),
+                          "tokens_per_sec": round(n_tok / dt, 1),
+                          "preemptions": peng.preemptions,
+                          "num_pages": num_pages,
+                          "page_size": args.page_size}))
+        return
     else:
         from speech_distill_tpu.infer.engine import DecodeEngine
         eng = DecodeEngine(params, cfg, sp, max_len=args.decode_max_len)

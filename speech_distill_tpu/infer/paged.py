@@ -1,0 +1,461 @@
+"""Paged-KV serving: block-table cache pool + on-demand pages + preemption.
+
+The full TPU equivalent of vLLM's PagedAttention engine (the engine the
+reference leans on for fast decode, soulxpodcast/engine/llm_engine.py:78-114).
+Where :class:`~speech_distill_tpu.infer.continuous.ContinuousEngine` gives
+each slot a CONTIGUOUS max_len row (memory = slots * max_len regardless of
+occupancy), this engine carves the KV cache into fixed-size pages
+[L, KV, P, page_size, Dh] handed out on demand:
+
+  * memory is proportional to tokens actually resident, so the same HBM
+    holds more concurrent streams when lengths are skewed (the podcast
+    workload: few long dialogue turns + many short ones)
+  * a host-side allocator (ref-counted free list) grows each stream one
+    page at a time between decode chunks; block tables are tiny int32
+    arrays pushed to the device per chunk
+  * when the pool is exhausted the YOUNGEST stream is preempted vLLM-style
+    (recompute mode): its pages are freed and the request re-queues with
+    its generated tokens appended to the prompt, so nothing is lost and
+    older streams keep their latency
+  * decode attention is a Pallas kernel (ops/paged_attention.py) that DMAs
+    exactly ceil(len/page_size) pages per (row, kv-head) into VMEM — HBM
+    traffic tracks occupancy, not capacity
+
+Everything stays static-shape: the decode program is one jitted chunk
+(lax.while_loop with early exit) over [slots] rows; prefill compiles once
+per page-count bucket, exactly like the contiguous engines.
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import List, NamedTuple, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speech_distill_tpu.core.config import Qwen3Config, SamplingParams
+from speech_distill_tpu.infer.engine import sample_next_token
+from speech_distill_tpu.models import qwen3
+from speech_distill_tpu.ops.paged_attention import (
+    paged_attention, paged_attention_xla)
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class PagedKVCache(NamedTuple):
+    """Paged decode cache: per-layer page pools [L, KV, P, page_size, Dh]."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def create(cls, cfg: Qwen3Config, num_pages: int, page_size: int,
+               dtype=jnp.bfloat16) -> "PagedKVCache":
+        shape = (cfg.num_hidden_layers, cfg.num_key_value_heads,
+                 num_pages, page_size, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+class PagedState(NamedTuple):
+    tokens: jax.Array        # [B, max_len] int32 (prompt + generated)
+    length: jax.Array        # [B] int32 — tokens resident per row
+    pool: PagedKVCache
+    block_tables: jax.Array  # [B, max_pages] int32 pool page ids
+    last_logits: jax.Array   # [B, V] fp32
+    presence: jax.Array      # [B, V] bool — generated-token set
+    num_generated: jax.Array  # [B] int32 (request-total across preemptions)
+    finished: jax.Array      # [B] bool
+    rng: jax.Array
+
+
+def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
+                  pool: PagedKVCache, block_tables: jax.Array,
+                  lengths: jax.Array, live: jax.Array,
+                  attn_impl: str = "kernel"):
+    """One decode step over the page pool.
+
+    token [B] int32; the new token's KV is written at page
+    block_tables[b, lengths[b] // ps], offset lengths[b] % ps (dropped for
+    dead rows), then each row attends over its lengths[b]+1 resident keys.
+    Returns (logits [B, V], new pool).
+    """
+    B = token.shape[0]
+    KV, Dh = cfg.num_key_value_heads, cfg.head_dim
+    H = cfg.num_attention_heads
+    G = H // KV
+    P, ps = pool.k.shape[2], pool.k.shape[3]
+
+    x = qwen3.embed_tokens(params, token[:, None], cfg)       # [B, 1, D]
+    cos, sin = qwen3.rope_angles(lengths[:, None], Dh, cfg.rope_theta)
+
+    rows = jnp.arange(B)
+    # clamp: a row at length == max_len is dead (live False) but must not
+    # index past the table
+    pages = block_tables[rows, jnp.minimum(lengths // ps,
+                                           block_tables.shape[1] - 1)]
+    pages = jnp.where(live, pages, P)                         # drop dead rows
+    offs = lengths % ps
+    klen = jnp.where(live, lengths + 1, 0)
+    h_idx = jnp.arange(KV)[None, :]                           # [1, KV]
+    p_idx = pages[:, None]                                    # [B, 1]
+    o_idx = offs[:, None]
+
+    def body(h, xs):
+        lp, kp, vp = xs
+        y = qwen3.rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps)
+        q, k, v = qwen3.qkv_proj(lp["attn"], y, cos, sin, cfg)
+        k1 = k[:, 0]                                          # [B, KV, Dh]
+        v1 = v[:, 0]
+        kp = kp.at[h_idx, p_idx, o_idx].set(k1.astype(kp.dtype),
+                                            mode="drop")
+        vp = vp.at[h_idx, p_idx, o_idx].set(v1.astype(vp.dtype),
+                                            mode="drop")
+        qh = q.reshape(B, KV, G, Dh)
+        if attn_impl == "kernel":
+            o = paged_attention(qh, kp, vp, block_tables, klen)
+        else:
+            o = paged_attention_xla(qh, kp, vp, block_tables, klen)
+        o = qwen3._proj(o.reshape(B, 1, H * Dh), lp["attn"]["o"],
+                        None, "o", 1.0)
+        h = h + o
+        y2 = qwen3.rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps)
+        return h + qwen3.mlp_block(lp["mlp"], y2), (kp, vp)
+
+    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], pool.k, pool.v))
+    x = qwen3.rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
+    logits = qwen3.unembed(params, x, cfg)
+    return logits[:, 0].astype(jnp.float32), PagedKVCache(nk, nv)
+
+
+def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
+                         win_size: Optional[int] = None,
+                         attn_impl: str = "kernel"):
+    """Jitted ``decode_chunk(params, state, n_steps) -> state`` over the
+    page pool (early exit when all slots are finished). The host allocator
+    guarantees every live row has pages for ``n_steps`` more tokens."""
+    win = win_size or sp.win_size
+    eos_ids = tuple(sp.stop_token_ids)
+    pad_id = eos_ids[0]
+
+    def step_body(params, st: PagedState) -> PagedState:
+        B, max_len = st.tokens.shape
+        tok, rng = sample_next_token(sp, st, win, eos_ids)
+        live = jnp.logical_and(~st.finished, st.length < max_len)
+        token = jnp.where(live, tok, pad_id)
+
+        rows = jnp.arange(B)
+        col = jnp.where(live, st.length, max_len + 1)
+        tokens = st.tokens.at[rows, col].set(token, mode="drop")
+        vcol = jnp.where(live, token, st.presence.shape[1] + 1)
+        presence = st.presence.at[rows, vcol].set(True, mode="drop")
+        is_eos = jnp.zeros(B, bool)
+        for e in eos_ids:
+            is_eos = jnp.logical_or(is_eos, token == e)
+        finished = jnp.logical_or(
+            st.finished,
+            jnp.logical_or(jnp.logical_and(live, is_eos),
+                           st.length + 1 >= max_len))
+
+        logits, pool = paged_forward(params, token, cfg, st.pool,
+                                     st.block_tables, st.length, live,
+                                     attn_impl)
+        return PagedState(tokens, st.length + live.astype(jnp.int32),
+                          pool, st.block_tables, logits, presence,
+                          st.num_generated + live.astype(jnp.int32),
+                          finished, rng)
+
+    @jax.jit
+    def decode_chunk(params, st: PagedState, n_steps) -> PagedState:
+        def cond(c):
+            s, i = c
+            return jnp.logical_and(i < n_steps, jnp.any(~s.finished))
+
+        def body(c):
+            s, i = c
+            return step_body(params, s), i + 1
+
+        st, _ = jax.lax.while_loop(cond, body,
+                                   (st, jnp.zeros((), jnp.int32)))
+        return st
+
+    return decode_chunk
+
+
+class PagePool:
+    """Host-side ref-counted page allocator (the vLLM block manager,
+    minus GPU-specific swap: preemption here is recompute-mode)."""
+
+    def __init__(self, num_pages: int):
+        self._free = list(range(num_pages - 1, -1, -1))
+        self._ref = {}
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        if n > len(self._free):
+            return None
+        pages = [self._free.pop() for _ in range(n)]
+        for p in pages:
+            self._ref[p] = 1
+        return pages
+
+    def share(self, pages: Sequence[int]) -> None:
+        for p in pages:
+            self._ref[p] += 1
+
+    def free(self, pages: Sequence[int]) -> None:
+        for p in pages:
+            self._ref[p] -= 1
+            if self._ref[p] == 0:
+                del self._ref[p]
+                self._free.append(p)
+
+
+class PagedEngine:
+    """Slot scheduler over the paged decode program.
+
+    Same serve() contract as ContinuousEngine (order-preserving outputs,
+    per-request caps), plus: KV memory bounded by ``num_pages`` rather than
+    slots*max_len, and vLLM-style recompute preemption when the pool runs
+    dry. ``num_pages >= ceil(max_len / page_size)`` is required so a lone
+    stream can always run to max_len after preempting everyone else."""
+
+    def __init__(self, params, cfg: Qwen3Config, sp: SamplingParams,
+                 slots: int = 8, max_len: int = 4096,
+                 num_pages: Optional[int] = None, page_size: int = 128,
+                 chunk_steps: int = 32, seed: int = 0,
+                 cache_dtype=jnp.bfloat16, attn_impl: str = "auto"):
+        self.params = params
+        self.cfg = cfg
+        self.sp = sp
+        self.slots = slots
+        self.max_len = max_len
+        self.ps = page_size
+        self.max_pages = _ceil_div(max_len, page_size)
+        self.num_pages = (num_pages if num_pages is not None
+                          else slots * self.max_pages)
+        if self.num_pages < self.max_pages:
+            raise ValueError(
+                f"num_pages={self.num_pages} cannot hold one max_len stream "
+                f"({self.max_pages} pages)")
+        self.chunk_steps = chunk_steps
+        self.cache_dtype = cache_dtype
+        if attn_impl == "auto":
+            attn_impl = ("kernel" if jax.default_backend() == "tpu"
+                         else "xla")
+        self._decode = make_paged_decode_fn(cfg, sp, attn_impl=attn_impl)
+        self._prefill = jax.jit(
+            lambda p, ids, mask, cache: qwen3.forward(
+                p, ids, cfg, attention_mask=mask, cache=cache))
+        self._scatter = jax.jit(self._scatter_impl)
+        self._insert = jax.jit(self._insert_impl)
+        self._finish_slot = jax.jit(
+            lambda st, b: st._replace(finished=st.finished.at[b].set(True)))
+        self._rng = jax.random.PRNGKey(seed)
+
+    def new_state(self) -> PagedState:
+        B, V = self.slots, self.cfg.vocab_size
+        pool = PagedKVCache.create(self.cfg, self.num_pages, self.ps,
+                                   self.cache_dtype)
+        self._rng, sub = jax.random.split(self._rng)
+        return PagedState(
+            tokens=jnp.zeros((B, self.max_len), jnp.int32),
+            length=jnp.zeros((B,), jnp.int32),
+            pool=pool,
+            block_tables=jnp.zeros((B, self.max_pages), jnp.int32),
+            last_logits=jnp.zeros((B, V), jnp.float32),
+            presence=jnp.zeros((B, V), bool),
+            num_generated=jnp.zeros((B,), jnp.int32),
+            finished=jnp.ones((B,), bool),     # all slots start idle
+            rng=sub)
+
+    @staticmethod
+    def _scatter_impl(pool: PagedKVCache, tmp_k, tmp_v,
+                      page_ids) -> PagedKVCache:
+        """Install a contiguous B=1 prefill cache [L, 1, W, KV, Dh] into
+        ``len(page_ids)`` pool pages (W == len(page_ids) * page_size; one
+        compile per page count)."""
+        L, _, W, KV, Dh = tmp_k.shape
+        n = page_ids.shape[0]
+        ps = W // n
+        kk = tmp_k[:, 0].transpose(0, 2, 1, 3).reshape(L, KV, n, ps, Dh)
+        vv = tmp_v[:, 0].transpose(0, 2, 1, 3).reshape(L, KV, n, ps, Dh)
+        return PagedKVCache(
+            pool.k.at[:, :, page_ids].set(kk.astype(pool.k.dtype)),
+            pool.v.at[:, :, page_ids].set(vv.astype(pool.v.dtype)))
+
+    @staticmethod
+    def _insert_impl(state: PagedState, b, token_row, n, logits_row,
+                     presence_row, n_gen0) -> PagedState:
+        dus = jax.lax.dynamic_update_slice
+        return state._replace(
+            tokens=dus(state.tokens, token_row[None], (b, 0)),
+            length=dus(state.length, jnp.reshape(n, (1,)), (b,)),
+            last_logits=dus(state.last_logits, logits_row[None], (b, 0)),
+            presence=dus(state.presence, presence_row[None], (b, 0)),
+            num_generated=dus(state.num_generated,
+                              jnp.reshape(n_gen0, (1,)), (b,)),
+            finished=dus(state.finished, jnp.zeros((1,), bool), (b,)))
+
+    def _prefill_slot(self, state: PagedState, b: int, ids: Sequence[int],
+                      pages: List[int], prev_gen: Sequence[int]
+                      ) -> PagedState:
+        n = len(ids)
+        if n >= self.max_len:
+            raise ValueError(f"prompt length {n} leaves no room to "
+                             f"generate (max_len={self.max_len})")
+        width = _ceil_div(n, self.ps) * self.ps
+        arr = np.zeros((1, width), np.int32)
+        arr[0, :n] = ids
+        mask = (np.arange(width) < n).astype(np.int32)[None]
+        tmp = qwen3.KVCache.create(self.cfg, 1, width, self.cache_dtype)
+        logits, tmp = self._prefill(self.params, jnp.asarray(arr),
+                                    jnp.asarray(mask), tmp)
+        pool = self._scatter(state.pool, tmp.k, tmp.v,
+                             jnp.asarray(pages[:width // self.ps],
+                                         jnp.int32))
+        state = state._replace(pool=pool)
+        token_row = np.zeros((self.max_len,), np.int32)
+        token_row[:n] = ids
+        # resume parity after preemption: previously generated tokens stay
+        # in the repetition-penalty set and in the request-total counter
+        # (min_tokens / EOS suppression see the true count)
+        presence_row = np.zeros((self.cfg.vocab_size,), bool)
+        presence_row[list(prev_gen)] = True
+        return self._insert(
+            state, jnp.asarray(b, jnp.int32), jnp.asarray(token_row),
+            jnp.asarray(n, jnp.int32),
+            logits[0, n - 1, :].astype(jnp.float32),
+            jnp.asarray(presence_row),
+            jnp.asarray(len(prev_gen), jnp.int32))
+
+    # ------------------------------------------------------------------
+    # Scheduler
+    # ------------------------------------------------------------------
+
+    def _pages_needed(self, resident: int) -> int:
+        """Pages to cover ``resident`` tokens plus one decode chunk."""
+        horizon = min(resident + self.chunk_steps + 1, self.max_len)
+        return _ceil_div(horizon, self.ps)
+
+    def serve(self, prompts: Sequence[Sequence[int]],
+              max_new: Optional[int] = None,
+              max_new_per_request: Optional[Sequence[int]] = None
+              ) -> List[List[int]]:
+        """Run every prompt to completion through the slot pool; returns
+        generated token ids per prompt (order-preserving)."""
+        cap_default = max_new or self.sp.max_tokens
+        queue = deque()
+        for rid, p in enumerate(prompts):
+            queue.append({"rid": rid, "ids": list(p), "plen0": len(p),
+                          "cap": (max_new_per_request[rid]
+                                  if max_new_per_request is not None
+                                  else cap_default),
+                          "gen": []})
+        outputs: List[Optional[List[int]]] = [None] * len(prompts)
+        self.preemptions = 0               # serve-level metric
+        meta: List[Optional[dict]] = [None] * self.slots
+        slot_pages: List[List[int]] = [[] for _ in range(self.slots)]
+        join_seq = 0
+        pool = PagePool(self.num_pages)
+        state = self.new_state()
+        bt = np.zeros((self.slots, self.max_pages), np.int32)
+
+        def release(b):
+            pool.free(slot_pages[b])
+            slot_pages[b] = []
+            bt[b, :] = 0
+            meta[b] = None
+
+        def preempt(b, state):
+            """vLLM recompute preemption: fold generated tokens back into
+            the request and re-queue it at the front."""
+            self.preemptions += 1
+            r = meta[b]
+            L = int(np.asarray(state.length[b]))
+            gen = np.asarray(state.tokens[b, r["plen"]:L]).tolist()
+            keep = min(len(r["gen"]) + len(gen), r["cap"]) - len(r["gen"])
+            r["gen"] += gen[:keep]
+            if len(r["gen"]) >= r["cap"]:
+                outputs[r["rid"]] = r["gen"]   # cap reached mid-chunk: done
+            else:
+                r["ids"] = r["ids"] + gen[:keep]
+                queue.appendleft(r)
+            release(b)
+            return self._finish_slot(state, jnp.asarray(b, jnp.int32))
+
+        while queue or any(m is not None for m in meta):
+            # 1. grow live slots (oldest joins first — they keep latency)
+            order = sorted((b for b in range(self.slots)
+                            if meta[b] is not None),
+                           key=lambda b: meta[b]["join"])
+            for b in order:
+                if meta[b] is None:
+                    continue
+                resident = int(np.asarray(state.length[b]))
+                need = self._pages_needed(resident) - len(slot_pages[b])
+                while need > 0:
+                    got = pool.alloc(need)
+                    if got is not None:
+                        start = len(slot_pages[b])
+                        slot_pages[b].extend(got)
+                        bt[b, start:start + len(got)] = got
+                        break
+                    victims = [j for j in range(self.slots)
+                               if j != b and meta[j] is not None]
+                    if not victims:
+                        raise RuntimeError(
+                            "page pool exhausted by a single stream — "
+                            "increase num_pages")
+                    victim = max(victims, key=lambda j: meta[j]["join"])
+                    state = preempt(victim, state)
+
+            # 2. admit queued requests into free slots
+            for b in range(self.slots):
+                if meta[b] is not None or not queue:
+                    continue
+                r = queue[0]
+                n = len(r["ids"])
+                got = pool.alloc(self._pages_needed(n))
+                if got is None:
+                    break                      # pool full; retry next chunk
+                queue.popleft()
+                slot_pages[b] = got
+                bt[b, :len(got)] = got
+                bt[b, len(got):] = 0
+                state = self._prefill_slot(state, b, r["ids"], got,
+                                           r["gen"])
+                meta[b] = {**r, "plen": n, "join": join_seq}
+                join_seq += 1
+
+            # 3. one decode chunk
+            state = state._replace(block_tables=jnp.asarray(bt))
+            state = self._decode(self.params, state,
+                                 jnp.asarray(self.chunk_steps, jnp.int32))
+
+            # 4. retire finished / capped slots
+            ngen = np.asarray(state.num_generated)
+            fin = np.asarray(state.finished)
+            done = [b for b in range(self.slots) if meta[b] is not None
+                    and (fin[b] or ngen[b] >= meta[b]["cap"])]
+            if done:
+                toks = np.asarray(state.tokens)
+                force = np.array(fin)
+                for b in done:
+                    r = meta[b]
+                    # clamp to the request cap: the chunk may overshoot by
+                    # up to chunk_steps before the host re-checks
+                    total = min(int(ngen[b]), r["cap"])
+                    fresh = total - len(r["gen"])
+                    start = r["plen"]
+                    r["gen"] += toks[b, start:start + fresh].tolist()
+                    outputs[r["rid"]] = r["gen"]
+                    release(b)
+                    force[b] = True
+                state = state._replace(finished=jnp.asarray(force))
+        return outputs  # type: ignore[return-value]

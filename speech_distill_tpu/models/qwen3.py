@@ -282,13 +282,13 @@ class KVCache(NamedTuple):
                    jnp.zeros((), jnp.int32))
 
 
-def _attention_block(lp: Params, x: jax.Array, cos, sin, mask_bias,
-                     cfg: Qwen3Config, kv_slice=None, cache_len=None,
-                     la: Optional[Params] = None, lora_scale: float = 1.0):
-    """One attention sub-block. Returns (out, (k, v)) for cache update."""
-    B, T, D = x.shape
+def qkv_proj(lp: Params, x: jax.Array, cos, sin, cfg: Qwen3Config,
+             la: Optional[Params] = None, lora_scale: float = 1.0):
+    """Project + qk-norm + rope: x [B, T, D] -> q [B, T, H, Dh],
+    k/v [B, T, KV, Dh]. Shared by the contiguous-cache path and the paged
+    decode path (infer/paged.py)."""
+    B, T, _ = x.shape
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-
     q = _proj(x, lp["q"], la, "q", lora_scale)
     k = _proj(x, lp["k"], la, "k", lora_scale)
     v = _proj(x, lp["v"], la, "v", lora_scale)
@@ -310,6 +310,25 @@ def _attention_block(lp: Params, x: jax.Array, cos, sin, mask_bias,
         if "no_rope" not in ABLATE:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
+    return q, k, v
+
+
+def mlp_block(lp: Params, y: jax.Array, la: Optional[Params] = None,
+              lora_scale: float = 1.0) -> jax.Array:
+    """Gated MLP on the already-normed input (shared with infer/paged.py)."""
+    g = jax.nn.silu(_proj(y, lp["gate"], la, "gate", lora_scale)
+                    .astype(jnp.float32)).astype(y.dtype)
+    return _proj(g * _proj(y, lp["up"], la, "up", lora_scale),
+                 lp["down"], la, "down", lora_scale)
+
+
+def _attention_block(lp: Params, x: jax.Array, cos, sin, mask_bias,
+                     cfg: Qwen3Config, kv_slice=None, cache_len=None,
+                     la: Optional[Params] = None, lora_scale: float = 1.0):
+    """One attention sub-block. Returns (out, (k, v)) for cache update."""
+    B, T, _ = x.shape
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+    q, k, v = qkv_proj(lp, x, cos, sin, cfg, la, lora_scale)
 
     new_kv = (k, v)
     if kv_slice is not None:
@@ -343,10 +362,7 @@ def _layer(lp: Params, x: jax.Array, cos, sin, mask_bias, cfg: Qwen3Config,
         cos, sin, mask_bias, cfg, kv_slice, cache_len, la_attn, lora_scale)
     x = x + h
     y = rms_norm(x, lp["post_ln"]["scale"], cfg.rms_norm_eps)
-    g = jax.nn.silu(_proj(y, lp["mlp"]["gate"], la_mlp, "gate", lora_scale)
-                    .astype(jnp.float32)).astype(y.dtype)
-    y = _proj(g * _proj(y, lp["mlp"]["up"], la_mlp, "up", lora_scale),
-              lp["mlp"]["down"], la_mlp, "down", lora_scale)
+    y = mlp_block(lp["mlp"], y, la_mlp, lora_scale)
     return x + y, new_kv
 
 
@@ -360,6 +376,19 @@ def _restructure_layer(stacked: Params, i: Optional[int] = None) -> Params:
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
+
+
+def embed_tokens(params: Params, input_ids: jax.Array,
+                 cfg: Qwen3Config) -> jax.Array:
+    """Token embedding lookup (int8-quantized table aware)."""
+    table = params["embed"]["weight"]
+    if isinstance(table, dict):
+        # gather int8 rows first, dequantize only the gathered rows
+        # (scale is per-column [1, D] and broadcasts)
+        rows = jnp.take(table["q8"], input_ids, axis=0)
+        return rows.astype(jnp.dtype(cfg.dtype)) \
+            * table["scale"][0].astype(jnp.dtype(cfg.dtype))
+    return jnp.take(table, input_ids, axis=0)
 
 
 def _causal_bias(attention_mask: Optional[jax.Array], B: int, T: int) -> jax.Array:
@@ -407,15 +436,7 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
         B, T = x.shape[:2]
     else:
         B, T = input_ids.shape
-        table = params["embed"]["weight"]
-        if isinstance(table, dict):
-            # gather int8 rows first, dequantize only the gathered rows
-            # (scale is per-column [1, D] and broadcasts)
-            rows = jnp.take(table["q8"], input_ids, axis=0)
-            x = rows.astype(jnp.dtype(cfg.dtype)) \
-                * table["scale"][0].astype(jnp.dtype(cfg.dtype))
-        else:
-            x = jnp.take(table, input_ids, axis=0)
+        x = embed_tokens(params, input_ids, cfg)
 
     if cache is None:
         if positions is None:

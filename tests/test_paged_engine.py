@@ -1,0 +1,130 @@
+"""Paged-KV engine: block-table serving matches contiguous-cache decode,
+including under forced preemption (vLLM recompute mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speech_distill_tpu.core.config import SamplingParams, qwen3_tiny
+from speech_distill_tpu.models import qwen3
+
+
+def _setup(vocab=48, seed=3, max_tokens=6):
+    cfg = qwen3_tiny(vocab)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})
+    params = qwen3.init_params(jax.random.PRNGKey(seed), cfg)
+    # greedy argmax decode: deterministic, robust to fp noise
+    sp = SamplingParams(stop_token_ids=(vocab - 1,), max_tokens=max_tokens,
+                        min_tokens=max_tokens, top_k=1, temperature=1.0,
+                        use_ras=False, repetition_penalty=1.0)
+    return cfg, params, sp
+
+
+def _ref_outputs(params, cfg, sp, prompts, max_new):
+    from speech_distill_tpu.infer.engine import DecodeEngine
+    ref = []
+    for p in prompts:
+        eng = DecodeEngine(params, cfg, sp, max_len=64, prefill_bucket=8,
+                           cache_dtype=jnp.float32)
+        ref.append(eng.generate(p)["token_ids"][:max_new])
+    return ref
+
+
+def test_paged_forward_matches_contiguous_decode():
+    """Single stream, token by token: paged_forward logits == the
+    contiguous KVCache decode path."""
+    from speech_distill_tpu.infer.paged import PagedKVCache, paged_forward
+
+    cfg, params, _ = _setup()
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, cfg.vocab_size - 2, 5).tolist()
+    ps, n_pages = 8, 6
+
+    # contiguous reference: feed tokens one at a time
+    cache = qwen3.KVCache.create(cfg, 1, ps * n_pages, jnp.float32)
+    pool = PagedKVCache.create(cfg, n_pages, ps, jnp.float32)
+    bt = jnp.arange(n_pages, dtype=jnp.int32)[None]   # identity table
+    length = jnp.zeros((1,), jnp.int32)
+    live = jnp.ones((1,), bool)
+    for t, tok in enumerate(prompt):
+        ref_logits, cache = qwen3.forward(
+            params, jnp.asarray([[tok]], jnp.int32), cfg, cache=cache)
+        got_logits, pool = paged_forward(
+            params, jnp.asarray([tok], jnp.int32), cfg, pool, bt,
+            length, live, attn_impl="xla")
+        np.testing.assert_allclose(np.asarray(got_logits[0]),
+                                   np.asarray(ref_logits[0, 0]),
+                                   atol=1e-4, rtol=1e-4)
+        length = length + 1
+
+
+def test_paged_serve_matches_per_stream_decode():
+    """5 prompts through 2 slots (mid-flight join/leave) == single-stream
+    engine run prompt-by-prompt."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup()
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, cfg.vocab_size - 2,
+                            int(rng.integers(3, 11))).tolist()
+               for _ in range(5)]
+    ref = _ref_outputs(params, cfg, sp, prompts, 6)
+
+    eng = PagedEngine(params, cfg, sp, slots=2, max_len=64, page_size=8,
+                      chunk_steps=3, cache_dtype=jnp.float32,
+                      attn_impl="xla")
+    got = eng.serve(prompts, max_new=6)
+    assert got == ref
+
+
+def test_paged_serve_under_preemption():
+    """A pool too small for all slots forces recompute preemption; outputs
+    must still equal the unconstrained run (greedy decode is deterministic,
+    and resume re-prefills prompt+generated at the same positions)."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=5, max_tokens=8)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 9).tolist()
+               for _ in range(4)]
+    ref = _ref_outputs(params, cfg, sp, prompts, 8)
+
+    # 7 pages of 8 across 3 slots: growing past 9+4 resident tokens per
+    # slot exhausts the pool -> youngest stream preempts and resumes
+    eng = PagedEngine(params, cfg, sp, slots=3, max_len=48, page_size=8,
+                      num_pages=7, chunk_steps=4,
+                      cache_dtype=jnp.float32, attn_impl="xla")
+    got = eng.serve(prompts, max_new=8)
+    assert eng.preemptions > 0, "config failed to force preemption"
+    assert got == ref
+
+
+def test_paged_per_request_caps_and_pool_drains():
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=4)
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 6).tolist()
+               for _ in range(4)]
+    caps = [2, 5, 3, 7]
+    eng = PagedEngine(params, cfg, sp, slots=4, max_len=64, page_size=8,
+                      chunk_steps=2, cache_dtype=jnp.float32,
+                      attn_impl="xla")
+    full = eng.serve(prompts, max_new=8)
+    ref = [f[:c] for f, c in zip(full, caps)]
+    capped = eng.serve(prompts, max_new_per_request=caps)
+    assert capped == ref
+
+
+def test_allocator_refcounts():
+    from speech_distill_tpu.infer.paged import PagePool
+
+    pool = PagePool(4)
+    a = pool.alloc(2)
+    b = pool.alloc(2)
+    assert pool.alloc(1) is None
+    pool.share(a)
+    pool.free(a)
+    assert pool.free_pages == 0          # still referenced once
+    pool.free(a)
+    pool.free(b)
+    assert pool.free_pages == 4
