@@ -73,6 +73,14 @@ def main():
                         "HBM; 1.0 = same memory as the contiguous engine)")
     p.add_argument("--page_size", type=int, default=128,
                    help="paged serve: tokens per KV page")
+    p.add_argument("--no_prefix_sharing", action="store_true",
+                   help="paged serve: disable the automatic prefix cache "
+                        "(ablation baseline)")
+    p.add_argument("--serve_prefix_len", type=int, default=0,
+                   help="serve: prepend a common prefix of this many "
+                        "tokens to every request (the longform-TTS "
+                        "regime: shared dialogue history; the paged "
+                        "engine's prefix cache prefills it once)")
     p.add_argument("--topk_recall", type=float, default=None,
                    help="online_sparse: approx_max_k recall target "
                         "(default: DistillConfig.online_topk_recall=0.95)")
@@ -300,7 +308,13 @@ def bench_all():
         ("decode_serving16_int8", ["--mode", "decode", "--decode_streams",
                                    "16", "--quant", "int8_embed"]),
         ("serve", ["--mode", "serve", "--quant", "int8_embed",
-                   "--decode_streams", "16", "--decode_max_len", "1024"]),
+                   "--decode_streams", "16", "--decode_max_len", "1024",
+                   "--serve_phase", "compare"]),
+        ("serve_paged_prefix", ["--mode", "serve", "--serve_phase", "paged",
+                                "--quant", "int8_embed",
+                                "--decode_streams", "16",
+                                "--decode_max_len", "1024",
+                                "--serve_prefix_len", "256"]),
         ("tts", []),
         ("s3", []),
     ]
@@ -319,13 +333,17 @@ def bench_all():
         json.dump(results, f, indent=1)
 
 
-def _serve_workload(vocab: int, S: int):
-    """Seeded workload shared by both serve phases (run in separate
+def _serve_workload(vocab: int, S: int, prefix_len: int = 0):
+    """Seeded workload shared by all serve phases (run in separate
     processes): variable generation lengths (exponential-ish service
-    times — the regime where continuous batching wins)."""
+    times — the regime where continuous batching wins). ``prefix_len``
+    prepends a common token prefix to every request (shared dialogue
+    history — the prefix-cache regime)."""
     rng = np.random.default_rng(0)
     N = 3 * S
-    prompts = [rng.integers(0, vocab, int(rng.integers(64, 128))).tolist()
+    common = rng.integers(0, vocab, prefix_len).tolist()
+    prompts = [common
+               + rng.integers(0, vocab, int(rng.integers(64, 128))).tolist()
                for _ in range(N)]
     caps = np.clip(rng.exponential(160, N).astype(int), 32, 448).tolist()
     return prompts, caps
@@ -353,7 +371,8 @@ def bench_serve(args):
                  "--decode_streams", str(args.decode_streams),
                  "--decode_max_len", str(args.decode_max_len),
                  "--paged_pool_frac", str(args.paged_pool_frac),
-                 "--page_size", str(args.page_size)],
+                 "--page_size", str(args.page_size),
+                 "--serve_prefix_len", str(args.serve_prefix_len)],
                 capture_output=True, text=True)
             if r.returncode != 0:
                 raise RuntimeError(f"serve phase {ph} failed:\n{r.stderr[-2000:]}")
@@ -418,7 +437,8 @@ def bench_serve(args):
     sp = SamplingParams(max_tokens=512, min_tokens=1,
                         stop_token_ids=(cfg.eos_token_id,),
                         topk_method="approx")
-    prompts, caps = _serve_workload(cfg.vocab_size, S)
+    prompts, caps = _serve_workload(cfg.vocab_size, S,
+                                    args.serve_prefix_len)
     N = len(prompts)
 
     if args.serve_phase == "continuous":
@@ -440,7 +460,8 @@ def bench_serve(args):
         peng = PagedEngine(params, cfg, sp, slots=S,
                            max_len=args.decode_max_len,
                            num_pages=num_pages, page_size=args.page_size,
-                           chunk_steps=32, cache_dtype=jnp.bfloat16)
+                           chunk_steps=32, cache_dtype=jnp.bfloat16,
+                           prefix_sharing=not args.no_prefix_sharing)
         peng.serve(prompts[:S], max_new=8)    # warmup/compile
         t0 = time.perf_counter()
         outs = peng.serve(prompts, max_new_per_request=caps)
@@ -450,6 +471,8 @@ def bench_serve(args):
                           "seconds": round(dt, 2),
                           "tokens_per_sec": round(n_tok / dt, 1),
                           "preemptions": peng.preemptions,
+                          "prefix_hits": peng.prefix_hits,
+                          "prefix_hit_tokens": peng.prefix_hit_tokens,
                           "num_pages": num_pages,
                           "page_size": args.page_size}))
         return

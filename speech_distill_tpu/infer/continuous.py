@@ -220,9 +220,10 @@ class ContinuousEngine:
             state = self._decode(self.params, state,
                                  jnp.asarray(self.chunk_steps, jnp.int32))
 
-            lengths = np.asarray(state.length)
-            ngen = np.asarray(state.num_generated)
-            fin = np.asarray(state.finished)
+            # one host transfer for all per-slot scalars (each np.asarray
+            # is a separate relay round-trip — CLAUDE.md)
+            ngen, fin = (np.asarray(a) for a in jax.device_get(
+                (state.num_generated, state.finished)))
             done = [b for b in range(self.slots) if slot_req[b] >= 0
                     and (fin[b] or ngen[b] >= slot_cap[b])]
             if done:

@@ -5,7 +5,7 @@ reference leans on for fast decode, soulxpodcast/engine/llm_engine.py:78-114).
 Where :class:`~speech_distill_tpu.infer.continuous.ContinuousEngine` gives
 each slot a CONTIGUOUS max_len row (memory = slots * max_len regardless of
 occupancy), this engine carves the KV cache into fixed-size pages
-[L, KV, P, page_size, Dh] handed out on demand:
+[L, P, KV, page_size, Dh] handed out on demand:
 
   * memory is proportional to tokens actually resident, so the same HBM
     holds more concurrent streams when lengths are skewed (the podcast
@@ -46,7 +46,9 @@ def _ceil_div(a: int, b: int) -> int:
 
 
 class PagedKVCache(NamedTuple):
-    """Paged decode cache: per-layer page pools [L, KV, P, page_size, Dh]."""
+    """Paged decode cache: per-layer page pools [L, P, KV, page_size, Dh]
+    (page-major, head-inside — one contiguous DMA per page moves every KV
+    head, see ops/paged_attention.py)."""
 
     k: jax.Array
     v: jax.Array
@@ -54,8 +56,8 @@ class PagedKVCache(NamedTuple):
     @classmethod
     def create(cls, cfg: Qwen3Config, num_pages: int, page_size: int,
                dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (cfg.num_hidden_layers, cfg.num_key_value_heads,
-                 num_pages, page_size, cfg.head_dim)
+        shape = (cfg.num_hidden_layers, num_pages,
+                 cfg.num_key_value_heads, page_size, cfg.head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -86,7 +88,7 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
     KV, Dh = cfg.num_key_value_heads, cfg.head_dim
     H = cfg.num_attention_heads
     G = H // KV
-    P, ps = pool.k.shape[2], pool.k.shape[3]
+    P, ps = pool.k.shape[1], pool.k.shape[3]
 
     x = qwen3.embed_tokens(params, token[:, None], cfg)       # [B, 1, D]
     cos, sin = qwen3.rope_angles(lengths[:, None], Dh, cfg.rope_theta)
@@ -109,9 +111,9 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
         q, k, v = qwen3.qkv_proj(lp["attn"], y, cos, sin, cfg)
         k1 = k[:, 0]                                          # [B, KV, Dh]
         v1 = v[:, 0]
-        kp = kp.at[h_idx, p_idx, o_idx].set(k1.astype(kp.dtype),
+        kp = kp.at[p_idx, h_idx, o_idx].set(k1.astype(kp.dtype),
                                             mode="drop")
-        vp = vp.at[h_idx, p_idx, o_idx].set(v1.astype(vp.dtype),
+        vp = vp.at[p_idx, h_idx, o_idx].set(v1.astype(vp.dtype),
                                             mode="drop")
         qh = q.reshape(B, KV, G, Dh)
         if attn_impl == "kernel":
@@ -215,6 +217,74 @@ class PagePool:
                 del self._ref[p]
                 self._free.append(p)
 
+    def refcount(self, p: int) -> int:
+        return self._ref.get(p, 0)
+
+
+class PrefixRegistry:
+    """Automatic prefix caching (the vLLM feature): full, page-aligned
+    prompt prefixes are keyed by their token tuple and mapped to resident
+    pool pages. A registered page carries one registry reference, so it
+    outlives the stream that computed it; under pool pressure, entries
+    whose page is held ONLY by the registry are evicted LRU-first (before
+    any live stream is preempted).
+
+    Keys are exact token tuples — no hash chains, so a collision can never
+    alias two different prefixes onto the same KV page."""
+
+    def __init__(self):
+        self._map = {}          # tuple(ids[:i*ps]) -> {"page", "last"}
+        self._clock = 0
+
+    def _tick(self) -> int:
+        self._clock += 1
+        return self._clock
+
+    def match(self, ids: Sequence[int], ps: int,
+              max_pages: int) -> List[int]:
+        """Longest registered page-aligned prefix of ``ids`` (capped at
+        ``max_pages`` so the caller can keep at least one suffix token to
+        prefill). Returns the matched page ids, root-first."""
+        pages = []
+        for i in range(min(len(ids) // ps, max_pages)):
+            e = self._map.get(tuple(ids[:(i + 1) * ps]))
+            if e is None:
+                break
+            e["last"] = self._tick()
+            pages.append(e["page"])
+        return pages
+
+    def register(self, ids: Sequence[int], stream_pages: Sequence[int],
+                 ps: int, pool: PagePool) -> None:
+        """Record every full page of ``ids`` (pages beyond the last full
+        one are mutable — never registered). Each new entry takes its own
+        pool reference."""
+        for i in range(len(ids) // ps):
+            key = tuple(ids[:(i + 1) * ps])
+            if key not in self._map:
+                pool.share([stream_pages[i]])
+                self._map[key] = {"page": stream_pages[i],
+                                  "last": self._tick()}
+
+    def evict_one(self, pool: PagePool) -> bool:
+        """Free the LRU entry whose page no live stream holds."""
+        best = None
+        for key, e in self._map.items():
+            if pool.refcount(e["page"]) == 1 and \
+                    (best is None or e["last"] < self._map[best]["last"]):
+                best = key
+        if best is None:
+            return False
+        pool.free([self._map.pop(best)["page"]])
+        return True
+
+    def alloc(self, pool: PagePool, n: int) -> Optional[List[int]]:
+        """pool.alloc with LRU cache eviction under pressure."""
+        while True:
+            got = pool.alloc(n)
+            if got is not None or not self.evict_one(pool):
+                return got
+
 
 class PagedEngine:
     """Slot scheduler over the paged decode program.
@@ -229,7 +299,8 @@ class PagedEngine:
                  slots: int = 8, max_len: int = 4096,
                  num_pages: Optional[int] = None, page_size: int = 128,
                  chunk_steps: int = 32, seed: int = 0,
-                 cache_dtype=jnp.bfloat16, attn_impl: str = "auto"):
+                 cache_dtype=jnp.bfloat16, attn_impl: str = "auto",
+                 prefix_sharing: bool = True):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -248,11 +319,13 @@ class PagedEngine:
         if attn_impl == "auto":
             attn_impl = ("kernel" if jax.default_backend() == "tpu"
                          else "xla")
+        self.prefix_sharing = prefix_sharing
         self._decode = make_paged_decode_fn(cfg, sp, attn_impl=attn_impl)
         self._prefill = jax.jit(
             lambda p, ids, mask, cache: qwen3.forward(
                 p, ids, cfg, attention_mask=mask, cache=cache))
         self._scatter = jax.jit(self._scatter_impl)
+        self._gather = jax.jit(self._gather_impl, static_argnums=(2,))
         self._insert = jax.jit(self._insert_impl)
         self._finish_slot = jax.jit(
             lambda st, b: st._replace(finished=st.finished.at[b].set(True)))
@@ -283,11 +356,29 @@ class PagedEngine:
         L, _, W, KV, Dh = tmp_k.shape
         n = page_ids.shape[0]
         ps = W // n
-        kk = tmp_k[:, 0].transpose(0, 2, 1, 3).reshape(L, KV, n, ps, Dh)
-        vv = tmp_v[:, 0].transpose(0, 2, 1, 3).reshape(L, KV, n, ps, Dh)
+        kk = tmp_k[:, 0].reshape(L, n, ps, KV, Dh).transpose(0, 1, 3, 2, 4)
+        vv = tmp_v[:, 0].reshape(L, n, ps, KV, Dh).transpose(0, 1, 3, 2, 4)
         return PagedKVCache(
-            pool.k.at[:, :, page_ids].set(kk.astype(pool.k.dtype)),
-            pool.v.at[:, :, page_ids].set(vv.astype(pool.v.dtype)))
+            pool.k.at[:, page_ids].set(kk.astype(pool.k.dtype)),
+            pool.v.at[:, page_ids].set(vv.astype(pool.v.dtype)))
+
+    @staticmethod
+    def _gather_impl(pool: PagedKVCache, page_ids,
+                     total_w: int) -> "qwen3.KVCache":
+        """Assemble a contiguous B=1 prefill cache [L, 1, total_w, KV, Dh]
+        from ``len(page_ids)`` shared pool pages (the prefix-cache hit
+        path: the suffix then prefills on top of it). One compile per
+        (page count, total_w) bucket."""
+        L, _, KV, ps, Dh = pool.k.shape
+        m = page_ids.shape[0]
+
+        def gx(a):
+            g = a[:, page_ids]                         # [L, m, KV, ps, Dh]
+            g = g.transpose(0, 1, 3, 2, 4).reshape(L, 1, m * ps, KV, Dh)
+            return jnp.pad(g, ((0, 0), (0, 0), (0, total_w - m * ps),
+                               (0, 0), (0, 0)))
+        return qwen3.KVCache(gx(pool.k), gx(pool.v),
+                             jnp.asarray(m * ps, jnp.int32))
 
     @staticmethod
     def _insert_impl(state: PagedState, b, token_row, n, logits_row,
@@ -303,21 +394,33 @@ class PagedEngine:
             finished=dus(state.finished, jnp.zeros((1,), bool), (b,)))
 
     def _prefill_slot(self, state: PagedState, b: int, ids: Sequence[int],
-                      pages: List[int], prev_gen: Sequence[int]
-                      ) -> PagedState:
+                      pages: List[int], prev_gen: Sequence[int],
+                      shared: int = 0) -> PagedState:
+        """Prefill slot ``b``. The first ``shared`` entries of ``pages``
+        are prefix-cache hits already holding this prompt's KV: only the
+        suffix runs through the model (attending over the gathered shared
+        pages), and only the fresh pages are scattered back."""
         n = len(ids)
         if n >= self.max_len:
             raise ValueError(f"prompt length {n} leaves no room to "
                              f"generate (max_len={self.max_len})")
         width = _ceil_div(n, self.ps) * self.ps
-        arr = np.zeros((1, width), np.int32)
-        arr[0, :n] = ids
+        pre = shared * self.ps
+        ws = width - pre                         # suffix width (>= 1 token)
+        arr = np.zeros((1, ws), np.int32)
+        arr[0, :n - pre] = ids[pre:]
         mask = (np.arange(width) < n).astype(np.int32)[None]
-        tmp = qwen3.KVCache.create(self.cfg, 1, width, self.cache_dtype)
+        if shared > 0:
+            tmp = self._gather(state.pool,
+                               jnp.asarray(pages[:shared], jnp.int32),
+                               width)
+        else:
+            tmp = qwen3.KVCache.create(self.cfg, 1, width, self.cache_dtype)
         logits, tmp = self._prefill(self.params, jnp.asarray(arr),
                                     jnp.asarray(mask), tmp)
-        pool = self._scatter(state.pool, tmp.k, tmp.v,
-                             jnp.asarray(pages[:width // self.ps],
+        pool = self._scatter(state.pool, tmp.k[:, :, pre:],
+                             tmp.v[:, :, pre:],
+                             jnp.asarray(pages[shared:width // self.ps],
                                          jnp.int32))
         state = state._replace(pool=pool)
         token_row = np.zeros((self.max_len,), np.int32)
@@ -330,7 +433,7 @@ class PagedEngine:
         return self._insert(
             state, jnp.asarray(b, jnp.int32), jnp.asarray(token_row),
             jnp.asarray(n, jnp.int32),
-            logits[0, n - 1, :].astype(jnp.float32),
+            logits[0, n - pre - 1, :].astype(jnp.float32),
             jnp.asarray(presence_row),
             jnp.asarray(len(prev_gen), jnp.int32))
 
@@ -358,7 +461,10 @@ class PagedEngine:
                                   else cap_default),
                           "gen": []})
         outputs: List[Optional[List[int]]] = [None] * len(prompts)
-        self.preemptions = 0               # serve-level metric
+        self.preemptions = 0               # serve-level metrics
+        self.prefix_hits = 0
+        self.prefix_hit_tokens = 0
+        registry = PrefixRegistry()
         meta: List[Optional[dict]] = [None] * self.slots
         slot_pages: List[List[int]] = [[] for _ in range(self.slots)]
         join_seq = 0
@@ -372,12 +478,16 @@ class PagedEngine:
             bt[b, :] = 0
             meta[b] = None
 
+        # host mirror of state.length, refreshed once per chunk (per-slot
+        # device reads are relay round-trips — CLAUDE.md)
+        lengths_h = np.zeros((self.slots,), np.int32)
+
         def preempt(b, state):
             """vLLM recompute preemption: fold generated tokens back into
             the request and re-queue it at the front."""
             self.preemptions += 1
             r = meta[b]
-            L = int(np.asarray(state.length[b]))
+            L = int(lengths_h[b])
             gen = np.asarray(state.tokens[b, r["plen"]:L]).tolist()
             keep = min(len(r["gen"]) + len(gen), r["cap"]) - len(r["gen"])
             r["gen"] += gen[:keep]
@@ -397,10 +507,10 @@ class PagedEngine:
             for b in order:
                 if meta[b] is None:
                     continue
-                resident = int(np.asarray(state.length[b]))
+                resident = int(lengths_h[b])
                 need = self._pages_needed(resident) - len(slot_pages[b])
                 while need > 0:
-                    got = pool.alloc(need)
+                    got = registry.alloc(pool, need)
                     if got is not None:
                         start = len(slot_pages[b])
                         slot_pages[b].extend(got)
@@ -421,26 +531,44 @@ class PagedEngine:
                     continue
                 r = queue[0]
                 n = len(r["ids"])
-                got = pool.alloc(self._pages_needed(n))
+                shared: List[int] = []
+                if self.prefix_sharing:
+                    # cap so at least one suffix token remains to prefill
+                    shared = registry.match(r["ids"], self.ps,
+                                            (n - 1) // self.ps)
+                    pool.share(shared)         # the stream's own reference
+                got = registry.alloc(pool, self._pages_needed(n)
+                                     - len(shared))
                 if got is None:
+                    pool.free(shared)
                     break                      # pool full; retry next chunk
                 queue.popleft()
-                slot_pages[b] = got
-                bt[b, :len(got)] = got
-                bt[b, len(got):] = 0
-                state = self._prefill_slot(state, b, r["ids"], got,
-                                           r["gen"])
+                slot_pages[b] = shared + got
+                bt[b, :len(slot_pages[b])] = slot_pages[b]
+                bt[b, len(slot_pages[b]):] = 0
+                state = self._prefill_slot(state, b, r["ids"],
+                                           slot_pages[b], r["gen"],
+                                           len(shared))
+                if self.prefix_sharing:
+                    registry.register(r["ids"], slot_pages[b], self.ps,
+                                      pool)
+                    if shared:
+                        self.prefix_hits += 1
+                        self.prefix_hit_tokens += len(shared) * self.ps
                 meta[b] = {**r, "plen": n, "join": join_seq}
                 join_seq += 1
+                lengths_h[b] = n
 
             # 3. one decode chunk
             state = state._replace(block_tables=jnp.asarray(bt))
             state = self._decode(self.params, state,
                                  jnp.asarray(self.chunk_steps, jnp.int32))
 
-            # 4. retire finished / capped slots
-            ngen = np.asarray(state.num_generated)
-            fin = np.asarray(state.finished)
+            # 4. retire finished / capped slots (ONE host transfer for all
+            # per-slot scalars; lengths_h carries into the next grow pass)
+            lengths_h, ngen, fin = (
+                np.array(a) for a in jax.device_get(
+                    (state.length, state.num_generated, state.finished)))
             done = [b for b in range(self.slots) if meta[b] is not None
                     and (fin[b] or ngen[b] >= meta[b]["cap"])]
             if done:

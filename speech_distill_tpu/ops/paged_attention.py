@@ -2,25 +2,30 @@
 
 The TPU-native equivalent of vLLM's PagedAttention (the engine the reference
 leans on for fast decode, soulxpodcast/engine/llm_engine.py:78-114). KV lives
-in a shared pool of fixed-size pages [KV, P, page_size, Dh]; each slot's
+in a shared pool of fixed-size pages [P, KV, page_size, Dh]; each slot's
 pages are named by a block table row, so memory is allocated on demand and
-identical prompt prefixes can share pages (see infer/paged.py).
+identical prompt prefixes can share pages (infer/paged.py PrefixRegistry).
 
 Why a Pallas kernel: batched decode is KV-bandwidth-bound. A contiguous
 [B, max_len] cache reads every column every step regardless of how full each
 row is; an XLA gather over the block table would round-trip the gathered KV
-through HBM. This kernel DMAs exactly ceil(length/page_size) pages per
-(row, kv-head) straight from the pool into VMEM (double-buffered, so the
-next page streams in while the current one is in the MXU) — per-step HBM
-traffic is proportional to the tokens actually present, not to max_len.
+through HBM. This kernel DMAs exactly ceil(length/page_size) pages per row
+straight from the pool into VMEM (double-buffered, so the next page streams
+in while the current one is in the MXU) — per-step HBM traffic is
+proportional to the tokens actually present, not to max_len.
+
+Pages are laid out head-inside ([P, KV, page_size, Dh]) so ONE async copy
+per page moves all KV heads (KV*page_size*Dh elements — e.g. 256 KB at
+KV=8, ps=128, bf16) instead of KV separate 32 KB copies: the grid is over
+rows only, and per-head attention unrolls over the VMEM-resident page.
 
 Layouts (decode step, T == 1):
   q            [B, KV, G, Dh]   (H = KV * G query heads, GQA-grouped)
-  k/v pool     [KV, P, page_size, Dh]  (page-contiguous per kv-head)
-  block_tables [B, max_pages] int32    (pool page ids; entries beyond
-                                        ceil(len/page_size) are never read)
-  lengths      [B] int32               (valid keys incl. the current token;
-                                        0 => row is idle, output is zeros)
+  k/v pool     [P, KV, page_size, Dh]     (page-major, head-inside)
+  block_tables [B, max_pages] int32       (pool page ids; entries beyond
+                                           ceil(len/page_size) never read)
+  lengths      [B] int32                  (valid keys incl. the current
+                                           token; 0 => row idle, output 0)
 """
 from __future__ import annotations
 
@@ -37,15 +42,14 @@ NEG_INF = -1e30
 def _decode_kernel(bt_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
                    k_scr, v_scr, sem, *, page_size: int, scale: float):
     b = pl.program_id(0)
-    h = pl.program_id(1)
     L = len_ref[b]
     n_pages = jax.lax.div(L + page_size - 1, page_size)
 
     def copies(p, slot):
         page = bt_ref[b, p]
-        ck = pltpu.make_async_copy(k_hbm.at[h, page], k_scr.at[slot],
+        ck = pltpu.make_async_copy(k_hbm.at[page], k_scr.at[slot],
                                    sem.at[slot, 0])
-        cv = pltpu.make_async_copy(v_hbm.at[h, page], v_scr.at[slot],
+        cv = pltpu.make_async_copy(v_hbm.at[page], v_scr.at[slot],
                                    sem.at[slot, 1])
         return ck, cv
 
@@ -55,12 +59,11 @@ def _decode_kernel(bt_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
         ck.start()
         cv.start()
 
-    q = q_ref[0, 0]                       # [G, Dh]
-    G, Dh = q.shape
-    op_dt = q.dtype
+    KV, G, Dh = q_ref.shape[1:]
+    op_dt = q_ref.dtype
 
     def body(p, carry):
-        m, l, acc = carry
+        ms, ls, accs = carry
         slot = jax.lax.rem(p, 2)
 
         @pl.when(p + 1 < n_pages)
@@ -72,29 +75,36 @@ def _decode_kernel(bt_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
         ck, cv = copies(p, slot)
         ck.wait()
         cv.wait()
-        k = k_scr[slot]                   # [page_size, Dh]
-        v = v_scr[slot]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
         k_pos = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (G, page_size), 1)
-        s = jnp.where(k_pos < L, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1))
-        pexp = jnp.exp(s - m_new[:, None])
-        corr = jnp.exp(m - m_new)
-        l_new = l * corr + jnp.sum(pexp, axis=1)
-        acc_new = acc * corr[:, None] + jax.lax.dot_general(
-            pexp.astype(op_dt), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+        in_len = k_pos < L
+        nms, nls, naccs = [], [], []
+        # one page DMA feeds all KV heads; attention unrolls over them
+        for h in range(KV):
+            q = q_ref[0, h]               # [G, Dh]
+            k = k_scr[slot, h]            # [page_size, Dh]
+            v = v_scr[slot, h]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(in_len, s * scale, NEG_INF)
+            m_new = jnp.maximum(ms[h], jnp.max(s, axis=1))
+            pexp = jnp.exp(s - m_new[:, None])
+            corr = jnp.exp(ms[h] - m_new)
+            nms.append(m_new)
+            nls.append(ls[h] * corr + jnp.sum(pexp, axis=1))
+            naccs.append(accs[h] * corr[:, None] + jax.lax.dot_general(
+                pexp.astype(op_dt), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        return tuple(nms), tuple(nls), tuple(naccs)
 
-    m0 = jnp.full((G,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((G,), jnp.float32)
-    a0 = jnp.zeros((G, Dh), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, a0))
-    l_safe = jnp.maximum(l, 1e-30)
-    out = jnp.where(n_pages > 0, acc / l_safe[:, None], 0.0)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    m0 = tuple(jnp.full((G,), NEG_INF, jnp.float32) for _ in range(KV))
+    l0 = tuple(jnp.zeros((G,), jnp.float32) for _ in range(KV))
+    a0 = tuple(jnp.zeros((G, Dh), jnp.float32) for _ in range(KV))
+    ms, ls, accs = jax.lax.fori_loop(0, n_pages, body, (m0, l0, a0))
+    for h in range(KV):
+        l_safe = jnp.maximum(ls[h], 1e-30)
+        out = jnp.where(n_pages > 0, accs[h] / l_safe[:, None], 0.0)
+        o_ref[0, h] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -105,19 +115,18 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     B, KV, G, Dh = q.shape
     page_size = k_pool.shape[2]
     scale = Dh ** -0.5
-    grid = (B, KV)
-    q_spec = pl.BlockSpec((1, 1, G, Dh), lambda b, h, bt, ln: (b, h, 0, 0))
+    q_spec = pl.BlockSpec((1, KV, G, Dh), lambda b, bt, ln: (b, 0, 0, 0))
     return pl.pallas_call(
         functools.partial(_decode_kernel, page_size=page_size, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=grid,
+            grid=(B,),
             in_specs=[q_spec,
                       pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=q_spec,
-            scratch_shapes=[pltpu.VMEM((2, page_size, Dh), k_pool.dtype),
-                            pltpu.VMEM((2, page_size, Dh), v_pool.dtype),
+            scratch_shapes=[pltpu.VMEM((2, KV, page_size, Dh), k_pool.dtype),
+                            pltpu.VMEM((2, KV, page_size, Dh), v_pool.dtype),
                             pltpu.SemaphoreType.DMA((2, 2))],
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -136,11 +145,11 @@ def paged_attention_xla(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     B, KV, G, Dh = q.shape
     ps = k_pool.shape[2]
     mp = block_tables.shape[1]
-    # [KV, B, mp, ps, Dh] -> [B, S, KV, Dh]
-    k = jnp.take(k_pool, block_tables, axis=1)
-    v = jnp.take(v_pool, block_tables, axis=1)
-    k = k.transpose(1, 2, 3, 0, 4).reshape(B, mp * ps, KV, Dh)
-    v = v.transpose(1, 2, 3, 0, 4).reshape(B, mp * ps, KV, Dh)
+    # [B, mp, KV, ps, Dh] -> [B, S, KV, Dh]
+    k = k_pool[block_tables]
+    v = v_pool[block_tables]
+    k = k.transpose(0, 1, 3, 2, 4).reshape(B, mp * ps, KV, Dh)
+    v = v.transpose(0, 1, 3, 2, 4).reshape(B, mp * ps, KV, Dh)
     scale = Dh ** -0.5
     s = jnp.einsum("bkgd,bskd->bkgs", q, k,
                    preferred_element_type=jnp.float32) * scale

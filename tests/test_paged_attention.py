@@ -12,8 +12,8 @@ from speech_distill_tpu.ops.paged_attention import (
 def _mk(B=4, KV=2, G=3, Dh=64, P=16, ps=64, max_pages=4, seed=0):
     rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.normal(size=(B, KV, G, Dh)), jnp.float32)
-    kp = jnp.asarray(rng.normal(size=(KV, P, ps, Dh)), jnp.float32)
-    vp = jnp.asarray(rng.normal(size=(KV, P, ps, Dh)), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(P, KV, ps, Dh)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(P, KV, ps, Dh)), jnp.float32)
     # distinct pages per row; entries beyond the row's page count are junk
     bt = rng.permutation(P)[:B * max_pages].reshape(B, max_pages)
     bt = jnp.asarray(bt, jnp.int32)
@@ -32,8 +32,10 @@ def _dense(q, kp, vp, bt, lengths):
         if L == 0:
             continue
         pages = np.asarray(bt[b])[: -(-L // ps)]
-        k = np.asarray(kp)[:, pages].reshape(KV, -1, Dh)[:, :L]
-        v = np.asarray(vp)[:, pages].reshape(KV, -1, Dh)[:, :L]
+        k = np.asarray(kp)[pages].transpose(1, 0, 2, 3) \
+            .reshape(KV, -1, Dh)[:, :L]
+        v = np.asarray(vp)[pages].transpose(1, 0, 2, 3) \
+            .reshape(KV, -1, Dh)[:, :L]
         for h in range(KV):
             s = np.asarray(q)[b, h] @ k[h].T * (Dh ** -0.5)   # [G, L]
             s = s - s.max(axis=1, keepdims=True)

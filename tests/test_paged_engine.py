@@ -128,3 +128,63 @@ def test_allocator_refcounts():
     pool.free(a)
     pool.free(b)
     assert pool.free_pages == 4
+
+
+def test_prefix_sharing_parity_and_hits():
+    """Prompts sharing a page-aligned prefix: later admits reuse the
+    registered pages (suffix-only prefill) and outputs still equal the
+    per-stream reference."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=7)
+    rng = np.random.default_rng(3)
+    common = rng.integers(1, cfg.vocab_size - 2, 16).tolist()
+    prompts = [common + rng.integers(1, cfg.vocab_size - 2, k).tolist()
+               for k in (3, 5, 7, 2)]
+    # one full-match edge case: prompt == the shared prefix exactly
+    prompts.append(list(common))
+    ref = _ref_outputs(params, cfg, sp, prompts, 6)
+
+    eng = PagedEngine(params, cfg, sp, slots=2, max_len=64, page_size=8,
+                      chunk_steps=3, cache_dtype=jnp.float32,
+                      attn_impl="xla")
+    got = eng.serve(prompts, max_new=6)
+    assert got == ref
+    assert eng.prefix_hits >= 3
+    assert eng.prefix_hit_tokens >= 3 * 16
+
+
+def test_prefix_sharing_off_matches_on():
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=9)
+    rng = np.random.default_rng(4)
+    common = rng.integers(1, cfg.vocab_size - 2, 8).tolist()
+    prompts = [common + rng.integers(1, cfg.vocab_size - 2, 4).tolist()
+               for _ in range(3)]
+    kw = dict(slots=2, max_len=64, page_size=8, chunk_steps=4,
+              cache_dtype=jnp.float32, attn_impl="xla")
+    on = PagedEngine(params, cfg, sp, **kw).serve(prompts, max_new=5)
+    off = PagedEngine(params, cfg, sp, prefix_sharing=False,
+                      **kw).serve(prompts, max_new=5)
+    assert on == off
+
+
+def test_registry_eviction_under_pool_pressure():
+    """Registered pages (held only by the registry) are evicted LRU
+    before live streams get preempted; outputs stay exact."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=11, max_tokens=8)
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 8).tolist()
+               for _ in range(5)]
+    ref = _ref_outputs(params, cfg, sp, prompts, 8)
+
+    # 6 pages of 8, 2 slots: each finished prompt leaves 1 registered
+    # page; without eviction the pool would run dry on later admits
+    eng = PagedEngine(params, cfg, sp, slots=2, max_len=32, page_size=8,
+                      num_pages=6, chunk_steps=4,
+                      cache_dtype=jnp.float32, attn_impl="xla")
+    got = eng.serve(prompts, max_new=8)
+    assert got == ref
