@@ -474,7 +474,11 @@ def bench_serve(args):
                           "prefix_hits": peng.prefix_hits,
                           "prefix_hit_tokens": peng.prefix_hit_tokens,
                           "num_pages": num_pages,
-                          "page_size": args.page_size}))
+                          "page_size": args.page_size,
+                          "phases": {k: round(v, 2) for k, v in
+                                     peng.phase_seconds.items()},
+                          "chunks": peng.n_chunks,
+                          "prefills": peng.n_prefills}))
         return
     else:
         from speech_distill_tpu.infer.engine import DecodeEngine

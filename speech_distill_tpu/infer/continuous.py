@@ -220,14 +220,14 @@ class ContinuousEngine:
             state = self._decode(self.params, state,
                                  jnp.asarray(self.chunk_steps, jnp.int32))
 
-            # one host transfer for all per-slot scalars (each np.asarray
-            # is a separate relay round-trip — CLAUDE.md)
-            ngen, fin = (np.asarray(a) for a in jax.device_get(
-                (state.num_generated, state.finished)))
+            # one host transfer for all per-slot state (each np.asarray
+            # is a separate relay round-trip — CLAUDE.md; the token rows
+            # ride the same batched get instead of a second fetch)
+            ngen, fin, toks = (np.asarray(a) for a in jax.device_get(
+                (state.num_generated, state.finished, state.tokens)))
             done = [b for b in range(self.slots) if slot_req[b] >= 0
                     and (fin[b] or ngen[b] >= slot_cap[b])]
             if done:
-                toks = np.asarray(state.tokens)
                 force = np.array(fin)
                 for b in done:
                     rid = slot_req[b]

@@ -27,6 +27,8 @@ per page-count bucket, exactly like the contiguous engines.
 """
 from __future__ import annotations
 
+import functools
+import time
 from collections import deque
 from typing import List, NamedTuple, Optional, Sequence
 
@@ -69,6 +71,10 @@ class PagedState(NamedTuple):
     last_logits: jax.Array   # [B, V] fp32
     presence: jax.Array      # [B, V] bool — generated-token set
     num_generated: jax.Array  # [B] int32 (request-total across preemptions)
+    cap: jax.Array           # [B] int32 — request token budget (device-side
+    #                          retire: rows stop exactly at their cap and the
+    #                          chunk early-exits when every slot is done,
+    #                          instead of burning steps to the host boundary)
     finished: jax.Array      # [B] bool
     rng: jax.Array
 
@@ -156,10 +162,12 @@ def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
         is_eos = jnp.zeros(B, bool)
         for e in eos_ids:
             is_eos = jnp.logical_or(is_eos, token == e)
+        capped = jnp.logical_and(live, st.num_generated + 1 >= st.cap)
         finished = jnp.logical_or(
             st.finished,
             jnp.logical_or(jnp.logical_and(live, is_eos),
-                           st.length + 1 >= max_len))
+                           jnp.logical_or(capped,
+                                          st.length + 1 >= max_len)))
 
         logits, pool = paged_forward(params, token, cfg, st.pool,
                                      st.block_tables, st.length, live,
@@ -167,7 +175,7 @@ def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
         return PagedState(tokens, st.length + live.astype(jnp.int32),
                           pool, st.block_tables, logits, presence,
                           st.num_generated + live.astype(jnp.int32),
-                          finished, rng)
+                          st.cap, finished, rng)
 
     @jax.jit
     def decode_chunk(params, st: PagedState, n_steps) -> PagedState:
@@ -321,12 +329,7 @@ class PagedEngine:
                          else "xla")
         self.prefix_sharing = prefix_sharing
         self._decode = make_paged_decode_fn(cfg, sp, attn_impl=attn_impl)
-        self._prefill = jax.jit(
-            lambda p, ids, mask, cache: qwen3.forward(
-                p, ids, cfg, attention_mask=mask, cache=cache))
-        self._scatter = jax.jit(self._scatter_impl)
-        self._gather = jax.jit(self._gather_impl, static_argnums=(2,))
-        self._insert = jax.jit(self._insert_impl)
+        self._admit = self._make_admit()
         self._finish_slot = jax.jit(
             lambda st, b: st._replace(finished=st.finished.at[b].set(True)))
         self._rng = jax.random.PRNGKey(seed)
@@ -344,6 +347,7 @@ class PagedEngine:
             last_logits=jnp.zeros((B, V), jnp.float32),
             presence=jnp.zeros((B, V), bool),
             num_generated=jnp.zeros((B,), jnp.int32),
+            cap=jnp.zeros((B,), jnp.int32),
             finished=jnp.ones((B,), bool),     # all slots start idle
             rng=sub)
 
@@ -382,7 +386,7 @@ class PagedEngine:
 
     @staticmethod
     def _insert_impl(state: PagedState, b, token_row, n, logits_row,
-                     presence_row, n_gen0) -> PagedState:
+                     presence_row, n_gen0, cap) -> PagedState:
         dus = jax.lax.dynamic_update_slice
         return state._replace(
             tokens=dus(state.tokens, token_row[None], (b, 0)),
@@ -391,11 +395,44 @@ class PagedEngine:
             presence=dus(state.presence, presence_row[None], (b, 0)),
             num_generated=dus(state.num_generated,
                               jnp.reshape(n_gen0, (1,)), (b,)),
+            cap=dus(state.cap, jnp.reshape(cap, (1,)), (b,)),
             finished=dus(state.finished, jnp.zeros((1,), bool), (b,)))
+
+    def _make_admit(self):
+        """ONE jitted program per (shared-page count, width bucket) doing
+        gather-or-create → suffix prefill → page scatter → slot insert.
+        Admissions used to be 4 separate dispatches; through the axon
+        relay each dispatch costs ~ms of host time the device spends
+        idle, and admissions sit on the critical path between decode
+        chunks (measured: fusing cut the admit phase ~3x)."""
+        cfg, ps, cdt = self.cfg, self.ps, self.cache_dtype
+
+        @functools.partial(jax.jit, static_argnames=("m", "width"))
+        def admit(params, state: PagedState, b, arr, mask, pages, n,
+                  token_row, presence_row, n_gen0, cap, *, m: int,
+                  width: int) -> PagedState:
+            pre = m * ps
+            if m > 0:
+                tmp = PagedEngine._gather_impl(state.pool, pages[:m], width)
+            else:
+                tmp = qwen3.KVCache.create(cfg, 1, width, cdt)
+            logits, tmp = qwen3.forward(params, arr, cfg,
+                                        attention_mask=mask, cache=tmp)
+            pool = PagedEngine._scatter_impl(state.pool, tmp.k[:, :, pre:],
+                                             tmp.v[:, :, pre:], pages[m:])
+            state = state._replace(pool=pool)
+            logits_row = jax.lax.dynamic_index_in_dim(
+                logits[0], n - pre - 1, axis=0,
+                keepdims=False).astype(jnp.float32)
+            return PagedEngine._insert_impl(
+                state, b, token_row, n, logits_row, presence_row,
+                n_gen0, cap)
+
+        return admit
 
     def _prefill_slot(self, state: PagedState, b: int, ids: Sequence[int],
                       pages: List[int], prev_gen: Sequence[int],
-                      shared: int = 0) -> PagedState:
+                      shared: int = 0, cap: int = 1 << 30) -> PagedState:
         """Prefill slot ``b``. The first ``shared`` entries of ``pages``
         are prefix-cache hits already holding this prompt's KV: only the
         suffix runs through the model (attending over the gathered shared
@@ -410,19 +447,6 @@ class PagedEngine:
         arr = np.zeros((1, ws), np.int32)
         arr[0, :n - pre] = ids[pre:]
         mask = (np.arange(width) < n).astype(np.int32)[None]
-        if shared > 0:
-            tmp = self._gather(state.pool,
-                               jnp.asarray(pages[:shared], jnp.int32),
-                               width)
-        else:
-            tmp = qwen3.KVCache.create(self.cfg, 1, width, self.cache_dtype)
-        logits, tmp = self._prefill(self.params, jnp.asarray(arr),
-                                    jnp.asarray(mask), tmp)
-        pool = self._scatter(state.pool, tmp.k[:, :, pre:],
-                             tmp.v[:, :, pre:],
-                             jnp.asarray(pages[shared:width // self.ps],
-                                         jnp.int32))
-        state = state._replace(pool=pool)
         token_row = np.zeros((self.max_len,), np.int32)
         token_row[:n] = ids
         # resume parity after preemption: previously generated tokens stay
@@ -430,12 +454,15 @@ class PagedEngine:
         # (min_tokens / EOS suppression see the true count)
         presence_row = np.zeros((self.cfg.vocab_size,), bool)
         presence_row[list(prev_gen)] = True
-        return self._insert(
-            state, jnp.asarray(b, jnp.int32), jnp.asarray(token_row),
-            jnp.asarray(n, jnp.int32),
-            logits[0, n - pre - 1, :].astype(jnp.float32),
+        return self._admit(
+            self.params, state, jnp.asarray(b, jnp.int32),
+            jnp.asarray(arr), jnp.asarray(mask),
+            jnp.asarray(pages[:width // self.ps], jnp.int32),
+            jnp.asarray(n, jnp.int32), jnp.asarray(token_row),
             jnp.asarray(presence_row),
-            jnp.asarray(len(prev_gen), jnp.int32))
+            jnp.asarray(len(prev_gen), jnp.int32),
+            jnp.asarray(min(cap, 1 << 30), jnp.int32),
+            m=shared, width=width)
 
     # ------------------------------------------------------------------
     # Scheduler
@@ -464,6 +491,13 @@ class PagedEngine:
         self.preemptions = 0               # serve-level metrics
         self.prefix_hits = 0
         self.prefix_hit_tokens = 0
+        # wall-time anatomy of the scheduler loop (decode_sync includes the
+        # device chunk; everything else is host/dispatch time the device
+        # spends idle or pipelined)
+        self.phase_seconds = {"grow": 0.0, "admit": 0.0,
+                              "decode_sync": 0.0, "retire": 0.0}
+        self.n_chunks = 0
+        self.n_prefills = 0
         registry = PrefixRegistry()
         meta: List[Optional[dict]] = [None] * self.slots
         slot_pages: List[List[int]] = [[] for _ in range(self.slots)]
@@ -478,9 +512,11 @@ class PagedEngine:
             bt[b, :] = 0
             meta[b] = None
 
-        # host mirror of state.length, refreshed once per chunk (per-slot
-        # device reads are relay round-trips — CLAUDE.md)
+        # host mirrors of state.length / state.tokens, refreshed once per
+        # chunk in ONE batched device_get (per-slot device reads are
+        # relay round-trips — CLAUDE.md)
         lengths_h = np.zeros((self.slots,), np.int32)
+        tokens_h = np.zeros((self.slots, self.max_len), np.int32)
 
         def preempt(b, state):
             """vLLM recompute preemption: fold generated tokens back into
@@ -488,7 +524,7 @@ class PagedEngine:
             self.preemptions += 1
             r = meta[b]
             L = int(lengths_h[b])
-            gen = np.asarray(state.tokens[b, r["plen"]:L]).tolist()
+            gen = tokens_h[b, r["plen"]:L].tolist()
             keep = min(len(r["gen"]) + len(gen), r["cap"]) - len(r["gen"])
             r["gen"] += gen[:keep]
             if len(r["gen"]) >= r["cap"]:
@@ -500,6 +536,7 @@ class PagedEngine:
             return self._finish_slot(state, jnp.asarray(b, jnp.int32))
 
         while queue or any(m is not None for m in meta):
+            t_phase = time.perf_counter()
             # 1. grow live slots (oldest joins first — they keep latency)
             order = sorted((b for b in range(self.slots)
                             if meta[b] is not None),
@@ -525,6 +562,10 @@ class PagedEngine:
                     victim = max(victims, key=lambda j: meta[j]["join"])
                     state = preempt(victim, state)
 
+            t_now = time.perf_counter()
+            self.phase_seconds["grow"] += t_now - t_phase
+            t_phase = t_now
+
             # 2. admit queued requests into free slots
             for b in range(self.slots):
                 if meta[b] is not None or not queue:
@@ -548,7 +589,8 @@ class PagedEngine:
                 bt[b, len(slot_pages[b]):] = 0
                 state = self._prefill_slot(state, b, r["ids"],
                                            slot_pages[b], r["gen"],
-                                           len(shared))
+                                           len(shared), cap=r["cap"])
+                self.n_prefills += 1
                 if self.prefix_sharing:
                     registry.register(r["ids"], slot_pages[b], self.ps,
                                       pool)
@@ -559,31 +601,37 @@ class PagedEngine:
                 join_seq += 1
                 lengths_h[b] = n
 
+            t_now = time.perf_counter()
+            self.phase_seconds["admit"] += t_now - t_phase
+            t_phase = t_now
+
             # 3. one decode chunk
             state = state._replace(block_tables=jnp.asarray(bt))
             state = self._decode(self.params, state,
                                  jnp.asarray(self.chunk_steps, jnp.int32))
+            self.n_chunks += 1
 
-            # 4. retire finished / capped slots (ONE host transfer for all
-            # per-slot scalars; lengths_h carries into the next grow pass)
-            lengths_h, ngen, fin = (
+            # 4. retire finished slots (ONE host transfer for every host
+            # mirror — per-slot scalars AND the token rows; lengths_h /
+            # tokens_h carry into the next grow pass). Caps are enforced
+            # device-side (state.cap), so `finished` is exact.
+            lengths_h, ngen, fin, tokens_h = (
                 np.array(a) for a in jax.device_get(
-                    (state.length, state.num_generated, state.finished)))
+                    (state.length, state.num_generated, state.finished,
+                     state.tokens)))
+            t_now = time.perf_counter()
+            self.phase_seconds["decode_sync"] += t_now - t_phase
+            t_phase = t_now
             done = [b for b in range(self.slots) if meta[b] is not None
-                    and (fin[b] or ngen[b] >= meta[b]["cap"])]
-            if done:
-                toks = np.asarray(state.tokens)
-                force = np.array(fin)
-                for b in done:
-                    r = meta[b]
-                    # clamp to the request cap: the chunk may overshoot by
-                    # up to chunk_steps before the host re-checks
-                    total = min(int(ngen[b]), r["cap"])
-                    fresh = total - len(r["gen"])
-                    start = r["plen"]
-                    r["gen"] += toks[b, start:start + fresh].tolist()
-                    outputs[r["rid"]] = r["gen"]
-                    release(b)
-                    force[b] = True
-                state = state._replace(finished=jnp.asarray(force))
+                    and fin[b]]
+            for b in done:
+                r = meta[b]
+                # min() guards the (impossible under device caps) overshoot
+                total = min(int(ngen[b]), r["cap"])
+                fresh = total - len(r["gen"])
+                start = r["plen"]
+                r["gen"] += tokens_h[b, start:start + fresh].tolist()
+                outputs[r["rid"]] = r["gen"]
+                release(b)
+            self.phase_seconds["retire"] += time.perf_counter() - t_phase
         return outputs  # type: ignore[return-value]
