@@ -76,6 +76,10 @@ def main():
     p.add_argument("--no_prefix_sharing", action="store_true",
                    help="paged serve: disable the automatic prefix cache "
                         "(ablation baseline)")
+    p.add_argument("--serve_chunk_steps", type=int, default=32,
+                   help="serve: decode steps per jitted chunk between "
+                        "host scheduling passes (smaller = faster slot "
+                        "refill, more host syncs)")
     p.add_argument("--serve_prefix_len", type=int, default=0,
                    help="serve: prepend a common prefix of this many "
                         "tokens to every request (the longform-TTS "
@@ -372,7 +376,8 @@ def bench_serve(args):
                  "--decode_max_len", str(args.decode_max_len),
                  "--paged_pool_frac", str(args.paged_pool_frac),
                  "--page_size", str(args.page_size),
-                 "--serve_prefix_len", str(args.serve_prefix_len)],
+                 "--serve_prefix_len", str(args.serve_prefix_len),
+                 "--serve_chunk_steps", str(args.serve_chunk_steps)],
                 capture_output=True, text=True)
             if r.returncode != 0:
                 raise RuntimeError(f"serve phase {ph} failed:\n{r.stderr[-2000:]}")
@@ -445,7 +450,8 @@ def bench_serve(args):
         from speech_distill_tpu.infer.continuous import ContinuousEngine
         ceng = ContinuousEngine(params, cfg, sp, slots=S,
                                 max_len=args.decode_max_len,
-                                chunk_steps=32, cache_dtype=jnp.bfloat16)
+                                chunk_steps=args.serve_chunk_steps,
+                                cache_dtype=jnp.bfloat16)
         # warmup/compile: prefill bucket + chunk-decode + insert programs
         ceng.serve(prompts[:S], max_new=8)
         t0 = time.perf_counter()
@@ -460,7 +466,8 @@ def bench_serve(args):
         peng = PagedEngine(params, cfg, sp, slots=S,
                            max_len=args.decode_max_len,
                            num_pages=num_pages, page_size=args.page_size,
-                           chunk_steps=32, cache_dtype=jnp.bfloat16,
+                           chunk_steps=args.serve_chunk_steps,
+                           cache_dtype=jnp.bfloat16,
                            prefix_sharing=not args.no_prefix_sharing)
         peng.serve(prompts[:S], max_new=8)    # warmup/compile
         t0 = time.perf_counter()

@@ -25,6 +25,7 @@ TPU-first design (vs vLLM's paged CUDA cache):
 """
 from __future__ import annotations
 
+import functools
 from collections import deque
 from typing import List, Optional, Sequence
 
@@ -62,10 +63,12 @@ def make_chunk_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
         is_eos = jnp.zeros(B, bool)
         for e in eos_ids:
             is_eos = jnp.logical_or(is_eos, token == e)
+        capped = jnp.logical_and(live, st.num_generated + 1 >= st.cap)
         finished = jnp.logical_or(
             st.finished,
             jnp.logical_or(jnp.logical_and(live, is_eos),
-                           st.length + 1 >= max_len))
+                           jnp.logical_or(capped,
+                                          st.length + 1 >= max_len)))
 
         # contiguous per-slot rows: RoPE position == cache column == length
         write_col = jnp.minimum(st.length, max_len - 1)
@@ -77,7 +80,7 @@ def make_chunk_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
                            valid, cache,
                            logits[:, -1, :].astype(jnp.float32), presence,
                            st.num_generated + live.astype(jnp.int32),
-                           finished, rng)
+                           st.cap, finished, rng)
 
     @jax.jit
     def decode_chunk(params, st: DecodeState, n_steps) -> DecodeState:
@@ -117,10 +120,7 @@ class ContinuousEngine:
         self.chunk_steps = chunk_steps
         self.cache_dtype = cache_dtype
         self._decode = make_chunk_decode_fn(cfg, sp)
-        self._prefill = jax.jit(
-            lambda p, ids, mask, cache: qwen3.forward(
-                p, ids, cfg, attention_mask=mask, cache=cache))
-        self._insert = jax.jit(self._insert_impl)
+        self._admit = self._make_admit()
         self._rng = jax.random.PRNGKey(seed)
 
     def _bucketed(self, n: int) -> int:
@@ -139,12 +139,13 @@ class ContinuousEngine:
             last_logits=jnp.zeros((B, V), jnp.float32),
             presence=jnp.zeros((B, V), bool),
             num_generated=jnp.zeros((B,), jnp.int32),
+            cap=jnp.zeros((B,), jnp.int32),
             finished=jnp.ones((B,), bool),     # all slots start idle
             rng=sub)
 
     @staticmethod
     def _insert_impl(state: DecodeState, b, token_row, valid_row,
-                     k_new, v_new, n, logits_row) -> DecodeState:
+                     k_new, v_new, n, logits_row, cap) -> DecodeState:
         """Install a prefilled prompt into slot ``b`` (all-traced; one
         compile per prompt-width bucket)."""
         dus = jax.lax.dynamic_update_slice
@@ -162,10 +163,34 @@ class ContinuousEngine:
             last_logits=dus(state.last_logits, logits_row[None], (b, 0)),
             presence=dus(state.presence, jnp.zeros((1, V), bool), (b, 0)),
             num_generated=dus(state.num_generated, zero, (b,)),
+            cap=dus(state.cap, jnp.reshape(cap, (1,)), (b,)),
             finished=dus(state.finished, jnp.zeros((1,), bool), (b,)))
 
+    def _make_admit(self):
+        """ONE jitted program per prompt-width bucket doing cache-create →
+        prefill → slot insert (was 3 dispatches; through the axon relay
+        each dispatch is host time the device spends idle)."""
+        cfg, cdt = self.cfg, self.cache_dtype
+
+        @functools.partial(jax.jit, static_argnames=("width",))
+        def admit(params, state: DecodeState, b, ids, mask, n, token_row,
+                  valid_row, cap, *, width: int) -> DecodeState:
+            tmp = qwen3.KVCache.create(cfg, 1, width, cdt)
+            logits, tmp = qwen3.forward(params, ids, cfg,
+                                        attention_mask=mask, cache=tmp)
+            logits_row = jax.lax.dynamic_index_in_dim(
+                logits[0], n - 1, axis=0, keepdims=False).astype(jnp.float32)
+            # stale columns beyond n are masked by valid_row forever
+            # (width <= max_len by _bucketed)
+            return ContinuousEngine._insert_impl(
+                state, b, token_row, valid_row, tmp.k, tmp.v, n,
+                logits_row, cap)
+
+        return admit
+
     def _prefill_slot(self, state: DecodeState, b: int,
-                      prompt: Sequence[int]) -> DecodeState:
+                      prompt: Sequence[int],
+                      cap: int = 1 << 30) -> DecodeState:
         n = len(prompt)
         if n >= self.max_len:
             raise ValueError(f"prompt length {n} leaves no room to "
@@ -174,22 +199,15 @@ class ContinuousEngine:
         ids = np.zeros((1, width), np.int32)
         ids[0, :n] = prompt
         mask = (np.arange(width) < n).astype(np.int32)[None]
-        tmp = qwen3.KVCache.create(self.cfg, 1, width, self.cache_dtype)
-        logits, tmp = self._prefill(self.params, jnp.asarray(ids),
-                                    jnp.asarray(mask), tmp)
         token_row = np.zeros((self.max_len,), np.int32)
         token_row[:n] = prompt
         valid_row = np.zeros((self.max_len,), bool)
         valid_row[:n] = True
-        # stale columns beyond n in k_new are masked by valid_row forever
-        pad = self.max_len - width
-        k_new = tmp.k if pad >= 0 else tmp.k[:, :, :self.max_len]
-        v_new = tmp.v if pad >= 0 else tmp.v[:, :, :self.max_len]
-        return self._insert(
-            state, jnp.asarray(b, jnp.int32), jnp.asarray(token_row),
-            jnp.asarray(valid_row), k_new, v_new,
-            jnp.asarray(n, jnp.int32),
-            logits[0, n - 1, :].astype(jnp.float32))
+        return self._admit(
+            self.params, state, jnp.asarray(b, jnp.int32),
+            jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(n, jnp.int32),
+            jnp.asarray(token_row), jnp.asarray(valid_row),
+            jnp.asarray(min(cap, 1 << 30), jnp.int32), width=width)
 
     def serve(self, prompts: Sequence[Sequence[int]],
               max_new: Optional[int] = None,
@@ -210,34 +228,31 @@ class ContinuousEngine:
             for b in range(self.slots):
                 if slot_req[b] < 0 and queue:
                     rid = queue.popleft()
-                    state = self._prefill_slot(state, b, prompts[rid])
+                    cap = (max_new_per_request[rid]
+                           if max_new_per_request is not None
+                           else cap_default)
+                    state = self._prefill_slot(state, b, prompts[rid],
+                                               cap=cap)
                     slot_req[b] = rid
                     slot_plen[b] = len(prompts[rid])
-                    slot_cap[b] = (max_new_per_request[rid]
-                                   if max_new_per_request is not None
-                                   else cap_default)
+                    slot_cap[b] = cap
 
             state = self._decode(self.params, state,
                                  jnp.asarray(self.chunk_steps, jnp.int32))
 
             # one host transfer for all per-slot state (each np.asarray
             # is a separate relay round-trip — CLAUDE.md; the token rows
-            # ride the same batched get instead of a second fetch)
+            # ride the same batched get instead of a second fetch). Caps
+            # are enforced device-side (state.cap), so `finished` is exact.
             ngen, fin, toks = (np.asarray(a) for a in jax.device_get(
                 (state.num_generated, state.finished, state.tokens)))
-            done = [b for b in range(self.slots) if slot_req[b] >= 0
-                    and (fin[b] or ngen[b] >= slot_cap[b])]
-            if done:
-                force = np.array(fin)
-                for b in done:
-                    rid = slot_req[b]
-                    # clamp to the request cap: the chunk may overshoot by
-                    # up to chunk_steps before the host re-checks
-                    n_keep = min(int(ngen[b]), slot_cap[b])
-                    start = slot_plen[b]
-                    outputs[rid] = toks[b, start:start + n_keep].tolist()
-                    slot_req[b] = -1
-                    force[b] = True
-                # cap-reached slots must stop decoding until refilled
-                state = state._replace(finished=jnp.asarray(force))
+            for b in range(self.slots):
+                if slot_req[b] < 0 or not fin[b]:
+                    continue
+                rid = slot_req[b]
+                # min() guards the (impossible under device caps) overshoot
+                n_keep = min(int(ngen[b]), slot_cap[b])
+                start = slot_plen[b]
+                outputs[rid] = toks[b, start:start + n_keep].tolist()
+                slot_req[b] = -1
         return outputs  # type: ignore[return-value]

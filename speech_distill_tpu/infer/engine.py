@@ -34,6 +34,12 @@ class DecodeState(NamedTuple):
     last_logits: jax.Array   # [B, V] fp32 — logits at the last real token
     presence: jax.Array      # [B, V] bool — generated-token set (rep penalty)
     num_generated: jax.Array  # [B] int32
+    cap: jax.Array           # [B] int32 — per-row token budget. The static
+    #                          engine leaves it huge (its stop is the global
+    #                          max_new while-loop bound); the continuous
+    #                          engine retires rows at their request cap
+    #                          device-side, so chunks early-exit instead of
+    #                          burning steps to the next host boundary.
     finished: jax.Array      # [B] bool
     rng: jax.Array
 
@@ -101,7 +107,7 @@ def make_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
                                       positions=pos, cache=st.cache)
         return DecodeState(tokens, st.length + 1, valid, cache,
                            logits[:, -1, :].astype(jnp.float32), presence,
-                           st.num_generated + 1, finished, rng)
+                           st.num_generated + 1, st.cap, finished, rng)
 
     @jax.jit
     def decode(params, st: DecodeState, max_new) -> DecodeState:
@@ -206,6 +212,7 @@ class DecodeEngine:
             last_logits=jnp.zeros((batch, V), jnp.float32),
             presence=jnp.zeros((batch, V), bool),
             num_generated=jnp.zeros((batch,), jnp.int32),
+            cap=jnp.full((batch,), 1 << 30, jnp.int32),
             finished=jnp.zeros((batch,), bool),
             rng=sub)
 
