@@ -99,6 +99,12 @@ def main():
                         "old materialized + chunked exact top-k")
     p.add_argument("--tts_batch", type=int, default=1,
                    help="tts mode: concurrent turns through flow+vocoder")
+    p.add_argument("--split_apply", action="store_true",
+                   help="KD step as TWO programs (grad + donated apply): "
+                        "donation on the full step stalls the axon remote "
+                        "compiler, but a standalone apply donates fine — "
+                        "in-place state buffers at the cost of one extra "
+                        "dispatch (implies donation of the apply inputs)")
     p.add_argument("--donate", action="store_true",
                    help="donate the train state to the step (in-place "
                         "buffer reuse; the trainer always does this — off "
@@ -184,7 +190,8 @@ def main():
 
     step = train_step.make_kd_step(cfg, dcfg, opt, mode=args.mode,
                                    teacher_cfg=teacher_cfg,
-                                   donate=args.donate,
+                                   donate=args.donate or args.split_apply,
+                                   split_apply=args.split_apply,
                                    fused_loss=args.fused_loss,
                                    fused_backend=args.fused_backend)
 

@@ -109,12 +109,16 @@ def init_lora(rng: jax.Array, base_params: Params, model_cfg: Qwen3Config,
             b_arr = jnp.zeros((L, r, dout), jnp.float32)
         lora["layers"].setdefault(group, {})[key] = {"a": a_arr, "b": b_arr}
 
-    # full-rank trainable copies of embed / lm_head (modules_to_save)
+    # full-rank trainable copies of embed / lm_head (modules_to_save).
+    # Real copies, not aliases: donating the trainable (split-apply /
+    # in-place optimizer buffers) must not invalidate the frozen base.
     if "embed_tokens" in cfg.modules_to_save:
-        lora["embed"] = {"weight": base_params["embed"]["weight"]}
+        lora["embed"] = {"weight": jnp.array(base_params["embed"]["weight"],
+                                             copy=True)}
     if "lm_head" in cfg.modules_to_save:
         if "lm_head" in base_params:
-            lora["lm_head"] = {"weight": base_params["lm_head"]["weight"]}
+            lora["lm_head"] = {"weight": jnp.array(
+                base_params["lm_head"]["weight"], copy=True)}
         # tied embeddings: the embed copy above already covers the head
     return lora, new_base
 

@@ -197,7 +197,8 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                  fused_loss: bool = False,
                  fused_backend: str = "xla",
                  loss_chunk_size: int = 16384,
-                 head_loss: str = "fused"):
+                 head_loss: str = "fused",
+                 split_apply: bool = False):
     """Build the jitted KD step.
 
     mode:
@@ -331,6 +332,39 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
         return out.total, metrics
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    if split_apply:
+        # Two programs instead of one: donate_argnums on the FULL KD step
+        # never returns from the axon remote compiler (CLAUDE.md), but a
+        # standalone elementwise apply donates fine (the loss-curve runner
+        # uses exactly this). Splitting trades one extra dispatch + a
+        # materialized grads pytree for in-place (aliased) state buffers —
+        # no fresh multi-GB trainable/opt-state allocation per step.
+        @jax.jit
+        def grad_prog(trainable, base_params, teacher_params, batch):
+            return _accumulate(grad_fn, trainable, batch,
+                               (base_params, teacher_params))
+
+        # Donate trainable + opt_state only: grads have no output to alias
+        # (the state trees already claim the matching outputs), so donating
+        # them is a no-op that only triggers the unusable-donation warning.
+        @functools.partial(jax.jit,
+                           donate_argnums=(0, 1) if donate else ())
+        def apply_prog(trainable, opt_state, grads):
+            updates, opt_state = optimizer.update(grads, opt_state,
+                                                  trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, optax.global_norm(grads)
+
+        def step(state: TrainState, base_params, teacher_params, batch):
+            grads, metrics = grad_prog(state.trainable, base_params,
+                                       teacher_params, batch)
+            trainable, opt_state, gn = apply_prog(state.trainable,
+                                                  state.opt_state, grads)
+            metrics["grad_norm"] = gn
+            return TrainState(trainable, opt_state, state.step + 1), metrics
+
+        return step
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, base_params, teacher_params, batch):

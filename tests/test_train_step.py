@@ -123,6 +123,35 @@ def test_kd_step_unmerged_matches_merged(tiny):
 # -- KD step ----------------------------------------------------------------
 
 
+def test_kd_split_apply_matches_monolithic(tiny):
+    """split_apply=True (grad program + donated apply program) produces
+    leaf-exact state and metrics vs the single-program step."""
+    cfg, params = tiny
+    dcfg = DistillConfig(lora=LoraConfig(r=4, alpha=8,
+                                         init_weights="gaussian"))
+    lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, dcfg.lora)
+    batch = _batch(cfg)
+    opt = train_step.make_optimizer(1e-2, 1, 10)
+
+    mono = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
+                                   donate=False)
+    split = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
+                                    donate=True, split_apply=True)
+    s_m = train_step.init_state(lora, opt)
+    s_s = train_step.init_state(lora, opt)
+    for _ in range(3):
+        s_m, m_m = mono(s_m, base, None, batch)
+        s_s, m_s = split(s_s, base, None, batch)
+    assert float(m_m["loss"]) == float(m_s["loss"])
+    assert float(m_m["grad_norm"]) == float(m_s["grad_norm"])
+    for a, b in zip(jax.tree.leaves(s_m.trainable),
+                    jax.tree.leaves(s_s.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s_m.opt_state),
+                    jax.tree.leaves(s_s.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_kd_precomputed_loss_decreases(tiny):
     cfg, params = tiny
