@@ -86,7 +86,7 @@ class Qwen3Config(_JsonOverlayMixin):
     remat_policy: str = "full"         # full | dots (save MXU outputs,
     #                                    recompute only elementwise in bwd)
     scan_layers: bool = True           # stack layers & lax.scan
-    attn_impl: str = "auto"            # auto | xla | pallas
+    attn_impl: str = "auto"            # auto | xla | pallas | ring (sp mesh)
     logits_dtype: str = "float32"
     head_bwd_dtype: str = "float32"    # lm-head cotangent dtype for the
     #                                    UNFUSED unembed path (stage-1
@@ -313,6 +313,7 @@ class MeshConfig:
     this is a first-class new component: GSPMD dp x tp over ICI."""
 
     dp: int = -1                       # -1: all remaining devices
+    sp: int = 1                        # sequence/context parallel (ring attn)
     tp: int = 1
     # activation sequence sharding axis rides on tp when enabled
     shard_sequence: bool = False

@@ -442,7 +442,15 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
         if positions is None:
             positions = jnp.arange(T)[None, :].repeat(B, axis=0)
         cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
-        mask_bias = _causal_bias(attention_mask, B, T)
+        use_ring = False
+        if cfg.attn_impl == "ring":
+            # ring attention computes causality from global positions
+            # inside its shard_map; skip materializing the [B,1,T,T] bias
+            # (exact for right-padded batches, like the flash kernel).
+            from speech_distill_tpu.ops.ring_attention import ring_available
+            from speech_distill_tpu.parallel.mesh import get_active_mesh
+            use_ring = ring_available(get_active_mesh(), T)
+        mask_bias = None if use_ring else _causal_bias(attention_mask, B, T)
 
         def plain_layer_fn(lp, h, la):
             return _layer(lp, h, cos, sin, mask_bias, cfg,

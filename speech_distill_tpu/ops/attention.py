@@ -58,7 +58,19 @@ def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array,
 def sdpa(q, k, v, mask_bias, impl: str = "auto"):
     """impl='pallas' uses the causal flash kernel — exact for causal
     self-attention over right-padded batches (padded keys are beyond every
-    valid query's causal window; padded query rows are masked downstream)."""
+    valid query's causal window; padded query rows are masked downstream).
+
+    impl='ring' routes training-shape causal attention (T == S, no
+    materialized bias — the caller signals ring eligibility by passing
+    mask_bias=None, see models/qwen3.forward) through the sequence-parallel
+    ring kernel over the active mesh's sp axis; decode shapes and
+    ring-ineligible calls fall back to XLA SDPA."""
+    if impl == "ring":
+        if mask_bias is None and q.shape[1] == k.shape[1]:
+            from speech_distill_tpu.ops.ring_attention import ring_attention
+            from speech_distill_tpu.parallel.mesh import get_active_mesh
+            return ring_attention(q, k, v, get_active_mesh())
+        return sdpa_xla(q, k, v, mask_bias)
     if impl == "xla":
         return sdpa_xla(q, k, v, mask_bias)
     if impl == "pallas" or (impl == "auto" and _on_tpu()

@@ -7,6 +7,7 @@ collectives inserted by XLA from ``NamedSharding`` annotations.
 
 Axes:
   dp — data parallel (batch dim)
+  sp — sequence/context parallel (activation seq dim; ring attention)
   tp — tensor parallel (attention heads / mlp hidden / vocab)
 """
 from __future__ import annotations
@@ -20,27 +21,67 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from speech_distill_tpu.core.config import MeshConfig
 
 DP_AXIS = "dp"
+SP_AXIS = "sp"
 TP_AXIS = "tp"
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Create a (dp, tp) mesh over the given devices (default: all)."""
+    """Create a (dp, sp, tp) mesh over the given devices (default: all).
+
+    sp defaults to 1, so existing (dp, tp) layouts are unchanged — specs
+    name axes, never positions, so the extra unit axis is invisible to
+    NamedSharding users."""
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     tp = max(1, cfg.tp)
-    if n % tp != 0:
-        raise ValueError(f"device count {n} not divisible by tp={tp}")
-    dp = cfg.dp if cfg.dp > 0 else n // tp
-    if dp * tp != n:
-        raise ValueError(f"dp*tp={dp*tp} != device count {n}")
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, (DP_AXIS, TP_AXIS))
+    sp = max(1, getattr(cfg, "sp", 1))
+    if n % (tp * sp) != 0:
+        raise ValueError(f"device count {n} not divisible by sp*tp={sp * tp}")
+    dp = cfg.dp if cfg.dp > 0 else n // (tp * sp)
+    if dp * sp * tp != n:
+        raise ValueError(f"dp*sp*tp={dp * sp * tp} != device count {n}")
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, (DP_AXIS, SP_AXIS, TP_AXIS))
 
 
 def single_device_mesh() -> Mesh:
-    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), (DP_AXIS, TP_AXIS))
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+                (DP_AXIS, SP_AXIS, TP_AXIS))
+
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    """Register the mesh that ops needing explicit collectives (ring
+    attention's shard_map) should use. GSPMD-only paths never read this;
+    pipelines set it once right after ``make_mesh``."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+class active_mesh:
+    """Context manager form of :func:`set_active_mesh` (tests)."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self.prev = _ACTIVE_MESH
+        _ACTIVE_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self.prev
+        return False
 
 
 def shard(mesh: Mesh, spec: P) -> NamedSharding:

@@ -99,10 +99,19 @@ def shard_opt_state(mesh: Mesh, opt_state, trainable_specs: Params):
 def shard_batch(mesh: Mesh, batch: Dict[str, Any],
                 microbatched: bool = True) -> Dict[str, Any]:
     """dp shards the batch dim (axis 1 when a leading microbatch axis A is
-    present, else axis 0)."""
-    spec = P(None, "dp") if microbatched else P("dp")
-    put = make_sharder(mesh)
-    return {k: jax.device_put(v, NamedSharding(mesh, spec))
+    present, else axis 0). On a mesh with a real sp axis, the sequence dim
+    (the axis after batch) additionally shards over sp — GSPMD keeps every
+    position-local op sharded and ring attention handles the mixing."""
+    lead = (None, "dp") if microbatched else ("dp",)
+    sp = dict(mesh.shape).get("sp", 1)
+
+    def spec_for(v) -> P:
+        if (sp > 1 and hasattr(v, "ndim") and v.ndim > len(lead)
+                and v.shape[len(lead)] % sp == 0):
+            return P(*lead, "sp")
+        return P(*lead)
+
+    return {k: jax.device_put(v, NamedSharding(mesh, spec_for(v)))
             for k, v in batch.items()}
 
 

@@ -93,6 +93,7 @@ def train_stage1(config):
     eval_packed = pack_sequences(eval_id_lists, config.max_seq_length, eos_id)
 
     mesh = meshlib.make_mesh(MeshConfig(tp=1))
+    meshlib.set_active_mesh(mesh)
     dp = mesh.shape["dp"]
     trainable = {"embed": {"weight": params["embed"]["weight"]}}
     if "lm_head" in params:

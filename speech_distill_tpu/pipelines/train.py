@@ -6,6 +6,7 @@ jitted KD step over a dp x tp mesh instead of HF Trainer.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 from typing import Optional
 
@@ -53,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradient_accumulation_steps", type=int, default=4)
     p.add_argument("--pad_to_multiple_of", type=int, default=128)
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel size (ring attention over the "
+                        "sp mesh axis; seq_len must divide by it)")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--shuffle_buffer_size", type=int, default=0,
                    help="0: whole-epoch shuffle (exact permutation, "
@@ -166,8 +170,15 @@ def train(config) -> None:
                 teacher_params = quantize_params(
                     teacher_params, bits=8 if quant == "int8" else 4)
 
-    mesh = meshlib.make_mesh(MeshConfig(tp=config.tp))
+    sp = getattr(config, "sp", 1)
+    mesh = meshlib.make_mesh(MeshConfig(tp=config.tp, sp=sp))
+    meshlib.set_active_mesh(mesh)
     dp = mesh.shape["dp"]
+    if sp > 1:
+        # seq-sharded activations + ring attention over the sp axis
+        s_cfg = dataclasses.replace(s_cfg, attn_impl="ring")
+        if teacher_cfg is not None:
+            teacher_cfg = dataclasses.replace(teacher_cfg, attn_impl="ring")
 
     if config.use_lora:
         lora, base = init_lora(jax.random.PRNGKey(dcfg.seed), s_params,
