@@ -138,7 +138,12 @@ def train(config) -> None:
                         init_weights=config.init_lora_weights))
 
     # models
+    sp = getattr(config, "sp", 1)
     s_cfg, s_params = load_pretrained(config.student_model)
+    if sp > 1:
+        # seq-sharded activations + ring attention over the sp axis; must
+        # be applied before any forward closure captures the config
+        s_cfg = dataclasses.replace(s_cfg, attn_impl="ring")
     mode = "precomputed" if has_topk else (
         "online_dense" if dcfg.use_dense else "online_sparse")
     teacher_cfg = teacher_params = None
@@ -148,6 +153,10 @@ def train(config) -> None:
             import torch
             from speech_distill_tpu.models import cosyvoice2 as cv2
             cv_cfg = cv2.CosyVoice2Config()
+            if sp > 1:
+                cv_cfg = dataclasses.replace(
+                    cv_cfg, backbone=dataclasses.replace(
+                        cv_cfg.backbone, attn_impl="ring"))
             state = torch.load(config.teacher_model, map_location="cpu",
                                weights_only=True)
             teacher_params = cv2.convert_torch_state(state, cv_cfg)
@@ -170,15 +179,11 @@ def train(config) -> None:
                 teacher_params = quantize_params(
                     teacher_params, bits=8 if quant == "int8" else 4)
 
-    sp = getattr(config, "sp", 1)
     mesh = meshlib.make_mesh(MeshConfig(tp=config.tp, sp=sp))
     meshlib.set_active_mesh(mesh)
     dp = mesh.shape["dp"]
-    if sp > 1:
-        # seq-sharded activations + ring attention over the sp axis
-        s_cfg = dataclasses.replace(s_cfg, attn_impl="ring")
-        if teacher_cfg is not None:
-            teacher_cfg = dataclasses.replace(teacher_cfg, attn_impl="ring")
+    if sp > 1 and teacher_cfg is not None and teacher_cfg.attn_impl != "ring":
+        teacher_cfg = dataclasses.replace(teacher_cfg, attn_impl="ring")
 
     if config.use_lora:
         lora, base = init_lora(jax.random.PRNGKey(dcfg.seed), s_params,
