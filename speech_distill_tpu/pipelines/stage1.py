@@ -42,6 +42,10 @@ def train_stage1(config):
 
     tokenizer = load_tokenizer(config.model_path)
     cfg, params = load_pretrained(config.model_path)
+    sp = getattr(config, "sp", 1)
+    if sp > 1:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, attn_impl="ring")
     num_new = config.num_new_tokens
     old_vocab_size = cfg.vocab_size - num_new
 
@@ -92,7 +96,7 @@ def train_stage1(config):
           f"{config.max_seq_length}")
     eval_packed = pack_sequences(eval_id_lists, config.max_seq_length, eos_id)
 
-    mesh = meshlib.make_mesh(MeshConfig(tp=1))
+    mesh = meshlib.make_mesh(MeshConfig(tp=1, sp=sp))
     meshlib.set_active_mesh(mesh)
     dp = mesh.shape["dp"]
     trainable = {"embed": {"weight": params["embed"]["weight"]}}
@@ -201,6 +205,9 @@ def build_parser():
     p.add_argument("--eval_steps", type=int, default=500)
     p.add_argument("--eval_size", type=float, default=0)
     p.add_argument("--max_seq_length", type=int, default=4096)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel size (ring attention; "
+                        "max_seq_length must divide by it)")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--num_new_tokens", type=int, default=8220)
     p.add_argument("--prefix", type=str, default="")
