@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel size (ring attention over the "
                         "sp mesh axis; seq_len must divide by it)")
+    p.add_argument("--teacher_devices", type=int, default=0,
+                   help="disaggregate the online teacher onto its own "
+                        "trailing N devices (0: share the student mesh); "
+                        "extraction pipelines ahead of the student step")
+    p.add_argument("--teacher_tp", type=int, default=1,
+                   help="tensor-parallel size of the disaggregated "
+                        "teacher mesh")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--shuffle_buffer_size", type=int, default=0,
                    help="0: whole-epoch shuffle (exact permutation, "
@@ -146,6 +153,12 @@ def train(config) -> None:
         s_cfg = dataclasses.replace(s_cfg, attn_impl="ring")
     mode = "precomputed" if has_topk else (
         "online_dense" if dcfg.use_dense else "online_sparse")
+    n_tdev = getattr(config, "teacher_devices", 0)
+    disagg = n_tdev > 0 and mode != "precomputed"
+    if disagg and mode == "online_dense":
+        raise ValueError(
+            "--teacher_devices streams sparse top-K artifacts; dense KD "
+            "(quantized teacher or top_k<=0) must share the mesh")
     teacher_cfg = teacher_params = None
     teacher_forward = teacher_extract = None
     if mode != "precomputed":
@@ -153,7 +166,9 @@ def train(config) -> None:
             import torch
             from speech_distill_tpu.models import cosyvoice2 as cv2
             cv_cfg = cv2.CosyVoice2Config()
-            if sp > 1:
+            if sp > 1 and not disagg:
+                # a disaggregated teacher mesh has no sp axis; ring only
+                # applies when the teacher shares the student mesh
                 cv_cfg = dataclasses.replace(
                     cv_cfg, backbone=dataclasses.replace(
                         cv_cfg.backbone, attn_impl="ring"))
@@ -179,10 +194,16 @@ def train(config) -> None:
                 teacher_params = quantize_params(
                     teacher_params, bits=8 if quant == "int8" else 4)
 
-    mesh = meshlib.make_mesh(MeshConfig(tp=config.tp, sp=sp))
+    s_devs = t_devs = None
+    if disagg:
+        from speech_distill_tpu.distill import disaggregate
+        s_devs, t_devs = disaggregate.split_devices(n_tdev)
+    mesh = meshlib.make_mesh(MeshConfig(tp=config.tp, sp=sp),
+                             devices=s_devs)
     meshlib.set_active_mesh(mesh)
     dp = mesh.shape["dp"]
-    if sp > 1 and teacher_cfg is not None and teacher_cfg.attn_impl != "ring":
+    if sp > 1 and not disagg and teacher_cfg is not None \
+            and teacher_cfg.attn_impl != "ring":
         teacher_cfg = dataclasses.replace(teacher_cfg, attn_impl="ring")
 
     if config.use_lora:
@@ -201,18 +222,34 @@ def train(config) -> None:
                                     total_steps)
     state = train_step.init_state(lora, opt)
     base_s = sharding.shard_params(mesh, base, s_cfg)
+    teacher_service = None
     if teacher_params is not None:
+        t_mesh = mesh
+        if disagg:
+            t_mesh = meshlib.make_mesh(
+                MeshConfig(tp=getattr(config, "teacher_tp", 1)),
+                devices=t_devs)
         if config.teacher_family == "cosyvoice2":
             teacher_params = dict(
                 teacher_params,
                 backbone=sharding.shard_params(
-                    mesh, teacher_params["backbone"], teacher_cfg))
+                    t_mesh, teacher_params["backbone"], teacher_cfg))
             teacher_params = {
-                k: (v if k == "backbone" else sharding.replicate(mesh, v))
+                k: (v if k == "backbone" else sharding.replicate(t_mesh, v))
                 for k, v in teacher_params.items()}
         else:
-            teacher_params = sharding.shard_params(mesh, teacher_params,
+            teacher_params = sharding.shard_params(t_mesh, teacher_params,
                                                    teacher_cfg)
+        if disagg:
+            teacher_service = disaggregate.make_teacher_service(
+                teacher_params, teacher_cfg, t_mesh, top_k=dcfg.top_k,
+                student_vocab_size=s_cfg.vocab_size,
+                method=dcfg.online_topk_method,
+                recall=dcfg.online_topk_recall,
+                extract_fn=teacher_extract, shard=False)
+            print(f"Disaggregated teacher: {len(t_devs)} devices "
+                  f"(mesh {dict(t_mesh.shape)}), student mesh "
+                  f"{dict(mesh.shape)}")
     if config.use_lora:
         lora_s = sharding.shard_lora(mesh, lora)
         state = train_step.TrainState(
@@ -220,8 +257,12 @@ def train(config) -> None:
                 mesh, state.opt_state, sharding.lora_pspecs(lora)),
             state.step)
 
+    # a disaggregated teacher turns the student step into the precomputed
+    # one: artifacts stream in through pipeline_batches instead of a
+    # teacher forward inside the step program
+    step_mode = "precomputed" if teacher_service is not None else mode
     step_fn = train_step.make_kd_step(
-        s_cfg, dcfg, opt, mode=mode, teacher_cfg=teacher_cfg,
+        s_cfg, dcfg, opt, mode=step_mode, teacher_cfg=teacher_cfg,
         teacher_forward=teacher_forward, teacher_extract=teacher_extract,
         use_lora=config.use_lora)
 
@@ -232,13 +273,16 @@ def train(config) -> None:
         pad_to_multiple_of=dcfg.pad_to_multiple_of)
 
     def batch_iter(epoch):
-        return batches_from(
+        it = batches_from(
             (dataset[i] for i in range(len(dataset))), collator,
             global_batch, dcfg.gradient_accumulation_steps,
             shuffle_seed=dcfg.seed, epoch=epoch,
             shuffle_buffer=dcfg.shuffle_buffer_size or None,
             host_count=jax.process_count(),
             host_index=jax.process_index())
+        if teacher_service is not None:
+            it = disaggregate.pipeline_batches(it, teacher_service)
+        return it
 
     loop_cfg = LoopConfig(
         num_epochs=dcfg.num_train_epochs, max_steps=config.max_steps,
@@ -251,16 +295,21 @@ def train(config) -> None:
         if not is_preprocessed:
             eval_dataset = eval_dataset.map(dual, batched=True, desc="eval")
         eval_step = train_step.make_kd_eval_step(
-            s_cfg, dcfg, mode=mode, teacher_cfg=teacher_cfg,
+            s_cfg, dcfg, mode=step_mode, teacher_cfg=teacher_cfg,
             teacher_forward=teacher_forward, use_lora=config.use_lora)
 
         def eval_fn(state):
             import jax.numpy as jnp
             totals, n = None, 0
-            for hb in batches_from(
-                    (eval_dataset[i] for i in range(len(eval_dataset))),
-                    collator, global_batch, 1, drop_last=False):
-                m = eval_step(state.trainable, base_s, teacher_params,
+            it = batches_from(
+                (eval_dataset[i] for i in range(len(eval_dataset))),
+                collator, global_batch, 1, drop_last=False)
+            if teacher_service is not None:
+                it = disaggregate.pipeline_batches(it, teacher_service)
+            for hb in it:
+                m = eval_step(state.trainable, base_s,
+                              None if teacher_service is not None
+                              else teacher_params,
                               sharding.shard_batch(mesh, hb))
                 m = jax.device_get(m)
                 totals = m if totals is None else \
@@ -269,7 +318,8 @@ def train(config) -> None:
             return {k: float(v) / max(n, 1) for k, v in totals.items()} \
                 if totals else {}
 
-    frozen = (base_s, teacher_params)
+    frozen = (base_s,
+              None if teacher_service is not None else teacher_params)
     state = train_loop(
         step_fn, state, frozen, batch_iter, loop_cfg,
         put_batch=lambda b: sharding.shard_batch(mesh, b),

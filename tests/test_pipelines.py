@@ -168,3 +168,35 @@ def test_stage1_pipeline(workspace, tmp_path):
     lines = [json.loads(l) for l in
              open(os.path.join(out, "metrics.jsonl"))]
     assert any("eval_loss" in m for m in lines), lines
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_train_disaggregated_teacher(workspace, tmp_path):
+    """Online KD through the CLI with --teacher_devices: the teacher
+    extracts on its own 4-device mesh, the student trains precomputed-style
+    on the other 4."""
+    processed = str(tmp_path / "processed")
+    out_model = str(tmp_path / "distilled_disagg")
+
+    from speech_distill_tpu.pipelines.prepare_dataset import main as prep
+    prep(["--dataset_path", workspace["raw"], "--output_path", processed,
+          "--student_model", workspace["student"],
+          "--teacher_prefix", "<|task_podcast|><|SPEAKER_0|>",
+          "--max_length", "64"])
+
+    from speech_distill_tpu.pipelines.train import main as train_main
+    train_main(["--dataset_path", processed,
+                "--student_model", workspace["student"],
+                "--teacher_model", workspace["student"],
+                "--teacher_devices", "4", "--top_k", "8",
+                "--output_dir", out_model,
+                "--use_lora", "--lora_r", "2", "--lora_alpha", "4",
+                "--init_lora_weights", "gaussian",
+                "--per_device_train_batch_size", "1",
+                "--gradient_accumulation_steps", "1",
+                "--pad_to_multiple_of", "16",
+                "--test_size", "4", "--max_steps", "2",
+                "--warmup_steps", "1"])
+    assert os.path.exists(os.path.join(out_model, "final_model",
+                                       "model.safetensors"))
