@@ -87,6 +87,10 @@ class Qwen3Config(_JsonOverlayMixin):
     #                                    recompute only elementwise in bwd)
     scan_layers: bool = True           # stack layers & lax.scan
     attn_impl: str = "auto"            # auto | xla | pallas | ring (sp mesh)
+    pp_microbatches: int = 0           # >0: GPipe-pipeline the layer stack
+    #                                    over the mesh's pp axis, splitting
+    #                                    the batch into this many
+    #                                    microbatches (training fwd only)
     logits_dtype: str = "float32"
     head_bwd_dtype: str = "float32"    # lm-head cotangent dtype for the
     #                                    UNFUSED unembed path (stage-1
@@ -313,6 +317,7 @@ class MeshConfig:
     this is a first-class new component: GSPMD dp x tp over ICI."""
 
     dp: int = -1                       # -1: all remaining devices
+    pp: int = 1                        # pipeline parallel (layer stages)
     sp: int = 1                        # sequence/context parallel (ring attn)
     tp: int = 1
     # activation sequence sharding axis rides on tp when enabled

@@ -133,35 +133,37 @@ def init_params_on_device(seed: int, cfg: Qwen3Config) -> Params:
     return make(seed)
 
 
-def param_pspecs(cfg: Qwen3Config) -> Params:
+def param_pspecs(cfg: Qwen3Config, pp: bool = False) -> Params:
     """PartitionSpecs matching :func:`init_params` structure.
 
     tp shards: vocab dim of embed/lm_head, head dim of q/k/v, mlp hidden.
-    Layer-stacked leaves get a leading None for the scan axis.
+    Layer-stacked leaves get a leading None for the scan axis — or 'pp'
+    when the mesh pipelines the layer stack (parallel/pipeline.py).
     """
+    lead = "pp" if pp else None
     attn: Params = {
-        "q": P(None, None, "tp"),
-        "k": P(None, None, "tp"),
-        "v": P(None, None, "tp"),
-        "o": P(None, "tp", None),
+        "q": P(lead, None, "tp"),
+        "k": P(lead, None, "tp"),
+        "v": P(lead, None, "tp"),
+        "o": P(lead, "tp", None),
     }
     if cfg.qk_norm:
-        attn["q_norm"] = P(None, None)
-        attn["k_norm"] = P(None, None)
+        attn["q_norm"] = P(lead, None)
+        attn["k_norm"] = P(lead, None)
     if cfg.attention_bias:
-        attn["q_bias"] = P(None, "tp")
-        attn["k_bias"] = P(None, "tp")
-        attn["v_bias"] = P(None, "tp")
+        attn["q_bias"] = P(lead, "tp")
+        attn["k_bias"] = P(lead, "tp")
+        attn["v_bias"] = P(lead, "tp")
     specs: Params = {
         "embed": {"weight": P("tp", None)},
         "layers": {
-            "input_ln": {"scale": P(None, None)},
+            "input_ln": {"scale": P(lead, None)},
             "attn": attn,
-            "post_ln": {"scale": P(None, None)},
+            "post_ln": {"scale": P(lead, None)},
             "mlp": {
-                "gate": P(None, None, "tp"),
-                "up": P(None, None, "tp"),
-                "down": P(None, "tp", None),
+                "gate": P(lead, None, "tp"),
+                "up": P(lead, None, "tp"),
+                "down": P(lead, "tp", None),
             },
         },
         "final_ln": {"scale": P(None)},
@@ -452,6 +454,21 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
             use_ring = ring_available(get_active_mesh(), T)
         mask_bias = None if use_ring else _causal_bias(attention_mask, B, T)
 
+        pp_mesh = None
+        if cfg.pp_microbatches > 0:
+            from speech_distill_tpu.parallel.mesh import get_active_mesh
+            from speech_distill_tpu.parallel.pipeline import mesh_pp
+            m = get_active_mesh()
+            if mesh_pp(m) > 1:
+                if not cfg.scan_layers:
+                    raise ValueError(
+                        "pp_microbatches requires scan_layers=True")
+                if use_ring:
+                    raise ValueError(
+                        "ring attention (sp) and pipeline (pp) cannot nest;"
+                        " use one of them")
+                pp_mesh = m
+
         def plain_layer_fn(lp, h, la):
             return _layer(lp, h, cos, sin, mask_bias, cfg,
                           la=la, lora_scale=adapter_scale)
@@ -470,7 +487,24 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
                       }.get(cfg.remat_policy)
             layer_fn = jax.checkpoint(plain_layer_fn, policy=policy)
 
-        if cfg.scan_layers:
+        if pp_mesh is not None:
+            # GPipe microbatch pipeline over the pp mesh axis; the layer
+            # body takes per-microbatch rope/mask slices as arguments
+            from speech_distill_tpu.parallel.pipeline import pipelined_layers
+
+            def pl_fn(lp, h, la, c, s_, m_):
+                return _layer(lp, h, c, s_, m_, cfg,
+                              la=la, lora_scale=adapter_scale)[0]
+            if cfg.remat:
+                policy = {"dots": jax.checkpoint_policies.checkpoint_dots,
+                          "everything":
+                              jax.checkpoint_policies.everything_saveable
+                          }.get(cfg.remat_policy)
+                pl_fn = jax.checkpoint(pl_fn, policy=policy)
+            x = pipelined_layers(pl_fn, params["layers"], adapters, x,
+                                 cos, sin, mask_bias, pp_mesh,
+                                 cfg.pp_microbatches)
+        elif cfg.scan_layers:
             def body_of(fn):
                 def body(carry, xs):
                     lp, la = xs

@@ -7,6 +7,7 @@ collectives inserted by XLA from ``NamedSharding`` annotations.
 
 Axes:
   dp — data parallel (batch dim)
+  pp — pipeline parallel (layer-stack stages; GPipe microbatch schedule)
   sp — sequence/context parallel (activation seq dim; ring attention)
   tp — tensor parallel (attention heads / mlp hidden / vocab)
 """
@@ -21,34 +22,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from speech_distill_tpu.core.config import MeshConfig
 
 DP_AXIS = "dp"
+PP_AXIS = "pp"
 SP_AXIS = "sp"
 TP_AXIS = "tp"
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Create a (dp, sp, tp) mesh over the given devices (default: all).
+    """Create a (dp, pp, sp, tp) mesh over the given devices (default: all).
 
-    sp defaults to 1, so existing (dp, tp) layouts are unchanged — specs
-    name axes, never positions, so the extra unit axis is invisible to
+    pp/sp default to 1, so existing (dp, tp) layouts are unchanged — specs
+    name axes, never positions, so the extra unit axes are invisible to
     NamedSharding users."""
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     tp = max(1, cfg.tp)
     sp = max(1, getattr(cfg, "sp", 1))
-    if n % (tp * sp) != 0:
-        raise ValueError(f"device count {n} not divisible by sp*tp={sp * tp}")
-    dp = cfg.dp if cfg.dp > 0 else n // (tp * sp)
-    if dp * sp * tp != n:
-        raise ValueError(f"dp*sp*tp={dp * sp * tp} != device count {n}")
-    arr = np.asarray(devices).reshape(dp, sp, tp)
-    return Mesh(arr, (DP_AXIS, SP_AXIS, TP_AXIS))
+    pp = max(1, getattr(cfg, "pp", 1))
+    if n % (tp * sp * pp) != 0:
+        raise ValueError(
+            f"device count {n} not divisible by pp*sp*tp={pp * sp * tp}")
+    dp = cfg.dp if cfg.dp > 0 else n // (tp * sp * pp)
+    if dp * pp * sp * tp != n:
+        raise ValueError(
+            f"dp*pp*sp*tp={dp * pp * sp * tp} != device count {n}")
+    arr = np.asarray(devices).reshape(dp, pp, sp, tp)
+    return Mesh(arr, (DP_AXIS, PP_AXIS, SP_AXIS, TP_AXIS))
 
 
 def single_device_mesh() -> Mesh:
-    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
-                (DP_AXIS, SP_AXIS, TP_AXIS))
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1, 1),
+                (DP_AXIS, PP_AXIS, SP_AXIS, TP_AXIS))
 
 
 _ACTIVE_MESH: Optional[Mesh] = None

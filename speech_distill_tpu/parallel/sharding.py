@@ -22,13 +22,19 @@ _OUT_SHARDED = {"q": True, "k": True, "v": True, "gate": True, "up": True,
                 "o": False, "down": False}
 
 
-def lora_pspecs(lora_params: Params) -> Params:
+def mesh_has_pp(mesh: Mesh) -> bool:
+    return int(dict(mesh.shape).get("pp", 1)) > 1
+
+
+def lora_pspecs(lora_params: Params, pp: bool = False) -> Params:
     """PartitionSpecs for a LoRA pytree produced by ``init_lora``.
 
     A [L, din, r] / B [L, r, dout]: shard the dim that the base weight
     shards (dout for q/k/v/gate/up; din for o/down); rank r is tiny and
     stays replicated. Full-rank embed/lm_head copies shard vocab over tp.
+    ``pp`` shards the leading layer-stack axis (pipeline parallelism).
     """
+    lead = "pp" if pp else None
     specs: Params = {}
     if "layers" in lora_params:
         specs["layers"] = {}
@@ -37,10 +43,10 @@ def lora_pspecs(lora_params: Params) -> Params:
             for key, ab in mods.items():
                 if _OUT_SHARDED[key]:
                     specs["layers"][group][key] = {
-                        "a": P(None, None, None), "b": P(None, None, "tp")}
+                        "a": P(lead, None, None), "b": P(lead, None, "tp")}
                 else:
                     specs["layers"][group][key] = {
-                        "a": P(None, "tp", None), "b": P(None, None, None)}
+                        "a": P(lead, "tp", None), "b": P(lead, None, None)}
     if "embed" in lora_params:
         specs["embed"] = {"weight": P("tp", None)}
     if "lm_head" in lora_params:
@@ -67,13 +73,13 @@ def shard_params(mesh: Mesh, params: Params, cfg: Qwen3Config) -> Params:
                 lambda v: jax.device_put(v, NamedSharding(mesh, P())), x)
         return jax.device_put(x, NamedSharding(mesh, s))
 
-    return jax.tree.map(place, params, param_pspecs(cfg),
+    return jax.tree.map(place, params, param_pspecs(cfg, pp=mesh_has_pp(mesh)),
                         is_leaf=is_quantized_leaf)
 
 
 def shard_lora(mesh: Mesh, lora_params: Params) -> Params:
     put = make_sharder(mesh)
-    return put(lora_params, lora_pspecs(lora_params))
+    return put(lora_params, lora_pspecs(lora_params, pp=mesh_has_pp(mesh)))
 
 
 def shard_opt_state(mesh: Mesh, opt_state, trainable_specs: Params):

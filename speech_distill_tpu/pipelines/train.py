@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel size (ring attention over the "
                         "sp mesh axis; seq_len must divide by it)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel size (GPipe over the layer "
+                        "stack; num layers must divide by it)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="microbatches per pipeline step (default 2*pp)")
     p.add_argument("--teacher_devices", type=int, default=0,
                    help="disaggregate the online teacher onto its own "
                         "trailing N devices (0: share the student mesh); "
@@ -146,11 +151,18 @@ def train(config) -> None:
 
     # models
     sp = getattr(config, "sp", 1)
+    pp = getattr(config, "pp", 1)
+    if sp > 1 and pp > 1:
+        raise ValueError("--sp (ring attention) and --pp (pipeline) "
+                         "cannot combine; pick one")
+    pp_micro = getattr(config, "pp_microbatches", 0) or 2 * pp
     s_cfg, s_params = load_pretrained(config.student_model)
     if sp > 1:
         # seq-sharded activations + ring attention over the sp axis; must
         # be applied before any forward closure captures the config
         s_cfg = dataclasses.replace(s_cfg, attn_impl="ring")
+    if pp > 1:
+        s_cfg = dataclasses.replace(s_cfg, pp_microbatches=pp_micro)
     mode = "precomputed" if has_topk else (
         "online_dense" if dcfg.use_dense else "online_sparse")
     n_tdev = getattr(config, "teacher_devices", 0)
@@ -172,6 +184,11 @@ def train(config) -> None:
                 cv_cfg = dataclasses.replace(
                     cv_cfg, backbone=dataclasses.replace(
                         cv_cfg.backbone, attn_impl="ring"))
+            if pp > 1 and not disagg \
+                    and cv_cfg.backbone.num_hidden_layers % pp == 0:
+                cv_cfg = dataclasses.replace(
+                    cv_cfg, backbone=dataclasses.replace(
+                        cv_cfg.backbone, pp_microbatches=pp_micro))
             state = torch.load(config.teacher_model, map_location="cpu",
                                weights_only=True)
             teacher_params = cv2.convert_torch_state(state, cv_cfg)
@@ -198,13 +215,17 @@ def train(config) -> None:
     if disagg:
         from speech_distill_tpu.distill import disaggregate
         s_devs, t_devs = disaggregate.split_devices(n_tdev)
-    mesh = meshlib.make_mesh(MeshConfig(tp=config.tp, sp=sp),
+    mesh = meshlib.make_mesh(MeshConfig(tp=config.tp, sp=sp, pp=pp),
                              devices=s_devs)
     meshlib.set_active_mesh(mesh)
     dp = mesh.shape["dp"]
     if sp > 1 and not disagg and teacher_cfg is not None \
             and teacher_cfg.attn_impl != "ring":
         teacher_cfg = dataclasses.replace(teacher_cfg, attn_impl="ring")
+    if pp > 1 and not disagg and teacher_cfg is not None \
+            and teacher_cfg.num_hidden_layers % pp == 0:
+        teacher_cfg = dataclasses.replace(teacher_cfg,
+                                          pp_microbatches=pp_micro)
 
     if config.use_lora:
         lora, base = init_lora(jax.random.PRNGKey(dcfg.seed), s_params,
@@ -254,7 +275,8 @@ def train(config) -> None:
         lora_s = sharding.shard_lora(mesh, lora)
         state = train_step.TrainState(
             lora_s, sharding.shard_opt_state(
-                mesh, state.opt_state, sharding.lora_pspecs(lora)),
+                mesh, state.opt_state,
+                sharding.lora_pspecs(lora, pp=sharding.mesh_has_pp(mesh))),
             state.step)
 
     # a disaggregated teacher turns the student step into the precomputed

@@ -1,0 +1,169 @@
+"""Pipeline parallelism (parallel/pipeline.py): GPipe microbatch schedule
+over the pp mesh axis must equal the unpipelined layer stack — forward,
+through the full model, and through a complete KD training step."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from speech_distill_tpu.core.config import (
+    DistillConfig, LoraConfig, MeshConfig, qwen3_tiny)
+from speech_distill_tpu.models import qwen3
+from speech_distill_tpu.parallel import mesh as meshlib
+from speech_distill_tpu.parallel import sharding
+from speech_distill_tpu.parallel.pipeline import pipelined_layers
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 devices")
+
+
+def _cfg(vocab=128, layers=4, pp_micro=0):
+    cfg = qwen3_tiny(vocab)
+    return type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False,
+                        "num_hidden_layers": layers,
+                        "pp_microbatches": pp_micro})
+
+
+def test_qwen3_forward_pp2_equals_unpipelined():
+    cfg = _cfg(layers=4)
+    cfg_pp = _cfg(layers=4, pp_micro=4)
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, T = 8, 16
+    ids = jnp.asarray(rng.integers(0, 128, (B, T)), jnp.int32)
+    mask = np.ones((B, T), np.int32)
+    mask[2, 12:] = 0
+    mask = jnp.asarray(mask)
+
+    ref = qwen3.forward(params, ids, cfg, attention_mask=mask)
+
+    mesh = meshlib.make_mesh(MeshConfig(dp=2, pp=2, tp=2))
+    with meshlib.active_mesh(mesh):
+        params_s = sharding.shard_params(mesh, params, cfg)
+        batch = sharding.shard_batch(mesh, {"ids": ids, "mask": mask},
+                                     microbatched=False)
+        out = jax.jit(lambda p, i, m: qwen3.forward(
+            p, i, cfg_pp, attention_mask=m))(
+                params_s, batch["ids"], batch["mask"])
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_qwen3_pp2_bf16_grad_compiles_and_matches():
+    """bf16 activations under pp: sub-f32 psums inside the shard_map lower
+    to copy-rooted ``psum_invariant`` all-reduces that crash XLA CPU's
+    AllReducePromotion pass — pipeline.py routes them through f32 on CPU.
+    This locks in that the forward AND backward compile and match the
+    unpipelined bf16 stack."""
+    cfg = _cfg(layers=4)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "bfloat16"})
+    cfg_pp = type(cfg)(**{**cfg.__dict__, "pp_microbatches": 4})
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, T = 8, 16
+    ids = jnp.asarray(rng.integers(0, 128, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+
+    def loss(p, c):
+        h = qwen3.forward(p, ids, c, attention_mask=mask)
+        return jnp.sum(h.astype(jnp.float32) ** 2)
+
+    ref, ref_g = jax.value_and_grad(loss)(params, cfg)
+
+    mesh = meshlib.make_mesh(MeshConfig(dp=2, pp=2, tp=2))
+    with meshlib.active_mesh(mesh):
+        params_s = sharding.shard_params(mesh, params, cfg)
+        out, g = jax.jit(jax.value_and_grad(
+            lambda p: loss(p, cfg_pp)))(params_s)
+    np.testing.assert_allclose(float(out), float(ref), rtol=2e-2)
+    # bf16 grads reassociate across the microbatch split — compare in
+    # relative L2 per leaf rather than elementwise (exactness at f32 is
+    # covered by the other tests)
+    for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(g)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-6)
+        assert rel < 2e-2, rel
+
+
+def test_pp_requires_divisible_layers_and_batch():
+    mesh = meshlib.make_mesh(MeshConfig(dp=4, pp=2))
+    cfg = _cfg(layers=3, pp_micro=2)      # 3 layers % pp=2 != 0
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.zeros((4, 8), jnp.int32)
+    with meshlib.active_mesh(mesh):
+        with pytest.raises(ValueError, match="not divisible"):
+            qwen3.forward(params, ids, cfg)
+        cfg2 = _cfg(layers=4, pp_micro=3)  # batch 4 % n_micro=3 != 0
+        params2 = qwen3.init_params(jax.random.PRNGKey(0), cfg2)
+        with pytest.raises(ValueError, match="not divisible"):
+            qwen3.forward(params2, ids, cfg2)
+
+
+def test_pp_and_ring_are_exclusive():
+    mesh = meshlib.make_mesh(MeshConfig(dp=2, pp=2, sp=2))
+    cfg = _cfg(layers=4, pp_micro=2)
+    cfg = type(cfg)(**{**cfg.__dict__, "attn_impl": "ring"})
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.zeros((4, 8), jnp.int32)
+    with meshlib.active_mesh(mesh):
+        with pytest.raises(ValueError, match="cannot nest"):
+            qwen3.forward(params, ids, cfg)
+
+
+@pytest.mark.slow
+def test_kd_step_dp2_pp2_tp2_matches_single_device():
+    """Full online-sparse KD step with the layer stack pipelined (pp2,
+    4 microbatches) over dp2 x pp2 x tp2 equals the single-device step."""
+    from speech_distill_tpu.distill import train_step
+    from speech_distill_tpu.distill.lora import init_lora
+
+    cfg = _cfg(layers=4)
+    cfg = type(cfg)(**{**cfg.__dict__, "remat": True})
+    cfg_pp = type(cfg)(**{**cfg.__dict__, "pp_microbatches": 4})
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    teacher = qwen3.init_params(jax.random.PRNGKey(1), cfg)
+    dcfg = DistillConfig(top_k=8,
+                         lora=LoraConfig(r=4, alpha=8,
+                                         init_weights="gaussian"))
+    lora, base = init_lora(jax.random.PRNGKey(2), params, cfg, dcfg.lora)
+    opt = train_step.make_optimizer(1e-3, 1, 20)
+
+    rng = np.random.default_rng(0)
+    B, T = 8, 16
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 128, (1, B, T)), jnp.int32),
+        "attention_mask": jnp.ones((1, B, T), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 128, (1, B, T)), jnp.int32),
+    }
+
+    step = train_step.make_kd_step(cfg, dcfg, opt, mode="online_sparse",
+                                   teacher_cfg=cfg, donate=False)
+    s0 = train_step.init_state(lora, opt)
+    s0_after, m0 = step(s0, base, teacher, batch)
+
+    mesh = meshlib.make_mesh(MeshConfig(dp=2, pp=2, tp=2))
+    with meshlib.active_mesh(mesh):
+        step_p = train_step.make_kd_step(cfg_pp, dcfg, opt,
+                                         mode="online_sparse",
+                                         teacher_cfg=cfg_pp, donate=False)
+        base_s = sharding.shard_params(mesh, base, cfg)
+        teacher_s = sharding.shard_params(mesh, teacher, cfg)
+        lora_s = sharding.shard_lora(mesh, lora)
+        st = train_step.init_state(lora_s, opt)
+        st = train_step.TrainState(
+            lora_s,
+            sharding.shard_opt_state(
+                mesh, st.opt_state, sharding.lora_pspecs(lora, pp=True)),
+            jax.device_put(st.step, meshlib.replicated(mesh)))
+        batch_s = sharding.shard_batch(mesh, batch)
+        st_after, m1 = step_p(st, base_s, teacher_s, batch_s)
+
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s0_after.trainable),
+                    jax.tree.leaves(st_after.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)

@@ -107,12 +107,16 @@ def test_dp_mesh_extraction_matches_single_device():
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_mesh_construction():
     m = meshlib.make_mesh(MeshConfig(dp=-1, tp=2))
-    assert m.shape == {"dp": 4, "sp": 1, "tp": 2}
+    assert m.shape == {"dp": 4, "pp": 1, "sp": 1, "tp": 2}
     m = meshlib.make_mesh(MeshConfig())
-    assert m.shape == {"dp": 8, "sp": 1, "tp": 1}
+    assert m.shape == {"dp": 8, "pp": 1, "sp": 1, "tp": 1}
     m = meshlib.make_mesh(MeshConfig(sp=2, tp=2))
-    assert m.shape == {"dp": 2, "sp": 2, "tp": 2}
+    assert m.shape == {"dp": 2, "pp": 1, "sp": 2, "tp": 2}
+    m = meshlib.make_mesh(MeshConfig(pp=2, tp=2))
+    assert m.shape == {"dp": 2, "pp": 2, "sp": 1, "tp": 2}
     with pytest.raises(ValueError):
         meshlib.make_mesh(MeshConfig(dp=3, tp=2))
     with pytest.raises(ValueError):
         meshlib.make_mesh(MeshConfig(sp=3))
+    with pytest.raises(ValueError):
+        meshlib.make_mesh(MeshConfig(pp=3))
