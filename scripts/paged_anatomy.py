@@ -107,6 +107,7 @@ def main():
             rng.normal(size=(B, cfg.vocab_size)), jnp.float32),
         presence=jnp.zeros((B, cfg.vocab_size), bool),
         num_generated=jnp.zeros((B,), jnp.int32),
+        cap=jnp.full((B,), 1 << 30, jnp.int32),
         finished=jnp.zeros((B,), bool),
         rng=jax.random.PRNGKey(0))
 

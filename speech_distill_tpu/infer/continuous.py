@@ -82,7 +82,10 @@ def make_chunk_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
                            st.num_generated + live.astype(jnp.int32),
                            st.cap, finished, rng)
 
-    @jax.jit
+    # donate the state: the serve scheduler threads it linearly, and
+    # without donation every chunk call copies the full slots x max_len
+    # KV cache at program entry (multi-GB at serving shapes)
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_chunk(params, st: DecodeState, n_steps) -> DecodeState:
         def cond(c):
             s, i = c
@@ -172,7 +175,8 @@ class ContinuousEngine:
         each dispatch is host time the device spends idle)."""
         cfg, cdt = self.cfg, self.cache_dtype
 
-        @functools.partial(jax.jit, static_argnames=("width",))
+        @functools.partial(jax.jit, static_argnames=("width",),
+                           donate_argnums=(1,))
         def admit(params, state: DecodeState, b, ids, mask, n, token_row,
                   valid_row, cap, *, width: int) -> DecodeState:
             tmp = qwen3.KVCache.create(cfg, 1, width, cdt)

@@ -146,6 +146,22 @@ class DecodeEngine:
             lambda p, ids, mask, cache, pos: qwen3.forward(
                 p, ids, cfg, attention_mask=mask, positions=pos,
                 cache=cache))
+        # donated variant for caches nothing else references (the fresh
+        # generate_batch state): without it prefill holds input AND output
+        # cache at once — 2x the full KV (OOM at 16 x 4096 on v5e). The
+        # multi-turn prefill keeps the undonated form (orchestrators may
+        # retain the previous turn's state for eviction rollback).
+        self._prefill_d = jax.jit(
+            lambda p, ids, mask, cache, pos: qwen3.forward(
+                p, ids, cfg, attention_mask=mask, positions=pos,
+                cache=cache), donate_argnums=(3,))
+        # window merge-back for _run_decode: donating the four full-size
+        # buffers keeps exactly one full-size cache live (the window
+        # results are written into them in place). Only those four — the
+        # state's small leaves alias st_w's, and a buffer cannot be both
+        # donated and passed.
+        self._merge_window = jax.jit(self._merge_window_impl,
+                                     donate_argnums=(0, 1, 2, 3))
         self._rng = jax.random.PRNGKey(seed)
         # prompt-prefix KV cache (vLLM enable_prefix_caching equivalent,
         # reference llm_engine.py:78-114): prefix token tuple -> (k, v)
@@ -164,6 +180,14 @@ class DecodeEngine:
             w *= 2
         return min(w, self.max_len)
 
+    @staticmethod
+    def _merge_window_impl(tokens, valid, ck, cv, st_w: DecodeState):
+        window = st_w.tokens.shape[1]
+        return (tokens.at[:, :window].set(st_w.tokens),
+                valid.at[:, :window].set(st_w.valid),
+                ck.at[:, :, :window].set(st_w.cache.k),
+                cv.at[:, :, :window].set(st_w.cache.v))
+
     def _run_decode(self, state: DecodeState, max_new: int) -> DecodeState:
         """Windowed decode: run the jitted loop inside a power-of-two cache
         window that grows as the sequence does — each step attends over
@@ -174,6 +198,13 @@ class DecodeEngine:
         while done < max_new:
             cur = int(jnp.max(state.length))
             window = self._window_for(cur + 1)
+            if window >= self.max_len:
+                # full-size window: no slicing (a trivial slice would alias
+                # the donated merge inputs) — decode the state directly
+                state = self._decode(self.params, state,
+                                     jnp.asarray(max_new, jnp.int32))
+                done = int(jnp.min(state.num_generated))
+                break
             st_w = state._replace(
                 tokens=state.tokens[:, :window],
                 valid=state.valid[:, :window],
@@ -181,21 +212,14 @@ class DecodeEngine:
                                            v=state.cache.v[:, :, :window]))
             st_w = self._decode(self.params, st_w,
                                 jnp.asarray(max_new, jnp.int32))
-            state = state._replace(
-                tokens=state.tokens.at[:, :window].set(st_w.tokens),
-                valid=state.valid.at[:, :window].set(st_w.valid),
-                length=st_w.length,
-                cache=state.cache._replace(
-                    k=state.cache.k.at[:, :, :window].set(st_w.cache.k),
-                    v=state.cache.v.at[:, :, :window].set(st_w.cache.v),
-                    length=st_w.cache.length),
-                last_logits=st_w.last_logits,
-                presence=st_w.presence,
-                num_generated=st_w.num_generated,
-                finished=st_w.finished,
-                rng=st_w.rng)
+            tokens, valid, ck, cv = self._merge_window(
+                state.tokens, state.valid, state.cache.k, state.cache.v,
+                st_w)
+            state = st_w._replace(
+                tokens=tokens, valid=valid,
+                cache=qwen3.KVCache(ck, cv, st_w.cache.length))
             done = int(jnp.min(state.num_generated))
-            if bool(jnp.all(state.finished)) or window >= self.max_len:
+            if bool(jnp.all(state.finished)):
                 break
         return state
 
@@ -355,7 +379,7 @@ class DecodeEngine:
 
         mask = np.zeros((B, self.max_len), np.int32)
         mask[:, :pre + width] = valid_np[:, :pre + width]
-        logits, cache = self._prefill(
+        logits, cache = self._prefill_d(
             self.params, jnp.asarray(ids), jnp.asarray(mask),
             state.cache, jnp.asarray(pos_np))
         total = pre + width

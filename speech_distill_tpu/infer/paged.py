@@ -111,28 +111,40 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
     p_idx = pages[:, None]                                    # [B, 1]
     o_idx = offs[:, None]
 
-    def body(h, xs):
-        lp, kp, vp = xs
+    # The pool is a scan CARRY scattered in place at (layer, page, head,
+    # offset) — never scan xs/ys, which dynamic-slice + restack the FULL
+    # pool every layer (a multi-GB HBM read+write per decode step: measured
+    # ~50 ms/step at a 16-slot 4 GB pool vs ~10 ms with the carry). The
+    # attention kernel reads its layer's pages straight out of the full
+    # pool (ops/paged_attention.py ``layer=``), so per-step traffic stays
+    # proportional to resident tokens.
+    def body(carry, xs):
+        h, pk, pv = carry
+        lp, li = xs
         y = qwen3.rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps)
         q, k, v = qwen3.qkv_proj(lp["attn"], y, cos, sin, cfg)
         k1 = k[:, 0]                                          # [B, KV, Dh]
         v1 = v[:, 0]
-        kp = kp.at[p_idx, h_idx, o_idx].set(k1.astype(kp.dtype),
-                                            mode="drop")
-        vp = vp.at[p_idx, h_idx, o_idx].set(v1.astype(vp.dtype),
-                                            mode="drop")
+        pk = pk.at[li, p_idx, h_idx, o_idx].set(k1.astype(pk.dtype),
+                                                mode="drop")
+        pv = pv.at[li, p_idx, h_idx, o_idx].set(v1.astype(pv.dtype),
+                                                mode="drop")
         qh = q.reshape(B, KV, G, Dh)
         if attn_impl == "kernel":
-            o = paged_attention(qh, kp, vp, block_tables, klen)
+            o = paged_attention(qh, pk, pv, block_tables, klen, layer=li)
         else:
-            o = paged_attention_xla(qh, kp, vp, block_tables, klen)
+            o = paged_attention_xla(qh, pk, pv, block_tables, klen,
+                                    layer=li)
         o = qwen3._proj(o.reshape(B, 1, H * Dh), lp["attn"]["o"],
                         None, "o", 1.0)
         h = h + o
         y2 = qwen3.rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps)
-        return h + qwen3.mlp_block(lp["mlp"], y2), (kp, vp)
+        return (h + qwen3.mlp_block(lp["mlp"], y2), pk, pv), None
 
-    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], pool.k, pool.v))
+    n_layers = pool.k.shape[0]
+    (x, nk, nv), _ = jax.lax.scan(
+        body, (x, pool.k, pool.v),
+        (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)))
     x = qwen3.rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
     logits = qwen3.unembed(params, x, cfg)
     return logits[:, 0].astype(jnp.float32), PagedKVCache(nk, nv)
@@ -177,7 +189,11 @@ def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
                           st.num_generated + live.astype(jnp.int32),
                           st.cap, finished, rng)
 
-    @jax.jit
+    # donate the state: without it every chunk call copies the multi-GB KV
+    # pool at program entry (~50 ms/chunk measured at a 16-slot 4 GB pool).
+    # The serve scheduler never touches a superseded state handle, so
+    # donation is safe there.
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_chunk(params, st: PagedState, n_steps) -> PagedState:
         def cond(c):
             s, i = c
@@ -331,7 +347,8 @@ class PagedEngine:
         self._decode = make_paged_decode_fn(cfg, sp, attn_impl=attn_impl)
         self._admit = self._make_admit()
         self._finish_slot = jax.jit(
-            lambda st, b: st._replace(finished=st.finished.at[b].set(True)))
+            lambda st, b: st._replace(finished=st.finished.at[b].set(True)),
+            donate_argnums=(0,))
         self._rng = jax.random.PRNGKey(seed)
 
     def new_state(self) -> PagedState:
@@ -407,7 +424,8 @@ class PagedEngine:
         chunks (measured: fusing cut the admit phase ~3x)."""
         cfg, ps, cdt = self.cfg, self.ps, self.cache_dtype
 
-        @functools.partial(jax.jit, static_argnames=("m", "width"))
+        @functools.partial(jax.jit, static_argnames=("m", "width"),
+                           donate_argnums=(1,))
         def admit(params, state: PagedState, b, arr, mask, pages, n,
                   token_row, presence_row, n_gen0, cap, *, m: int,
                   width: int) -> PagedState:

@@ -325,47 +325,68 @@ def mlp_block(lp: Params, y: jax.Array, la: Optional[Params] = None,
 
 
 def _attention_block(lp: Params, x: jax.Array, cos, sin, mask_bias,
-                     cfg: Qwen3Config, kv_slice=None, cache_len=None,
+                     cfg: Qwen3Config,
                      la: Optional[Params] = None, lora_scale: float = 1.0):
-    """One attention sub-block. Returns (out, (k, v)) for cache update."""
+    """One attention sub-block (training/prefill; decode lives in
+    :func:`_decode_layers`, which threads the KV cache as a scan carry).
+    Returns (out, (k, v))."""
     B, T, _ = x.shape
     H, Dh = cfg.num_attention_heads, cfg.head_dim
     q, k, v = qkv_proj(lp, x, cos, sin, cfg, la, lora_scale)
-
-    new_kv = (k, v)
-    if kv_slice is not None:
-        # Decode: merge fresh k/v into the preallocated cache slice.
-        ck, cv = kv_slice
-        if isinstance(cache_len, jax.Array) and cache_len.ndim == 1:
-            # per-row write columns (continuous batching)
-            def upd(c, fresh, col):
-                return jax.lax.dynamic_update_slice(
-                    c, fresh.astype(c.dtype), (col, 0, 0))
-            ck = jax.vmap(upd)(ck, k, cache_len)
-            cv = jax.vmap(upd)(cv, v, cache_len)
-        else:
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
-        k, v = ck, cv
-        new_kv = (ck, cv)
-
     out = sdpa(q, k, v, mask_bias, impl=cfg.attn_impl)  # [B, T, H, Dh]
     out = _proj(out.reshape(B, T, H * Dh), lp["o"], la, "o", lora_scale)
-    return out, new_kv
+    return out, (k, v)
 
 
 def _layer(lp: Params, x: jax.Array, cos, sin, mask_bias, cfg: Qwen3Config,
-           kv_slice=None, cache_len=None, la: Optional[Params] = None,
-           lora_scale: float = 1.0):
+           la: Optional[Params] = None, lora_scale: float = 1.0):
     la_attn = la.get("attn") if la is not None else None
     la_mlp = la.get("mlp") if la is not None else None
     h, new_kv = _attention_block(
         lp["attn"], rms_norm(x, lp["input_ln"]["scale"], cfg.rms_norm_eps),
-        cos, sin, mask_bias, cfg, kv_slice, cache_len, la_attn, lora_scale)
+        cos, sin, mask_bias, cfg, la_attn, lora_scale)
     x = x + h
     y = rms_norm(x, lp["post_ln"]["scale"], cfg.rms_norm_eps)
     y = mlp_block(lp["mlp"], y, la_mlp, lora_scale)
     return x + y, new_kv
+
+
+def _decode_layers(params: Params, x: jax.Array, cos, sin, mask_bias,
+                   cfg: Qwen3Config, cache: "KVCache", write):
+    """Decode layer stack with the KV cache as a scan CARRY.
+
+    The cache must never flow through scan xs/ys: that dynamic-slices and
+    restacks the full [L, B, S, KV, Dh] buffers every layer — a read+write
+    of the whole cache per decode step (multi-GB at serving batch sizes).
+    As a carry, ``write`` scatters only the fresh columns in place and the
+    per-layer window read fuses into the attention dots.
+
+    ``write(ck, li, k)`` installs fresh k [B, T, KV, Dh] for layer ``li``.
+    Returns (hidden, new_k, new_v).
+    """
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+    B, T, _ = x.shape
+
+    def body(carry, xs):
+        h, ck, cv = carry
+        lp, li = xs
+        y = rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps)
+        q, k, v = qkv_proj(lp["attn"], y, cos, sin, cfg)
+        ck = write(ck, li, k)
+        cv = write(cv, li, v)
+        ckl = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
+        cvl = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
+        o = sdpa(q, ckl, cvl, mask_bias, impl=cfg.attn_impl)
+        h = h + _proj(o.reshape(B, T, H * Dh), lp["attn"]["o"],
+                      None, "o", 1.0)
+        y2 = rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps)
+        return (h + mlp_block(lp["mlp"], y2), ck, cv), None
+
+    n_layers = cache.k.shape[0]
+    (x, nk, nv), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)))
+    return x, nk, nv
 
 
 def _restructure_layer(stacked: Params, i: Optional[int] = None) -> Params:
@@ -563,15 +584,16 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
                     keep, attention_mask.astype(bool)[:, None, None, :])
             mask_bias = jnp.where(keep, 0.0, -jnp.inf).astype(jnp.float32)
 
-            def body(carry, xs):
-                lp, ck, cv = xs
-                h, (nk, nv) = _layer(lp, carry, cos, sin, mask_bias, cfg,
-                                     kv_slice=(ck, cv),
-                                     cache_len=cache_positions)
-                return h, (nk, nv)
+            rows = jnp.arange(B)
 
-            x, (nk, nv) = jax.lax.scan(body, x,
-                                       (params["layers"], cache.k, cache.v))
+            def write(ck, li, k):
+                # scatter the single fresh column per row at
+                # (layer, row, col) — in place on the scan carry
+                return ck.at[li, rows, cache_positions].set(
+                    k[:, 0].astype(ck.dtype))
+
+            x, nk, nv = _decode_layers(params, x, cos, sin, mask_bias,
+                                       cfg, cache, write)
             new_cache = KVCache(nk, nv, cache.length + T)
             x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
             if return_hidden:
@@ -589,13 +611,12 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
             keep = jnp.logical_and(keep, attention_mask.astype(bool)[:, None, None, :])
         mask_bias = jnp.where(keep, 0.0, -jnp.inf).astype(jnp.float32)
 
-        def body(carry, xs):
-            lp, ck, cv = xs
-            h, (nk, nv) = _layer(lp, carry, cos, sin, mask_bias, cfg,
-                                 kv_slice=(ck, cv), cache_len=start)
-            return h, (nk, nv)
+        def write(ck, li, k):
+            return jax.lax.dynamic_update_slice(
+                ck, k[None].astype(ck.dtype), (li, 0, start, 0, 0))
 
-        x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+        x, nk, nv = _decode_layers(params, x, cos, sin, mask_bias, cfg,
+                                   cache, write)
         new_cache = KVCache(nk, nv, cache.length + T)
 
     x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _decode_kernel(bt_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
+def _decode_kernel(bt_ref, len_ref, lay_ref, q_ref, k_hbm, v_hbm, o_ref,
                    k_scr, v_scr, sem, *, page_size: int, scale: float):
     b = pl.program_id(0)
     L = len_ref[b]
@@ -47,10 +47,13 @@ def _decode_kernel(bt_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
 
     def copies(p, slot):
         page = bt_ref[b, p]
-        ck = pltpu.make_async_copy(k_hbm.at[page], k_scr.at[slot],
-                                   sem.at[slot, 0])
-        cv = pltpu.make_async_copy(v_hbm.at[page], v_scr.at[slot],
-                                   sem.at[slot, 1])
+        # lay_ref[0] selects the decoder layer inside the full
+        # [L, P, KV, ps, Dh] pool — the pool never leaves HBM whole, so
+        # the layer scan can carry it in place (see infer/paged.py)
+        ck = pltpu.make_async_copy(k_hbm.at[lay_ref[0], page],
+                                   k_scr.at[slot], sem.at[slot, 0])
+        cv = pltpu.make_async_copy(v_hbm.at[lay_ref[0], page],
+                                   v_scr.at[slot], sem.at[slot, 1])
         return ck, cv
 
     @pl.when(n_pages > 0)
@@ -110,16 +113,30 @@ def _decode_kernel(bt_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                     block_tables: jax.Array, lengths: jax.Array,
-                    interpret: bool = False) -> jax.Array:
-    """q: [B, KV, G, Dh] single-token queries -> [B, KV, G, Dh]."""
+                    layer=None, interpret: bool = False) -> jax.Array:
+    """q: [B, KV, G, Dh] single-token queries -> [B, KV, G, Dh].
+
+    ``k_pool``/``v_pool`` are one layer's pages [P, KV, ps, Dh], or the
+    FULL per-layer pool [L, P, KV, ps, Dh] with ``layer`` (traced int32)
+    selecting the layer inside the kernel. The full-pool form is what the
+    decode layer scan uses: the pool stays a scan carry updated in place,
+    never materializing a per-layer slice (a [P, KV, ps, Dh] dynamic-slice
+    read is ~hundreds of MB of HBM traffic per layer per step)."""
     B, KV, G, Dh = q.shape
-    page_size = k_pool.shape[2]
+    if layer is None:
+        # uniform kernel: a unit layer axis + layer index 0
+        k_pool = k_pool[None]
+        v_pool = v_pool[None]
+        layer = jnp.zeros((), jnp.int32)
+    page_size = k_pool.shape[3]
     scale = Dh ** -0.5
-    q_spec = pl.BlockSpec((1, KV, G, Dh), lambda b, bt, ln: (b, 0, 0, 0))
+    lay = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    q_spec = pl.BlockSpec((1, KV, G, Dh),
+                          lambda b, bt, ln, ly: (b, 0, 0, 0))
     return pl.pallas_call(
         functools.partial(_decode_kernel, page_size=page_size, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B,),
             in_specs=[q_spec,
                       pl.BlockSpec(memory_space=pl.ANY),
@@ -131,23 +148,30 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
-    )(block_tables, lengths, q, k_pool, v_pool)
+    )(block_tables, lengths, lay, q, k_pool, v_pool)
 
 
 def paged_attention_xla(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
-                        block_tables: jax.Array,
-                        lengths: jax.Array) -> jax.Array:
+                        block_tables: jax.Array, lengths: jax.Array,
+                        layer=None) -> jax.Array:
     """Gather-based reference (correctness oracle; used on CPU meshes).
 
     Materializes the gathered KV [B, max_pages*page_size, ...] — same math
     as the kernel, but with an extra HBM round-trip the kernel avoids.
+    Accepts the full [L, P, KV, ps, Dh] pool + ``layer`` like the kernel
+    (the gather indexes (layer, page) pairs, so no per-layer slice of the
+    pool is materialized either).
     """
     B, KV, G, Dh = q.shape
-    ps = k_pool.shape[2]
+    if layer is None:
+        k_pool = k_pool[None]
+        v_pool = v_pool[None]
+        layer = jnp.zeros((), jnp.int32)
+    ps = k_pool.shape[3]
     mp = block_tables.shape[1]
     # [B, mp, KV, ps, Dh] -> [B, S, KV, Dh]
-    k = k_pool[block_tables]
-    v = v_pool[block_tables]
+    k = k_pool[layer, block_tables]
+    v = v_pool[layer, block_tables]
     k = k.transpose(0, 1, 3, 2, 4).reshape(B, mp * ps, KV, Dh)
     v = v.transpose(0, 1, 3, 2, 4).reshape(B, mp * ps, KV, Dh)
     scale = Dh ** -0.5
