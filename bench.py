@@ -80,6 +80,9 @@ def main():
                    help="serve: decode steps per jitted chunk between "
                         "host scheduling passes (smaller = faster slot "
                         "refill, more host syncs)")
+    p.add_argument("--serve_prefill_chunk", type=int, default=0,
+                   help="paged serve: chunked prefill — max prompt tokens "
+                        "prefilled per scheduler pass (0 = whole prompt)")
     p.add_argument("--serve_prefix_len", type=int, default=0,
                    help="serve: prepend a common prefix of this many "
                         "tokens to every request (the longform-TTS "
@@ -384,6 +387,7 @@ def bench_serve(args):
                  "--paged_pool_frac", str(args.paged_pool_frac),
                  "--page_size", str(args.page_size),
                  "--serve_prefix_len", str(args.serve_prefix_len),
+                 "--serve_prefill_chunk", str(args.serve_prefill_chunk),
                  "--serve_chunk_steps", str(args.serve_chunk_steps)],
                 capture_output=True, text=True)
             if r.returncode != 0:
@@ -475,7 +479,9 @@ def bench_serve(args):
                            num_pages=num_pages, page_size=args.page_size,
                            chunk_steps=args.serve_chunk_steps,
                            cache_dtype=jnp.bfloat16,
-                           prefix_sharing=not args.no_prefix_sharing)
+                           prefix_sharing=not args.no_prefix_sharing,
+                           prefill_chunk=(args.serve_prefill_chunk
+                                          or None))
         peng.serve(prompts[:S], max_new=8)    # warmup/compile
         t0 = time.perf_counter()
         outs = peng.serve(prompts, max_new_per_request=caps)
@@ -492,7 +498,8 @@ def bench_serve(args):
                           "phases": {k: round(v, 2) for k, v in
                                      peng.phase_seconds.items()},
                           "chunks": peng.n_chunks,
-                          "prefills": peng.n_prefills}))
+                          "prefills": peng.n_prefills,
+                          "prefill_chunks": peng.n_prefill_chunks}))
         return
     else:
         from speech_distill_tpu.infer.engine import DecodeEngine

@@ -324,7 +324,8 @@ class PagedEngine:
                  num_pages: Optional[int] = None, page_size: int = 128,
                  chunk_steps: int = 32, seed: int = 0,
                  cache_dtype=jnp.bfloat16, attn_impl: str = "auto",
-                 prefix_sharing: bool = True):
+                 prefix_sharing: bool = True,
+                 prefill_chunk: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -344,8 +345,17 @@ class PagedEngine:
             attn_impl = ("kernel" if jax.default_backend() == "tpu"
                          else "xla")
         self.prefix_sharing = prefix_sharing
+        # chunked prefill (the vLLM scheduler feature): cap how many prompt
+        # tokens one admission may prefill before live slots get their next
+        # decode chunk. Page-aligned so partial pages never exist; None =
+        # whole-prompt prefill (the latency-insensitive default).
+        if prefill_chunk is not None:
+            prefill_chunk = max(page_size,
+                                (prefill_chunk // page_size) * page_size)
+        self.prefill_chunk = prefill_chunk
         self._decode = make_paged_decode_fn(cfg, sp, attn_impl=attn_impl)
         self._admit = self._make_admit()
+        self._prefill_part = self._make_prefill_part()
         self._finish_slot = jax.jit(
             lambda st, b: st._replace(finished=st.finished.at[b].set(True)),
             donate_argnums=(0,))
@@ -448,6 +458,32 @@ class PagedEngine:
 
         return admit
 
+    def _make_prefill_part(self):
+        """Chunked-prefill step: gather the ``m`` pages already holding
+        this prompt's KV, run the next page-aligned token chunk through
+        the model on top of them, scatter the fresh pages back — and stop
+        (no slot insert, no logits kept). The final chunk goes through the
+        normal ``admit`` program with these pages as its shared prefix, so
+        chunked and whole-prompt prefill compute identical KV."""
+        cfg, ps, cdt = self.cfg, self.ps, self.cache_dtype
+
+        @functools.partial(jax.jit, static_argnames=("m", "width"),
+                           donate_argnums=(1,))
+        def part(params, state: PagedState, arr, mask, pages, *, m: int,
+                 width: int) -> PagedState:
+            pre = m * ps
+            if m > 0:
+                tmp = PagedEngine._gather_impl(state.pool, pages[:m], width)
+            else:
+                tmp = qwen3.KVCache.create(cfg, 1, width, cdt)
+            _, tmp = qwen3.forward(params, arr, cfg, attention_mask=mask,
+                                   cache=tmp)
+            pool = PagedEngine._scatter_impl(state.pool, tmp.k[:, :, pre:],
+                                             tmp.v[:, :, pre:], pages[m:])
+            return state._replace(pool=pool)
+
+        return part
+
     def _prefill_slot(self, state: PagedState, b: int, ids: Sequence[int],
                       pages: List[int], prev_gen: Sequence[int],
                       shared: int = 0, cap: int = 1 << 30) -> PagedState:
@@ -516,6 +552,7 @@ class PagedEngine:
                               "decode_sync": 0.0, "retire": 0.0}
         self.n_chunks = 0
         self.n_prefills = 0
+        self.n_prefill_chunks = 0
         registry = PrefixRegistry()
         meta: List[Optional[dict]] = [None] * self.slots
         slot_pages: List[List[int]] = [[] for _ in range(self.slots)]
@@ -574,6 +611,15 @@ class PagedEngine:
                     victims = [j for j in range(self.slots)
                                if j != b and meta[j] is not None]
                     if not victims:
+                        # last resort before giving up: reclaim pages held
+                        # by half-prefilled queued requests (they recompute
+                        # from scratch later — recompute preemption applied
+                        # to chunked prefill)
+                        if any(rq.get("pf") for rq in queue):
+                            for rq in queue:
+                                if rq.get("pf"):
+                                    pool.free(rq.pop("pf"))
+                            continue
                         raise RuntimeError(
                             "page pool exhausted by a single stream — "
                             "increase num_pages")
@@ -584,24 +630,76 @@ class PagedEngine:
             self.phase_seconds["grow"] += t_now - t_phase
             t_phase = t_now
 
+            # 2a. chunked prefill: advance the head-of-queue request by at
+            # most ONE prefill_chunk of page-aligned prompt tokens per
+            # scheduler pass, so live slots get a decode chunk between
+            # prefill pieces (vLLM chunked prefill — bounds the decode
+            # stall a long prompt inflicts on running streams). The pieces
+            # accumulate in r["pf"]; the final piece goes through the
+            # normal admission below with r["pf"] as its shared prefix.
+            if self.prefill_chunk is not None and queue:
+                r = queue[0]
+                n = len(r["ids"])
+                pf = r.setdefault("pf", [])
+                if not pf and self.prefix_sharing:
+                    hits = registry.match(r["ids"], self.ps,
+                                          (n - 1) // self.ps)
+                    pool.share(hits)           # the request's own reference
+                    pf.extend(hits)
+                    if hits:
+                        self.prefix_hits += 1
+                        self.prefix_hit_tokens += len(hits) * self.ps
+                if n - len(pf) * self.ps > self.prefill_chunk:
+                    # fresh pages this piece; >=1 token stays for admission
+                    cp = min(self.prefill_chunk // self.ps,
+                             (n - 1) // self.ps - len(pf))
+                    got = registry.alloc(pool, cp) if cp > 0 else None
+                    if got is not None:
+                        m = len(pf)
+                        pages = pf + got
+                        width = len(pages) * self.ps
+                        arr = np.asarray(r["ids"][m * self.ps:width],
+                                         np.int32)[None]
+                        state = self._prefill_part(
+                            self.params, state, jnp.asarray(arr),
+                            jnp.ones((1, width), jnp.int32),
+                            jnp.asarray(pages, jnp.int32),
+                            m=m, width=width)
+                        pf.extend(got)
+                        self.n_prefill_chunks += 1
+                        if self.prefix_sharing:
+                            registry.register(r["ids"][:width], pages,
+                                              self.ps, pool)
+
             # 2. admit queued requests into free slots
             for b in range(self.slots):
                 if meta[b] is not None or not queue:
                     continue
                 r = queue[0]
                 n = len(r["ids"])
-                shared: List[int] = []
-                if self.prefix_sharing:
-                    # cap so at least one suffix token remains to prefill
-                    shared = registry.match(r["ids"], self.ps,
-                                            (n - 1) // self.ps)
-                    pool.share(shared)         # the stream's own reference
+                if "pf" in r:                  # chunked-prefill resident KV
+                    if n - len(r["pf"]) * self.ps > (self.prefill_chunk
+                                                     or n):
+                        break                  # still mid-prefill
+                    shared = r["pf"]
+                else:
+                    shared = []
+                    if self.prefix_sharing:
+                        # cap so >=1 suffix token remains to prefill
+                        shared = registry.match(r["ids"], self.ps,
+                                                (n - 1) // self.ps)
+                        pool.share(shared)     # the stream's own reference
                 got = registry.alloc(pool, self._pages_needed(n)
                                      - len(shared))
                 if got is None:
-                    pool.free(shared)
+                    if "pf" not in r:
+                        pool.free(shared)
                     break                      # pool full; retry next chunk
                 queue.popleft()
+                if "pf" not in r and shared:
+                    self.prefix_hits += 1
+                    self.prefix_hit_tokens += len(shared) * self.ps
+                r.pop("pf", None)
                 slot_pages[b] = shared + got
                 bt[b, :len(slot_pages[b])] = slot_pages[b]
                 bt[b, len(slot_pages[b]):] = 0
@@ -612,9 +710,6 @@ class PagedEngine:
                 if self.prefix_sharing:
                     registry.register(r["ids"], slot_pages[b], self.ps,
                                       pool)
-                    if shared:
-                        self.prefix_hits += 1
-                        self.prefix_hit_tokens += len(shared) * self.ps
                 meta[b] = {**r, "plen": n, "join": join_seq}
                 join_seq += 1
                 lengths_h[b] = n

@@ -188,3 +188,71 @@ def test_registry_eviction_under_pool_pressure():
                       cache_dtype=jnp.float32, attn_impl="xla")
     got = eng.serve(prompts, max_new=8)
     assert got == ref
+
+
+def test_chunked_prefill_matches_whole_prompt():
+    """Long prompts prefilled in page-aligned chunks (decode chunks of
+    live slots interleaved between pieces) produce identical outputs to
+    whole-prompt prefill (vLLM chunked prefill)."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=13)
+    rng = np.random.default_rng(7)
+    lens = (29, 4, 33, 7, 18)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, k).tolist()
+               for k in lens]
+    ref = _ref_outputs(params, cfg, sp, prompts, 6)
+
+    eng = PagedEngine(params, cfg, sp, slots=2, max_len=64, page_size=8,
+                      chunk_steps=3, cache_dtype=jnp.float32,
+                      attn_impl="xla", prefill_chunk=8)
+    got = eng.serve(prompts, max_new=6)
+    assert got == ref
+    # the 29er needs ceil((29-1)/8)=3 part pieces, the 33er 4, the 18er 2
+    assert eng.n_prefill_chunks >= 5
+
+
+def test_chunked_prefill_with_prefix_sharing():
+    """Chunked prefill composes with the prefix cache: a repeated long
+    prompt's second admission rides the registered pages (including ones
+    registered by the first prompt's partial chunks)."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=15)
+    rng = np.random.default_rng(8)
+    long = rng.integers(1, cfg.vocab_size - 2, 27).tolist()
+    prompts = [long,
+               rng.integers(1, cfg.vocab_size - 2, 5).tolist(),
+               list(long),
+               long + rng.integers(1, cfg.vocab_size - 2, 3).tolist()]
+    ref = _ref_outputs(params, cfg, sp, prompts, 6)
+
+    eng = PagedEngine(params, cfg, sp, slots=2, max_len=64, page_size=8,
+                      chunk_steps=3, cache_dtype=jnp.float32,
+                      attn_impl="xla", prefill_chunk=8)
+    got = eng.serve(prompts, max_new=6)
+    assert got == ref
+    assert eng.prefix_hits >= 2
+
+
+def test_chunked_prefill_reclaim_under_pressure():
+    """A half-prefilled queued request's pages are reclaimed (recompute)
+    when live slots need to grow and no victim slot exists; outputs stay
+    exact."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=17, max_tokens=8)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 9).tolist(),
+               rng.integers(1, cfg.vocab_size - 2, 25).tolist()]
+    ref = _ref_outputs(params, cfg, sp, prompts, 8)
+
+    # one slot, 5 pages of 8: the queued 25er chunk-prefills into the
+    # pool while slot 0 decodes; slot 0's growth then needs the pages
+    # back (no victim slots — reclaim path)
+    eng = PagedEngine(params, cfg, sp, slots=1, max_len=40, page_size=8,
+                      num_pages=5, chunk_steps=4,
+                      cache_dtype=jnp.float32, attn_impl="xla",
+                      prefill_chunk=8)
+    got = eng.serve(prompts, max_new=8)
+    assert got == ref
