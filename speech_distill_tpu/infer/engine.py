@@ -131,6 +131,8 @@ class DecodeEngine:
     sampling, EOS stopping, KV-cache passthrough for multi-turn reuse.
     """
 
+    stateful = True   # multi-turn reuse via caller-held DecodeState
+
     def __init__(self, params, cfg: Qwen3Config, sp: SamplingParams,
                  max_len: int = 8192, prefill_bucket: int = 128,
                  seed: int = 0, cache_dtype=jnp.bfloat16,

@@ -319,6 +319,8 @@ class PagedEngine:
     dry. ``num_pages >= ceil(max_len / page_size)`` is required so a lone
     stream can always run to max_len after preempting everyone else."""
 
+    stateful = False   # generate() takes full context; no caller-held state
+
     def __init__(self, params, cfg: Qwen3Config, sp: SamplingParams,
                  slots: int = 8, max_len: int = 4096,
                  num_pages: Optional[int] = None, page_size: int = 128,
@@ -360,6 +362,10 @@ class PagedEngine:
             lambda st, b: st._replace(finished=st.finished.at[b].set(True)),
             donate_argnums=(0,))
         self._rng = jax.random.PRNGKey(seed)
+        # persistent serving state (created lazily on first serve())
+        self._state: Optional[PagedState] = None
+        self._pool: Optional[PagePool] = None
+        self._registry: Optional[PrefixRegistry] = None
 
     def new_state(self) -> PagedState:
         B, V = self.slots, self.cfg.vocab_size
@@ -527,6 +533,20 @@ class PagedEngine:
         horizon = min(resident + self.chunk_steps + 1, self.max_len)
         return _ceil_div(horizon, self.ps)
 
+    def generate(self, ids: Sequence[int], max_new: Optional[int] = None,
+                 state=None, **_) -> dict:
+        """DecodeEngine-compatible single-request API — STATELESS: pass
+        the full context each call. Multi-turn sessions stay incremental
+        through the persistent prefix cache: a finished request registers
+        its full prompt+generated pages, so the next turn's context (which
+        extends this one) prefills only its new suffix. This is exactly
+        how the reference serves SoulX-Podcast through vLLM
+        (soulxpodcast/engine/llm_engine.py:78-114: enable_prefix_caching
+        + a full-prompt generate per turn). ``state`` is accepted and
+        ignored for drop-in orchestrator compatibility."""
+        gen = self.serve([list(ids)], max_new=max_new)[0]
+        return {"token_ids": gen, "state": None}
+
     def serve(self, prompts: Sequence[Sequence[int]],
               max_new: Optional[int] = None,
               max_new_per_request: Optional[Sequence[int]] = None
@@ -553,12 +573,24 @@ class PagedEngine:
         self.n_chunks = 0
         self.n_prefills = 0
         self.n_prefill_chunks = 0
-        registry = PrefixRegistry()
+        # pool, registry and device state PERSIST across serve() calls:
+        # pages registered by one call (incl. full prompt+generated pages
+        # at retire) are prefix-cache hits for the next, which is what
+        # makes stateless multi-turn generate() incremental
+        if self._state is None:
+            self._pool = PagePool(self.num_pages)
+            self._registry = PrefixRegistry()
+            self._state = self.new_state()
+        registry = self._registry
+        pool = self._pool
+        state = self._state
+        # if serve raises mid-loop the local handle may be donated/stale;
+        # leaving _state None makes the next call rebuild pool+registry+
+        # state as a consistent trio (restored at normal completion)
+        self._state = None
         meta: List[Optional[dict]] = [None] * self.slots
         slot_pages: List[List[int]] = [[] for _ in range(self.slots)]
         join_seq = 0
-        pool = PagePool(self.num_pages)
-        state = self.new_state()
         bt = np.zeros((self.slots, self.max_pages), np.int32)
 
         def release(b):
@@ -745,6 +777,15 @@ class PagedEngine:
                 start = r["plen"]
                 r["gen"] += tokens_h[b, start:start + fresh].tolist()
                 outputs[r["rid"]] = r["gen"]
+                if self.prefix_sharing:
+                    # register the full pages of prompt+GENERATED tokens
+                    # (KV of a page is determined by its token prefix), so
+                    # a later context extending this one — the multi-turn
+                    # generate() pattern — prefills only its new suffix
+                    L = int(lengths_h[b])
+                    registry.register(tokens_h[b, :L].tolist(),
+                                      slot_pages[b], self.ps, pool)
                 release(b)
             self.phase_seconds["retire"] += time.perf_counter() - t_phase
+        self._state = state
         return outputs  # type: ignore[return-value]

@@ -35,7 +35,13 @@ class SoulXPodcast:
                  s3_quantize, flow_params, flow_cfg: flow_lib.FlowConfig,
                  hift_params, hift_cfg: hift_lib.HiFTConfig,
                  seed: int = 0):
-        """s3_quantize(mels [B, n_mels, T], lens [B]) -> (codes, code_lens)."""
+        """s3_quantize(mels [B, n_mels, T], lens [B]) -> (codes, code_lens).
+
+        ``llm_engine`` is any engine exposing ``generate(ids) ->
+        {"token_ids": ...}``: the stateful DecodeEngine (caller-held
+        KV state per turn) or the stateless PagedEngine (full context per
+        turn, incremental via its persistent prefix cache — the
+        reference's vLLM serving mode)."""
         self.config = config
         self.llm = llm_engine
         self.s3_quantize = s3_quantize
@@ -248,12 +254,21 @@ class SoulXPodcast:
 
             inputs = inputs + list(text_tokens_for_llm[i])
             pending = pending + list(text_tokens_for_llm[i])
-            if state is None:
-                state = self.llm.new_state(1)
-            out = self.llm.generate(pending, state=state)
-            state = out["state"]
-            pending = []
-            token_ids = out["token_ids"]
+            if getattr(self.llm, "stateful", True):
+                if state is None:
+                    state = self.llm.new_state(1)
+                out = self.llm.generate(pending, state=state)
+                state = out["state"]
+                pending = []
+                token_ids = out["token_ids"]
+            else:
+                # stateless engine (PagedEngine): the full context goes in
+                # every turn and the engine's persistent prefix cache makes
+                # it incremental — the reference's vLLM serving pattern
+                # (llm_engine.py:78-114). Eviction rebuilds above just
+                # change `inputs`; no cache state to reset.
+                token_ids = self.llm.generate(inputs)["token_ids"]
+                pending = []
 
             inputs = inputs + token_ids
             prompt_inputs.append(list(text_tokens_for_llm[i]) + token_ids)

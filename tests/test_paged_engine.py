@@ -256,3 +256,30 @@ def test_chunked_prefill_reclaim_under_pressure():
                       prefill_chunk=8)
     got = eng.serve(prompts, max_new=8)
     assert got == ref
+
+
+def test_cross_call_prefix_reuse_and_generate_api():
+    """serve()/generate() calls share one persistent pool + prefix
+    registry: a second call whose context extends a finished request's
+    full prompt+generated sequence prefills only its suffix, and outputs
+    equal the stateless reference."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=21)
+    rng = np.random.default_rng(11)
+    turn1 = rng.integers(1, cfg.vocab_size - 2, 18).tolist()
+
+    eng = PagedEngine(params, cfg, sp, slots=2, max_len=64, page_size=8,
+                      chunk_steps=3, cache_dtype=jnp.float32,
+                      attn_impl="xla")
+    out1 = eng.generate(turn1, max_new=6)["token_ids"]
+    # next turn: previous context + generated + new text
+    turn2 = turn1 + out1 + rng.integers(1, cfg.vocab_size - 2, 5).tolist()
+    out2 = eng.generate(turn2, max_new=6)["token_ids"]
+    # the second call must hit pages registered at the first retire
+    # (including GENERATED-token pages: (18+6)//8 = 3 full pages)
+    assert eng.prefix_hits == 1
+    assert eng.prefix_hit_tokens >= 24 // 8 * 8
+
+    ref = _ref_outputs(params, cfg, sp, [turn1, turn2], 6)
+    assert [out1, out2] == ref

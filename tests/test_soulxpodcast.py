@@ -115,3 +115,43 @@ def test_forward_longform_multi_turn_with_eviction(tiny_tts):
     assert len(wavs) == turns
     for w in wavs:
         assert np.isfinite(w).all()
+
+
+@pytest.mark.slow
+def test_forward_longform_paged_engine_matches_decode_engine(tiny_tts):
+    """The orchestrator runs unchanged on the stateless PagedEngine (full
+    context per turn + persistent prefix cache — the reference's vLLM
+    serving mode, llm_engine.py:78-114) and, under greedy sampling,
+    produces bit-identical waveforms to the stateful DecodeEngine path
+    across a 5-turn session that forces an eviction rebuild."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    model, cfg, s3_cfg = tiny_tts
+    llm = model.llm
+    greedy = dataclasses.replace(cfg.sampling, top_k=1, use_ras=False,
+                                 temperature=1.0, repetition_penalty=1.0)
+    cfg2 = dataclasses.replace(cfg, sampling=greedy)
+    ref_eng = DecodeEngine(llm.params, llm.cfg, greedy, max_len=256,
+                           prefill_bucket=16, cache_dtype=jnp.float32)
+    paged_eng = PagedEngine(llm.params, llm.cfg, greedy, slots=2,
+                            max_len=256, page_size=16, chunk_steps=4,
+                            cache_dtype=jnp.float32, attn_impl="xla")
+    n_prompts = 2
+    mels, lens, flow_mel, spk = _prompt_features(s3_cfg, n_prompts, seed=5)
+    kw = dict(prompt_mels_for_llm=mels, prompt_mels_lens_for_llm=lens,
+              prompt_text_tokens_for_llm=[[1, 2], [3, 4]],
+              text_tokens_for_llm=[[5, 6]] * 5,
+              prompt_mels_for_flow_ori=flow_mel,
+              spk_emb_for_flow=spk, spk_ids=[0, 1, 0, 1, 0])
+
+    m_ref = SoulXPodcast(cfg2, ref_eng, model.s3_quantize,
+                         model.flow_params, model.flow_cfg,
+                         model.hift_params, model.hift_cfg, seed=0)
+    m_paged = SoulXPodcast(cfg2, paged_eng, model.s3_quantize,
+                           model.flow_params, model.flow_cfg,
+                           model.hift_params, model.hift_cfg, seed=0)
+    w_ref = m_ref.forward_longform(**kw)["generated_wavs"]
+    w_paged = m_paged.forward_longform(**kw)["generated_wavs"]
+    assert len(w_ref) == len(w_paged) == 5
+    for a, b in zip(w_ref, w_paged):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
