@@ -104,7 +104,10 @@ def sample_token_topk(rng: jax.Array, raw: jax.Array, presence: jax.Array,
     if topk_method == "approx":
         vals, idx = jax.lax.approx_max_k(x, top_k, recall_target=0.95)
     else:
-        vals, idx = jax.lax.top_k(x, top_k)        # [B, k] descending
+        # bit-identical to lax.top_k (incl. tie order) at ~1/15th the sort
+        # work — the decode sampler runs this every step over [B, 159k]
+        from speech_distill_tpu.distill.losses import segmented_top_k
+        vals, idx = segmented_top_k(x, top_k)      # [B, k] descending
     if temperature != 1.0:
         vals = vals / temperature
     if top_p < 1.0:
