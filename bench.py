@@ -83,6 +83,10 @@ def main():
     p.add_argument("--serve_prefill_chunk", type=int, default=0,
                    help="paged serve: chunked prefill — max prompt tokens "
                         "prefilled per scheduler pass (0 = whole prompt)")
+    p.add_argument("--serve_kv_quant", action="store_true",
+                   help="paged serve: int8 KV pool with per-token scales "
+                        "(half the pool HBM / page DMA bytes — the vLLM "
+                        "quantized-KV-cache capability)")
     p.add_argument("--serve_prefix_len", type=int, default=0,
                    help="serve: prepend a common prefix of this many "
                         "tokens to every request (the longform-TTS "
@@ -388,7 +392,8 @@ def bench_serve(args):
                  "--page_size", str(args.page_size),
                  "--serve_prefix_len", str(args.serve_prefix_len),
                  "--serve_prefill_chunk", str(args.serve_prefill_chunk),
-                 "--serve_chunk_steps", str(args.serve_chunk_steps)],
+                 "--serve_chunk_steps", str(args.serve_chunk_steps)]
+                + (["--serve_kv_quant"] if args.serve_kv_quant else []),
                 capture_output=True, text=True)
             if r.returncode != 0:
                 raise RuntimeError(f"serve phase {ph} failed:\n{r.stderr[-2000:]}")
@@ -478,7 +483,8 @@ def bench_serve(args):
                            max_len=args.decode_max_len,
                            num_pages=num_pages, page_size=args.page_size,
                            chunk_steps=args.serve_chunk_steps,
-                           cache_dtype=jnp.bfloat16,
+                           cache_dtype=(jnp.int8 if args.serve_kv_quant
+                                        else jnp.bfloat16),
                            prefix_sharing=not args.no_prefix_sharing,
                            prefill_chunk=(args.serve_prefill_chunk
                                           or None))
@@ -495,6 +501,8 @@ def bench_serve(args):
                           "prefix_hit_tokens": peng.prefix_hit_tokens,
                           "num_pages": num_pages,
                           "page_size": args.page_size,
+                          "kv_dtype": ("int8" if args.serve_kv_quant
+                                       else "bf16"),
                           "phases": {k: round(v, 2) for k, v in
                                      peng.phase_seconds.items()},
                           "chunks": peng.n_chunks,

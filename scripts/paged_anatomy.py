@@ -86,7 +86,18 @@ def main():
             cache_positions=cache_positions)
         return jnp.sum(logits)
 
+    # int8-quantized KV pool variant (same forward, quantize-on-write +
+    # scale-folded kernel) — isolates the int8 serving overhead
+    pool_q = PagedKVCache.create(cfg, num_pages, ps, jnp.int8)
+
+    @jax.jit
+    def step_paged_kernel_q(p, pool, token):
+        logits, pool = paged_forward(p, token, cfg, pool, bt, lengths,
+                                     live, attn_impl="kernel")
+        return jnp.sum(logits)
+
     for name, fn, st in (("paged_kernel", step_paged_kernel, pool),
+                         ("paged_kernel_q", step_paged_kernel_q, pool_q),
                          ("paged_xla", step_paged_xla, pool),
                          ("contiguous", step_contiguous, cache)):
         ms = timeit(fn, params, st, token)

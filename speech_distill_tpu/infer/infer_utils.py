@@ -39,14 +39,18 @@ def pad_mels(mels: List[np.ndarray]):
 
 def initiate_model(seed: int, model_path: str, llm_engine: str = "jax",
                    fp16_flow: bool = False, add_task_token: bool = True,
-                   add_speaker_id: bool = True, spk_emb_fn=None):
+                   add_speaker_id: bool = True, spk_emb_fn=None,
+                   kv_cache_dtype: str = "bf16"):
     """Build (SoulXPodcast model, PodcastInferHandler dataset).
 
     Loads: HF LLM dir (config+safetensors+tokenizer), flow.pt, hift.pt,
     speech tokenizer checkpoint, campplus.onnx (if onnxruntime available).
-    Reference: infer_utils.py:16-44 (the vllm fallback becomes a no-op —
-    there is one JAX engine).
-    """
+    Reference: infer_utils.py:16-44. ``llm_engine`` selects the decode
+    engine like the reference's hf|vllm switch: "jax" (stateful
+    contiguous-cache DecodeEngine, the HF-engine equivalent) or "paged"
+    (stateless block-table PagedEngine with prefix caching — the vLLM
+    equivalent). ``kv_cache_dtype``: "bf16" or "int8" (paged engine only;
+    the quantized-KV-cache serving option)."""
     set_all_random_seed(seed)
 
     llm_cfg = Qwen3Config.from_initial_and_json(
@@ -66,8 +70,17 @@ def initiate_model(seed: int, model_path: str, llm_engine: str = "jax",
 
     tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=True)
     _, llm_params = load_pretrained(model_path)
-    engine = DecodeEngine(llm_params, llm_cfg, config.sampling,
-                          max_len=config.max_model_len, seed=seed)
+    if llm_engine == "paged":
+        import jax.numpy as jnp
+        from speech_distill_tpu.infer.paged import PagedEngine
+        engine = PagedEngine(
+            llm_params, llm_cfg, config.sampling,
+            max_len=config.max_model_len, seed=seed,
+            cache_dtype=(jnp.int8 if kv_cache_dtype == "int8"
+                         else jnp.bfloat16))
+    else:
+        engine = DecodeEngine(llm_params, llm_cfg, config.sampling,
+                              max_len=config.max_model_len, seed=seed)
 
     flow_cfg = flow_lib.FlowConfig()
     flow_state = torch.load(os.path.join(model_path, "flow.pt"),

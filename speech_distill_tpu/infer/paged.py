@@ -40,7 +40,7 @@ from speech_distill_tpu.core.config import Qwen3Config, SamplingParams
 from speech_distill_tpu.infer.engine import sample_next_token
 from speech_distill_tpu.models import qwen3
 from speech_distill_tpu.ops.paged_attention import (
-    paged_attention, paged_attention_xla)
+    paged_attention, paged_attention_xla, quantize_kv)
 
 
 def _ceil_div(a: int, b: int) -> int:
@@ -50,16 +50,34 @@ def _ceil_div(a: int, b: int) -> int:
 class PagedKVCache(NamedTuple):
     """Paged decode cache: per-layer page pools [L, P, KV, page_size, Dh]
     (page-major, head-inside — one contiguous DMA per page moves every KV
-    head, see ops/paged_attention.py)."""
+    head, see ops/paged_attention.py).
+
+    With ``dtype=int8`` (the vLLM quantized-KV-cache capability) the
+    pools hold symmetric int8 with one f32 scale per (token, kv-head) in
+    ``ks``/``vs`` [L, P, KV, page_size] — pool HBM and per-page DMA bytes
+    halve, so the same chip holds ~2x the resident tokens."""
 
     k: jax.Array
     v: jax.Array
+    ks: Optional[jax.Array] = None
+    vs: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.ks is not None
 
     @classmethod
     def create(cls, cfg: Qwen3Config, num_pages: int, page_size: int,
                dtype=jnp.bfloat16) -> "PagedKVCache":
         shape = (cfg.num_hidden_layers, num_pages,
                  cfg.num_key_value_heads, page_size, cfg.head_dim)
+        if dtype == jnp.int8:
+            # two DISTINCT scale buffers: aliasing one array into both
+            # fields breaks donation ("same buffer donated twice")
+            return cls(jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(shape, jnp.int8),
+                       jnp.ones(shape[:-1], jnp.float32),
+                       jnp.ones(shape[:-1], jnp.float32))
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -118,36 +136,47 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
     # attention kernel reads its layer's pages straight out of the full
     # pool (ops/paged_attention.py ``layer=``), so per-step traffic stays
     # proportional to resident tokens.
+    quantized = pool.quantized
+
     def body(carry, xs):
-        h, pk, pv = carry
+        h, pool = carry
         lp, li = xs
+        pk, pv = pool.k, pool.v
         y = qwen3.rms_norm(h, lp["input_ln"]["scale"], cfg.rms_norm_eps)
         q, k, v = qwen3.qkv_proj(lp["attn"], y, cos, sin, cfg)
         k1 = k[:, 0]                                          # [B, KV, Dh]
         v1 = v[:, 0]
+        if quantized:
+            k1, ksc = quantize_kv(k1)
+            v1, vsc = quantize_kv(v1)
+            pool = pool._replace(
+                ks=pool.ks.at[li, p_idx, h_idx, o_idx].set(ksc,
+                                                           mode="drop"),
+                vs=pool.vs.at[li, p_idx, h_idx, o_idx].set(vsc,
+                                                           mode="drop"))
         pk = pk.at[li, p_idx, h_idx, o_idx].set(k1.astype(pk.dtype),
                                                 mode="drop")
         pv = pv.at[li, p_idx, h_idx, o_idx].set(v1.astype(pv.dtype),
                                                 mode="drop")
+        pool = pool._replace(k=pk, v=pv)
         qh = q.reshape(B, KV, G, Dh)
-        if attn_impl == "kernel":
-            o = paged_attention(qh, pk, pv, block_tables, klen, layer=li)
-        else:
-            o = paged_attention_xla(qh, pk, pv, block_tables, klen,
-                                    layer=li)
+        impl = (paged_attention if attn_impl == "kernel"
+                else paged_attention_xla)
+        o = impl(qh, pk, pv, block_tables, klen, layer=li,
+                 k_scale=pool.ks, v_scale=pool.vs)
         o = qwen3._proj(o.reshape(B, 1, H * Dh), lp["attn"]["o"],
                         None, "o", 1.0)
         h = h + o
         y2 = qwen3.rms_norm(h, lp["post_ln"]["scale"], cfg.rms_norm_eps)
-        return (h + qwen3.mlp_block(lp["mlp"], y2), pk, pv), None
+        return (h + qwen3.mlp_block(lp["mlp"], y2), pool), None
 
     n_layers = pool.k.shape[0]
-    (x, nk, nv), _ = jax.lax.scan(
-        body, (x, pool.k, pool.v),
+    (x, pool), _ = jax.lax.scan(
+        body, (x, pool),
         (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)))
     x = qwen3.rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
     logits = qwen3.unembed(params, x, cfg)
-    return logits[:, 0].astype(jnp.float32), PagedKVCache(nk, nv)
+    return logits[:, 0].astype(jnp.float32), pool
 
 
 def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
@@ -343,6 +372,11 @@ class PagedEngine:
                 f"({self.max_pages} pages)")
         self.chunk_steps = chunk_steps
         self.cache_dtype = cache_dtype
+        # int8 pools (vLLM quantized KV cache): the pool stores int8 +
+        # per-token scales; the CONTIGUOUS temp cache prefill runs through
+        # stays bf16 (quantization happens at page scatter)
+        self._tmp_cache_dtype = (jnp.bfloat16 if cache_dtype == jnp.int8
+                                 else cache_dtype)
         if attn_impl == "auto":
             attn_impl = ("kernel" if jax.default_backend() == "tpu"
                          else "xla")
@@ -389,15 +423,21 @@ class PagedEngine:
                       page_ids) -> PagedKVCache:
         """Install a contiguous B=1 prefill cache [L, 1, W, KV, Dh] into
         ``len(page_ids)`` pool pages (W == len(page_ids) * page_size; one
-        compile per page count)."""
+        compile per page count). int8 pools quantize here — per token per
+        head, so the result is independent of how prefill was chunked."""
         L, _, W, KV, Dh = tmp_k.shape
         n = page_ids.shape[0]
         ps = W // n
         kk = tmp_k[:, 0].reshape(L, n, ps, KV, Dh).transpose(0, 1, 3, 2, 4)
         vv = tmp_v[:, 0].reshape(L, n, ps, KV, Dh).transpose(0, 1, 3, 2, 4)
-        return PagedKVCache(
-            pool.k.at[:, page_ids].set(kk.astype(pool.k.dtype)),
-            pool.v.at[:, page_ids].set(vv.astype(pool.v.dtype)))
+        if pool.quantized:
+            kk, ksc = quantize_kv(kk)
+            vv, vsc = quantize_kv(vv)
+            pool = pool._replace(ks=pool.ks.at[:, page_ids].set(ksc),
+                                 vs=pool.vs.at[:, page_ids].set(vsc))
+        return pool._replace(
+            k=pool.k.at[:, page_ids].set(kk.astype(pool.k.dtype)),
+            v=pool.v.at[:, page_ids].set(vv.astype(pool.v.dtype)))
 
     @staticmethod
     def _gather_impl(pool: PagedKVCache, page_ids,
@@ -405,16 +445,20 @@ class PagedEngine:
         """Assemble a contiguous B=1 prefill cache [L, 1, total_w, KV, Dh]
         from ``len(page_ids)`` shared pool pages (the prefix-cache hit
         path: the suffix then prefills on top of it). One compile per
-        (page count, total_w) bucket."""
+        (page count, total_w) bucket. int8 pools dequantize here — the
+        suffix attends over exactly what decode attends over."""
         L, _, KV, ps, Dh = pool.k.shape
         m = page_ids.shape[0]
 
-        def gx(a):
+        def gx(a, scl):
             g = a[:, page_ids]                         # [L, m, KV, ps, Dh]
+            if scl is not None:
+                g = (g.astype(jnp.float32)
+                     * scl[:, page_ids][..., None]).astype(jnp.bfloat16)
             g = g.transpose(0, 1, 3, 2, 4).reshape(L, 1, m * ps, KV, Dh)
             return jnp.pad(g, ((0, 0), (0, 0), (0, total_w - m * ps),
                                (0, 0), (0, 0)))
-        return qwen3.KVCache(gx(pool.k), gx(pool.v),
+        return qwen3.KVCache(gx(pool.k, pool.ks), gx(pool.v, pool.vs),
                              jnp.asarray(m * ps, jnp.int32))
 
     @staticmethod
@@ -438,7 +482,7 @@ class PagedEngine:
         relay each dispatch costs ~ms of host time the device spends
         idle, and admissions sit on the critical path between decode
         chunks (measured: fusing cut the admit phase ~3x)."""
-        cfg, ps, cdt = self.cfg, self.ps, self.cache_dtype
+        cfg, ps, cdt = self.cfg, self.ps, self._tmp_cache_dtype
 
         @functools.partial(jax.jit, static_argnames=("m", "width"),
                            donate_argnums=(1,))
@@ -470,8 +514,12 @@ class PagedEngine:
         the model on top of them, scatter the fresh pages back — and stop
         (no slot insert, no logits kept). The final chunk goes through the
         normal ``admit`` program with these pages as its shared prefix, so
-        chunked and whole-prompt prefill compute identical KV."""
-        cfg, ps, cdt = self.cfg, self.ps, self.cache_dtype
+        chunked and whole-prompt prefill compute identical KV (bit-equal
+        for bf16 pools; int8 pools quantize per token so the STORED pages
+        are chunk-independent, but a later chunk attends over the
+        dequantized earlier pages, so logits can differ at int8's noise
+        floor)."""
+        cfg, ps, cdt = self.cfg, self.ps, self._tmp_cache_dtype
 
         @functools.partial(jax.jit, static_argnames=("m", "width"),
                            donate_argnums=(1,))

@@ -39,8 +39,34 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _decode_kernel(bt_ref, len_ref, lay_ref, q_ref, k_hbm, v_hbm, o_ref,
-                   k_scr, v_scr, sem, *, page_size: int, scale: float):
+def quantize_kv(x: jax.Array, axis: int = -1):
+    """Symmetric int8 quantization with one scale per slice along ``axis``
+    (per token per KV head when x is [..., Dh]). Returns (q int8, scale
+    f32 with ``axis`` squeezed). Exact zeros stay exact (scale 1)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scl = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scl),
+                 -127, 127).astype(jnp.int8)
+    return q, jnp.squeeze(scl, axis)
+
+
+def _decode_kernel(bt_ref, len_ref, lay_ref, q_ref, k_hbm, v_hbm, *rest,
+                   page_size: int, scale: float, quantized: bool):
+    """``rest`` is (o_ref, k_scr, v_scr, sem) for the bf16/f32 pool, or
+    (ks_hbm, vs_hbm, o_ref, k_scr, v_scr, ks_scr, vs_scr, sem) for the
+    int8 pool (per-token scales ride a second small DMA per page).
+
+    Quantized math folds EXACTLY into the flash recurrence: the per-key
+    scale is a column factor of the score row (applied post-dot on
+    [G, ps] instead of dequantizing [ps, Dh]), and the per-value scale
+    folds into ``pexp`` before the pv-dot — two MXU dots per page either
+    way, operands int8→bf16 (lossless: |q| ≤ 127 fits bf16's 8-bit
+    mantissa exactly)."""
+    if quantized:
+        (ks_hbm, vs_hbm, o_ref, k_scr, v_scr, ks_scr, vs_scr, sem) = rest
+    else:
+        o_ref, k_scr, v_scr, sem = rest
+        ks_scr = vs_scr = None
     b = pl.program_id(0)
     L = len_ref[b]
     n_pages = jax.lax.div(L + page_size - 1, page_size)
@@ -50,17 +76,23 @@ def _decode_kernel(bt_ref, len_ref, lay_ref, q_ref, k_hbm, v_hbm, o_ref,
         # lay_ref[0] selects the decoder layer inside the full
         # [L, P, KV, ps, Dh] pool — the pool never leaves HBM whole, so
         # the layer scan can carry it in place (see infer/paged.py)
-        ck = pltpu.make_async_copy(k_hbm.at[lay_ref[0], page],
-                                   k_scr.at[slot], sem.at[slot, 0])
-        cv = pltpu.make_async_copy(v_hbm.at[lay_ref[0], page],
-                                   v_scr.at[slot], sem.at[slot, 1])
-        return ck, cv
+        cs = [pltpu.make_async_copy(k_hbm.at[lay_ref[0], page],
+                                    k_scr.at[slot], sem.at[slot, 0]),
+              pltpu.make_async_copy(v_hbm.at[lay_ref[0], page],
+                                    v_scr.at[slot], sem.at[slot, 1])]
+        if quantized:
+            cs.append(pltpu.make_async_copy(ks_hbm.at[lay_ref[0], page],
+                                            ks_scr.at[slot],
+                                            sem.at[slot, 2]))
+            cs.append(pltpu.make_async_copy(vs_hbm.at[lay_ref[0], page],
+                                            vs_scr.at[slot],
+                                            sem.at[slot, 3]))
+        return cs
 
     @pl.when(n_pages > 0)
     def _start_first():
-        ck, cv = copies(0, 0)
-        ck.start()
-        cv.start()
+        for c in copies(0, 0):
+            c.start()
 
     KV, G, Dh = q_ref.shape[1:]
     op_dt = q_ref.dtype
@@ -71,13 +103,11 @@ def _decode_kernel(bt_ref, len_ref, lay_ref, q_ref, k_hbm, v_hbm, o_ref,
 
         @pl.when(p + 1 < n_pages)
         def _start_next():
-            nk, nv = copies(p + 1, jax.lax.rem(p + 1, 2))
-            nk.start()
-            nv.start()
+            for c in copies(p + 1, jax.lax.rem(p + 1, 2)):
+                c.start()
 
-        ck, cv = copies(p, slot)
-        ck.wait()
-        cv.wait()
+        for c in copies(p, slot):
+            c.wait()
         k_pos = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (G, page_size), 1)
         in_len = k_pos < L
@@ -87,16 +117,22 @@ def _decode_kernel(bt_ref, len_ref, lay_ref, q_ref, k_hbm, v_hbm, o_ref,
             q = q_ref[0, h]               # [G, Dh]
             k = k_scr[slot, h]            # [page_size, Dh]
             v = v_scr[slot, h]
+            if quantized:
+                k = k.astype(op_dt)
+                v = v.astype(op_dt)
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
+            if quantized:
+                s = s * ks_scr[slot, h][None, :]
             s = jnp.where(in_len, s * scale, NEG_INF)
             m_new = jnp.maximum(ms[h], jnp.max(s, axis=1))
             pexp = jnp.exp(s - m_new[:, None])
             corr = jnp.exp(ms[h] - m_new)
             nms.append(m_new)
             nls.append(ls[h] * corr + jnp.sum(pexp, axis=1))
+            pv = (pexp * vs_scr[slot, h][None, :]) if quantized else pexp
             naccs.append(accs[h] * corr[:, None] + jax.lax.dot_general(
-                pexp.astype(op_dt), v, (((1,), (0,)), ((), ())),
+                pv.astype(op_dt), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
         return tuple(nms), tuple(nls), tuple(naccs)
 
@@ -113,7 +149,8 @@ def _decode_kernel(bt_ref, len_ref, lay_ref, q_ref, k_hbm, v_hbm, o_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                     block_tables: jax.Array, lengths: jax.Array,
-                    layer=None, interpret: bool = False) -> jax.Array:
+                    layer=None, k_scale=None, v_scale=None,
+                    interpret: bool = False) -> jax.Array:
     """q: [B, KV, G, Dh] single-token queries -> [B, KV, G, Dh].
 
     ``k_pool``/``v_pool`` are one layer's pages [P, KV, ps, Dh], or the
@@ -121,57 +158,87 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     selecting the layer inside the kernel. The full-pool form is what the
     decode layer scan uses: the pool stays a scan carry updated in place,
     never materializing a per-layer slice (a [P, KV, ps, Dh] dynamic-slice
-    read is ~hundreds of MB of HBM traffic per layer per step)."""
+    read is ~hundreds of MB of HBM traffic per layer per step).
+
+    int8 pools (the vLLM quantized-KV-cache capability) pass per-token
+    scales ``k_scale``/``v_scale`` of shape pool.shape[:-1] ([..., KV, ps]
+    f32, one scale per (token, kv-head)); page DMA bytes halve and the
+    dequant folds into the existing two dots per page."""
     B, KV, G, Dh = q.shape
+    quantized = k_pool.dtype == jnp.int8
+    if quantized and (k_scale is None or v_scale is None):
+        raise ValueError("int8 pools require k_scale/v_scale")
     if layer is None:
         # uniform kernel: a unit layer axis + layer index 0
         k_pool = k_pool[None]
         v_pool = v_pool[None]
+        if quantized:
+            k_scale, v_scale = k_scale[None], v_scale[None]
         layer = jnp.zeros((), jnp.int32)
     page_size = k_pool.shape[3]
     scale = Dh ** -0.5
     lay = jnp.reshape(layer, (1,)).astype(jnp.int32)
     q_spec = pl.BlockSpec((1, KV, G, Dh),
                           lambda b, bt, ln, ly: (b, 0, 0, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = [pltpu.VMEM((2, KV, page_size, Dh), k_pool.dtype),
+               pltpu.VMEM((2, KV, page_size, Dh), v_pool.dtype)]
+    operands = [q, k_pool, v_pool]
+    in_specs = [q_spec, any_spec, any_spec]
+    if quantized:
+        operands += [k_scale.astype(jnp.float32),
+                     v_scale.astype(jnp.float32)]
+        in_specs += [any_spec, any_spec]
+        scratch += [pltpu.VMEM((2, KV, page_size), jnp.float32),
+                    pltpu.VMEM((2, KV, page_size), jnp.float32)]
+    scratch.append(pltpu.SemaphoreType.DMA((2, 4 if quantized else 2)))
     return pl.pallas_call(
-        functools.partial(_decode_kernel, page_size=page_size, scale=scale),
+        functools.partial(_decode_kernel, page_size=page_size, scale=scale,
+                          quantized=quantized),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B,),
-            in_specs=[q_spec,
-                      pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=in_specs,
             out_specs=q_spec,
-            scratch_shapes=[pltpu.VMEM((2, KV, page_size, Dh), k_pool.dtype),
-                            pltpu.VMEM((2, KV, page_size, Dh), v_pool.dtype),
-                            pltpu.SemaphoreType.DMA((2, 2))],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
-    )(block_tables, lengths, lay, q, k_pool, v_pool)
+    )(block_tables, lengths, lay, q, *operands[1:])
 
 
 def paged_attention_xla(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                         block_tables: jax.Array, lengths: jax.Array,
-                        layer=None) -> jax.Array:
+                        layer=None, k_scale=None, v_scale=None) -> jax.Array:
     """Gather-based reference (correctness oracle; used on CPU meshes).
 
     Materializes the gathered KV [B, max_pages*page_size, ...] — same math
     as the kernel, but with an extra HBM round-trip the kernel avoids.
     Accepts the full [L, P, KV, ps, Dh] pool + ``layer`` like the kernel
     (the gather indexes (layer, page) pairs, so no per-layer slice of the
-    pool is materialized either).
+    pool is materialized either), and int8 pools + per-token scales
+    (dequantized after the gather — the kernel's fold is numerically the
+    same product in a different association).
     """
     B, KV, G, Dh = q.shape
+    quantized = k_pool.dtype == jnp.int8
     if layer is None:
         k_pool = k_pool[None]
         v_pool = v_pool[None]
+        if quantized:
+            k_scale, v_scale = k_scale[None], v_scale[None]
         layer = jnp.zeros((), jnp.int32)
     ps = k_pool.shape[3]
     mp = block_tables.shape[1]
     # [B, mp, KV, ps, Dh] -> [B, S, KV, Dh]
     k = k_pool[layer, block_tables]
     v = v_pool[layer, block_tables]
+    if quantized:
+        op_dt = q.dtype
+        k = k.astype(op_dt) * k_scale[layer, block_tables][
+            ..., None].astype(op_dt)
+        v = v.astype(op_dt) * v_scale[layer, block_tables][
+            ..., None].astype(op_dt)
     k = k.transpose(0, 1, 3, 2, 4).reshape(B, mp * ps, KV, Dh)
     v = v.transpose(0, 1, 3, 2, 4).reshape(B, mp * ps, KV, Dh)
     scale = Dh ** -0.5

@@ -93,3 +93,62 @@ def test_junk_table_entries_never_read():
         paged_attention(q, kp, vp, bt, lengths, interpret=True))
     np.testing.assert_allclose(got, ref2, atol=0, rtol=0)
     del ref
+
+
+def _quantize_pools(kp, vp):
+    from speech_distill_tpu.ops.paged_attention import quantize_kv
+    kq, ks = quantize_kv(kp)
+    vq, vs = quantize_kv(vp)
+    return kq, ks, vq, vs
+
+
+def test_quantize_roundtrip_bound():
+    """Per-(token, head) symmetric int8: relative error <= 1/254 of the
+    slice amax, zeros exact."""
+    from speech_distill_tpu.ops.paged_attention import quantize_kv
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(5, 3, 16, 64)), jnp.float32)
+    q, s = quantize_kv(x)
+    deq = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    assert np.all(np.abs(deq - np.asarray(x)) <= amax / 254 + 1e-8)
+    z, zs = quantize_kv(jnp.zeros((2, 4)))
+    assert np.all(np.asarray(z) == 0) and np.all(np.asarray(zs) == 1.0)
+
+
+def test_kernel_int8_matches_oracle():
+    q, kp, vp, bt, lengths = _mk(seed=5)
+    kq, ks, vq, vs = _quantize_pools(kp, vp)
+    ref = np.asarray(paged_attention_xla(q, kq, vq, bt, lengths,
+                                         k_scale=ks, v_scale=vs))
+    got = np.asarray(paged_attention(q, kq, vq, bt, lengths,
+                                     k_scale=ks, v_scale=vs,
+                                     interpret=True))
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-3)
+
+
+def test_int8_oracle_close_to_fp32_attention():
+    """Quantized attention approximates the unquantized result (softmax
+    over amax-scaled int8 K/V: well inside 1% at unit-normal K/V)."""
+    q, kp, vp, bt, lengths = _mk(seed=6)
+    kq, ks, vq, vs = _quantize_pools(kp, vp)
+    full = np.asarray(paged_attention_xla(q, kp, vp, bt, lengths))
+    quant = np.asarray(paged_attention_xla(q, kq, vq, bt, lengths,
+                                           k_scale=ks, v_scale=vs))
+    np.testing.assert_allclose(quant, full, atol=2e-2, rtol=2e-2)
+
+
+def test_kernel_int8_full_pool_layer_select():
+    """Full [L, P, ...] int8 pool + traced layer index, per layer."""
+    q, kp, vp, bt, lengths = _mk(seed=8)
+    kp2 = jnp.stack([kp, kp[::-1]])
+    vp2 = jnp.stack([vp, vp[::-1]])
+    kq, ks, vq, vs = _quantize_pools(kp2, vp2)
+    for lay in range(2):
+        ref = np.asarray(paged_attention_xla(
+            q, kq[lay], vq[lay], bt, lengths,
+            k_scale=ks[lay], v_scale=vs[lay]))
+        got = np.asarray(paged_attention(
+            q, kq, vq, bt, lengths, layer=jnp.asarray(lay, jnp.int32),
+            k_scale=ks, v_scale=vs, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-3)

@@ -283,3 +283,95 @@ def test_cross_call_prefix_reuse_and_generate_api():
 
     ref = _ref_outputs(params, cfg, sp, [turn1, turn2], 6)
     assert [out1, out2] == ref
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized KV pool (the vLLM quantized-KV-cache capability)
+# ---------------------------------------------------------------------------
+
+def test_int8_pool_layout_and_bytes():
+    from speech_distill_tpu.infer.paged import PagedKVCache
+
+    cfg, _, _ = _setup()
+    pool = PagedKVCache.create(cfg, 6, 8, jnp.int8)
+    assert pool.quantized
+    assert pool.k.dtype == jnp.int8 and pool.v.dtype == jnp.int8
+    assert pool.ks.shape == pool.k.shape[:-1]
+    assert pool.ks.dtype == jnp.float32
+    bf16 = PagedKVCache.create(cfg, 6, 8, jnp.bfloat16)
+    assert pool.k.nbytes * 2 == bf16.k.nbytes
+
+
+def test_paged_forward_int8_close_to_fp32():
+    """Token-by-token decode over an int8 pool tracks the fp32 pool's
+    logits within quantization noise."""
+    from speech_distill_tpu.infer.paged import PagedKVCache, paged_forward
+
+    cfg, params, _ = _setup()
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(1, cfg.vocab_size - 2, 9).tolist()
+    ps, n_pages = 8, 6
+    pool_f = PagedKVCache.create(cfg, n_pages, ps, jnp.float32)
+    pool_q = PagedKVCache.create(cfg, n_pages, ps, jnp.int8)
+    bt = jnp.arange(n_pages, dtype=jnp.int32)[None]
+    length = jnp.zeros((1,), jnp.int32)
+    live = jnp.ones((1,), bool)
+    for tok in prompt:
+        t = jnp.asarray([tok], jnp.int32)
+        lf, pool_f = paged_forward(params, t, cfg, pool_f, bt, length,
+                                   live, attn_impl="xla")
+        lq, pool_q = paged_forward(params, t, cfg, pool_q, bt, length,
+                                   live, attn_impl="xla")
+        scale = max(1.0, float(np.abs(np.asarray(lf)).max()))
+        assert np.abs(np.asarray(lq) - np.asarray(lf)).max() / scale < 0.03
+        length = length + 1
+
+
+def test_int8_serve_slot_invariant_and_prefix_modes():
+    """Quantization is per token — a stream's KV never depends on which
+    slot it ran in, so int8 serve is exactly slot-count invariant (with
+    prefix sharing off: a prefix-cache hit attends over dequantized pages
+    while a fresh prefill attends over exact bf16, so ON may differ at
+    the noise floor but must still satisfy the caps contract)."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup()
+    rng = np.random.default_rng(2)
+    common = rng.integers(1, cfg.vocab_size - 2, 8).tolist()
+    prompts = [common + rng.integers(1, cfg.vocab_size - 2,
+                                     int(rng.integers(3, 9))).tolist()
+               for _ in range(5)]
+    kw = dict(max_len=64, page_size=8, chunk_steps=3,
+              cache_dtype=jnp.int8, attn_impl="xla",
+              prefix_sharing=False)
+    got2 = PagedEngine(params, cfg, sp, slots=2, **kw).serve(
+        prompts, max_new=6)
+    got1 = PagedEngine(params, cfg, sp, slots=1, **kw).serve(
+        prompts, max_new=6)
+    assert got2 == got1
+    assert all(len(o) == 6 for o in got2)
+
+    eng = PagedEngine(params, cfg, sp, slots=2,
+                      **{**kw, "prefix_sharing": True})
+    caps = [3, 6, 2, 5, 4]
+    outs = eng.serve(prompts, max_new_per_request=caps)
+    assert [len(o) for o in outs] == caps
+    assert eng.prefix_hits > 0
+
+
+def test_int8_chunked_prefill_and_preemption_complete():
+    """Chunked prefill + recompute preemption both run on int8 pools; the
+    caps contract holds (stored pages are chunk-independent by per-token
+    quantization, so resume-after-preemption stays self-consistent)."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup()
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 19).tolist()
+               for _ in range(4)]
+    eng = PagedEngine(params, cfg, sp, slots=3, max_len=48, page_size=8,
+                      num_pages=8, chunk_steps=3, cache_dtype=jnp.int8,
+                      attn_impl="xla", prefill_chunk=8)
+    outs = eng.serve(prompts, max_new=6)
+    assert all(len(o) == 6 for o in outs)
+    assert eng.n_prefill_chunks > 0
