@@ -328,6 +328,12 @@ def bench_all():
         ("serve", ["--mode", "serve", "--quant", "int8_embed",
                    "--decode_streams", "16", "--decode_max_len", "1024",
                    "--serve_phase", "compare"]),
+        # serving champion config: 64 slots over a half-size bf16 pool
+        # (a full 64-slot pool exceeds HBM; preemption covers the tail)
+        ("serve_paged64", ["--mode", "serve", "--serve_phase", "paged",
+                           "--quant", "int8_embed",
+                           "--decode_streams", "64",
+                           "--paged_pool_frac", "0.5"]),
         ("serve_paged_prefix", ["--mode", "serve", "--serve_phase", "paged",
                                 "--quant", "int8_embed",
                                 "--decode_streams", "16",
