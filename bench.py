@@ -83,6 +83,12 @@ def main():
     p.add_argument("--serve_prefill_chunk", type=int, default=0,
                    help="paged serve: chunked prefill — max prompt tokens "
                         "prefilled per scheduler pass (0 = whole prompt)")
+    p.add_argument("--serve_prompt_min", type=int, default=64,
+                   help="serve: min DISTINCT context tokens per request")
+    p.add_argument("--serve_prompt_max", type=int, default=128,
+                   help="serve: max DISTINCT context tokens per request "
+                        "(long distinct contexts = the KV-capacity regime "
+                        "where the int8 pool pays)")
     p.add_argument("--serve_kv_quant", action="store_true",
                    help="paged serve: int8 KV pool with per-token scales "
                         "(half the pool HBM / page DMA bytes — the vLLM "
@@ -106,6 +112,10 @@ def main():
                         "old materialized + chunked exact top-k")
     p.add_argument("--tts_batch", type=int, default=1,
                    help="tts mode: concurrent turns through flow+vocoder")
+    p.add_argument("--opt8bit", action="store_true",
+                   help="int8-quantized AdamW moments (bnb adamw_8bit "
+                        "equivalent) — frees ~1GB of opt-state HBM at the "
+                        "headline config; retest larger batches with it")
     p.add_argument("--split_apply", action="store_true",
                    help="KD step as TWO programs (grad + donated apply): "
                         "donation on the full step stalls the axon remote "
@@ -164,7 +174,8 @@ def main():
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
     lora, base = init_lora(jax.random.PRNGKey(1), params, cfg, dcfg.lora)
     del params
-    opt = train_step.make_optimizer(5e-5, 10, 1000)
+    opt = train_step.make_optimizer(5e-5, 10, 1000,
+                                    eight_bit=args.opt8bit)
     state = train_step.init_state(lora, opt)
 
     teacher_params = None
@@ -357,17 +368,22 @@ def bench_all():
         json.dump(results, f, indent=1)
 
 
-def _serve_workload(vocab: int, S: int, prefix_len: int = 0):
+def _serve_workload(vocab: int, S: int, prefix_len: int = 0,
+                    prompt_min: int = 64, prompt_max: int = 128):
     """Seeded workload shared by all serve phases (run in separate
     processes): variable generation lengths (exponential-ish service
     times — the regime where continuous batching wins). ``prefix_len``
     prepends a common token prefix to every request (shared dialogue
-    history — the prefix-cache regime)."""
+    history — the prefix-cache regime). ``prompt_min/max`` set the
+    DISTINCT per-request context length (long distinct contexts are the
+    KV-capacity regime, where the int8 pool pays)."""
     rng = np.random.default_rng(0)
     N = 3 * S
     common = rng.integers(0, vocab, prefix_len).tolist()
     prompts = [common
-               + rng.integers(0, vocab, int(rng.integers(64, 128))).tolist()
+               + rng.integers(0, vocab,
+                              int(rng.integers(prompt_min,
+                                               prompt_max))).tolist()
                for _ in range(N)]
     caps = np.clip(rng.exponential(160, N).astype(int), 32, 448).tolist()
     return prompts, caps
@@ -398,7 +414,9 @@ def bench_serve(args):
                  "--page_size", str(args.page_size),
                  "--serve_prefix_len", str(args.serve_prefix_len),
                  "--serve_prefill_chunk", str(args.serve_prefill_chunk),
-                 "--serve_chunk_steps", str(args.serve_chunk_steps)]
+                 "--serve_chunk_steps", str(args.serve_chunk_steps),
+                 "--serve_prompt_min", str(args.serve_prompt_min),
+                 "--serve_prompt_max", str(args.serve_prompt_max)]
                 + (["--serve_kv_quant"] if args.serve_kv_quant else []),
                 capture_output=True, text=True)
             if r.returncode != 0:
@@ -465,7 +483,9 @@ def bench_serve(args):
                         stop_token_ids=(cfg.eos_token_id,),
                         topk_method="approx")
     prompts, caps = _serve_workload(cfg.vocab_size, S,
-                                    args.serve_prefix_len)
+                                    args.serve_prefix_len,
+                                    args.serve_prompt_min,
+                                    args.serve_prompt_max)
     N = len(prompts)
 
     if args.serve_phase == "continuous":
