@@ -51,17 +51,28 @@ def quantize_kv(x: jax.Array, axis: int = -1):
 
 
 def _decode_kernel(bt_ref, len_ref, lay_ref, q_ref, k_hbm, v_hbm, *rest,
-                   page_size: int, scale: float, quantized: bool):
+                   page_size: int, scale: float, quantized: bool,
+                   win_pages: int):
     """``rest`` is (o_ref, k_scr, v_scr, sem) for the bf16/f32 pool, or
     (ks_hbm, vs_hbm, o_ref, k_scr, v_scr, ks_scr, vs_scr, sem) for the
     int8 pool (per-token scales ride a second small DMA per page).
 
+    Pages stream in WINDOWS of ``win_pages``: all W page copies of a
+    window start together (latency overlaps), and compute is one
+    [G, W*ps] score dot + one [G, W*ps]x[W*ps, Dh] pv dot per head per
+    window instead of per page — decode at long residency is otherwise
+    bound by per-page loop/iteration overhead, not bytes. Tail windows
+    copy the LAST real page into their slack slots (clamped index: real
+    finite data, so masked lanes contribute exact zeros to the pv dot —
+    never uninitialized scratch, which would NaN-poison 0*x); the
+    position mask drops them from the softmax.
+
     Quantized math folds EXACTLY into the flash recurrence: the per-key
     scale is a column factor of the score row (applied post-dot on
-    [G, ps] instead of dequantizing [ps, Dh]), and the per-value scale
-    folds into ``pexp`` before the pv-dot — two MXU dots per page either
-    way, operands int8→bf16 (lossless: |q| ≤ 127 fits bf16's 8-bit
-    mantissa exactly)."""
+    [G, W*ps] instead of dequantizing [W*ps, Dh]), and the per-value
+    scale folds into ``pexp`` before the pv-dot — two MXU dots per
+    window either way, operands int8→bf16 (lossless: |q| ≤ 127 fits
+    bf16's 8-bit mantissa exactly)."""
     if quantized:
         (ks_hbm, vs_hbm, o_ref, k_scr, v_scr, ks_scr, vs_scr, sem) = rest
     else:
@@ -70,67 +81,77 @@ def _decode_kernel(bt_ref, len_ref, lay_ref, q_ref, k_hbm, v_hbm, *rest,
     b = pl.program_id(0)
     L = len_ref[b]
     n_pages = jax.lax.div(L + page_size - 1, page_size)
+    W = win_pages
+    n_win = jax.lax.div(n_pages + W - 1, W)
 
-    def copies(p, slot):
-        page = bt_ref[b, p]
-        # lay_ref[0] selects the decoder layer inside the full
-        # [L, P, KV, ps, Dh] pool — the pool never leaves HBM whole, so
-        # the layer scan can carry it in place (see infer/paged.py)
-        cs = [pltpu.make_async_copy(k_hbm.at[lay_ref[0], page],
-                                    k_scr.at[slot], sem.at[slot, 0]),
-              pltpu.make_async_copy(v_hbm.at[lay_ref[0], page],
-                                    v_scr.at[slot], sem.at[slot, 1])]
-        if quantized:
-            cs.append(pltpu.make_async_copy(ks_hbm.at[lay_ref[0], page],
-                                            ks_scr.at[slot],
-                                            sem.at[slot, 2]))
-            cs.append(pltpu.make_async_copy(vs_hbm.at[lay_ref[0], page],
-                                            vs_scr.at[slot],
-                                            sem.at[slot, 3]))
-        return cs
+    def move_window(w, slot, op):
+        """start/wait every page copy of window ``w``."""
+        for j in range(W):
+            # clamp into the row's real pages: tail-window slack slots
+            # re-copy the last page (finite data; masked from scores)
+            p = jnp.minimum(w * W + j, n_pages - 1)
+            page = bt_ref[b, p]
+            # lay_ref[0] selects the decoder layer inside the full
+            # [L, P, KV, ps, Dh] pool — the pool never leaves HBM
+            # whole, so the layer scan carries it in place
+            cs = [pltpu.make_async_copy(
+                      k_hbm.at[lay_ref[0], page],
+                      k_scr.at[slot, j], sem.at[slot, j, 0]),
+                  pltpu.make_async_copy(
+                      v_hbm.at[lay_ref[0], page],
+                      v_scr.at[slot, j], sem.at[slot, j, 1])]
+            if quantized:
+                cs.append(pltpu.make_async_copy(
+                    ks_hbm.at[lay_ref[0], page],
+                    ks_scr.at[slot, j], sem.at[slot, j, 2]))
+                cs.append(pltpu.make_async_copy(
+                    vs_hbm.at[lay_ref[0], page],
+                    vs_scr.at[slot, j], sem.at[slot, j, 3]))
+            for c in cs:
+                getattr(c, op)()
 
-    @pl.when(n_pages > 0)
+    @pl.when(n_win > 0)
     def _start_first():
-        for c in copies(0, 0):
-            c.start()
+        move_window(0, 0, "start")
 
     KV, G, Dh = q_ref.shape[1:]
     op_dt = q_ref.dtype
+    Wps = W * page_size
 
-    def body(p, carry):
+    def body(w, carry):
         ms, ls, accs = carry
-        slot = jax.lax.rem(p, 2)
+        slot = jax.lax.rem(w, 2)
 
-        @pl.when(p + 1 < n_pages)
+        @pl.when(w + 1 < n_win)
         def _start_next():
-            for c in copies(p + 1, jax.lax.rem(p + 1, 2)):
-                c.start()
+            move_window(w + 1, jax.lax.rem(w + 1, 2), "start")
 
-        for c in copies(p, slot):
-            c.wait()
-        k_pos = p * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (G, page_size), 1)
+        move_window(w, slot, "wait")
+        k_pos = w * Wps + jax.lax.broadcasted_iota(
+            jnp.int32, (G, Wps), 1)
         in_len = k_pos < L
         nms, nls, naccs = [], [], []
-        # one page DMA feeds all KV heads; attention unrolls over them
+        # one window of DMAs feeds all KV heads; attention unrolls over
+        # them ([W, ps, Dh] -> [W*ps, Dh] is a contiguous-dim merge)
         for h in range(KV):
-            q = q_ref[0, h]               # [G, Dh]
-            k = k_scr[slot, h]            # [page_size, Dh]
-            v = v_scr[slot, h]
+            q = q_ref[0, h]                        # [G, Dh]
+            k = k_scr[slot, :, h].reshape(Wps, Dh)
+            v = v_scr[slot, :, h].reshape(Wps, Dh)
             if quantized:
                 k = k.astype(op_dt)
                 v = v.astype(op_dt)
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             if quantized:
-                s = s * ks_scr[slot, h][None, :]
+                s = s * ks_scr[slot, :, h].reshape(Wps)[None, :]
             s = jnp.where(in_len, s * scale, NEG_INF)
             m_new = jnp.maximum(ms[h], jnp.max(s, axis=1))
             pexp = jnp.exp(s - m_new[:, None])
             corr = jnp.exp(ms[h] - m_new)
             nms.append(m_new)
             nls.append(ls[h] * corr + jnp.sum(pexp, axis=1))
-            pv = (pexp * vs_scr[slot, h][None, :]) if quantized else pexp
+            pv = (pexp * vs_scr[slot, :, h].reshape(Wps)[None, :]
+                  if quantized else pexp)
             naccs.append(accs[h] * corr[:, None] + jax.lax.dot_general(
                 pv.astype(op_dt), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
@@ -139,18 +160,19 @@ def _decode_kernel(bt_ref, len_ref, lay_ref, q_ref, k_hbm, v_hbm, *rest,
     m0 = tuple(jnp.full((G,), NEG_INF, jnp.float32) for _ in range(KV))
     l0 = tuple(jnp.zeros((G,), jnp.float32) for _ in range(KV))
     a0 = tuple(jnp.zeros((G, Dh), jnp.float32) for _ in range(KV))
-    ms, ls, accs = jax.lax.fori_loop(0, n_pages, body, (m0, l0, a0))
+    ms, ls, accs = jax.lax.fori_loop(0, n_win, body, (m0, l0, a0))
     for h in range(KV):
         l_safe = jnp.maximum(ls[h], 1e-30)
         out = jnp.where(n_pages > 0, accs[h] / l_safe[:, None], 0.0)
         o_ref[0, h] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("win_pages", "interpret"))
 def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                     block_tables: jax.Array, lengths: jax.Array,
                     layer=None, k_scale=None, v_scale=None,
-                    interpret: bool = False) -> jax.Array:
+                    win_pages: int = 4, interpret: bool = False
+                    ) -> jax.Array:
     """q: [B, KV, G, Dh] single-token queries -> [B, KV, G, Dh].
 
     ``k_pool``/``v_pool`` are one layer's pages [P, KV, ps, Dh], or the
@@ -180,21 +202,22 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     lay = jnp.reshape(layer, (1,)).astype(jnp.int32)
     q_spec = pl.BlockSpec((1, KV, G, Dh),
                           lambda b, bt, ln, ly: (b, 0, 0, 0))
+    W = max(1, min(win_pages, block_tables.shape[1]))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    scratch = [pltpu.VMEM((2, KV, page_size, Dh), k_pool.dtype),
-               pltpu.VMEM((2, KV, page_size, Dh), v_pool.dtype)]
+    scratch = [pltpu.VMEM((2, W, KV, page_size, Dh), k_pool.dtype),
+               pltpu.VMEM((2, W, KV, page_size, Dh), v_pool.dtype)]
     operands = [q, k_pool, v_pool]
     in_specs = [q_spec, any_spec, any_spec]
     if quantized:
         operands += [k_scale.astype(jnp.float32),
                      v_scale.astype(jnp.float32)]
         in_specs += [any_spec, any_spec]
-        scratch += [pltpu.VMEM((2, KV, page_size), jnp.float32),
-                    pltpu.VMEM((2, KV, page_size), jnp.float32)]
-    scratch.append(pltpu.SemaphoreType.DMA((2, 4 if quantized else 2)))
+        scratch += [pltpu.VMEM((2, W, KV, page_size), jnp.float32),
+                    pltpu.VMEM((2, W, KV, page_size), jnp.float32)]
+    scratch.append(pltpu.SemaphoreType.DMA((2, W, 4 if quantized else 2)))
     return pl.pallas_call(
         functools.partial(_decode_kernel, page_size=page_size, scale=scale,
-                          quantized=quantized),
+                          quantized=quantized, win_pages=W),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B,),
