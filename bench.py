@@ -83,6 +83,8 @@ def main():
     p.add_argument("--serve_prefill_chunk", type=int, default=0,
                    help="paged serve: chunked prefill — max prompt tokens "
                         "prefilled per scheduler pass (0 = whole prompt)")
+    p.add_argument("--serve_win_pages", type=int, default=4,
+                   help="paged serve: pages per attention DMA window")
     p.add_argument("--serve_prompt_min", type=int, default=64,
                    help="serve: min DISTINCT context tokens per request")
     p.add_argument("--serve_prompt_max", type=int, default=128,
@@ -513,7 +515,8 @@ def bench_serve(args):
                                         else jnp.bfloat16),
                            prefix_sharing=not args.no_prefix_sharing,
                            prefill_chunk=(args.serve_prefill_chunk
-                                          or None))
+                                          or None),
+                           attn_win_pages=args.serve_win_pages)
         peng.serve(prompts[:S], max_new=8)    # warmup/compile
         t0 = time.perf_counter()
         outs = peng.serve(prompts, max_new_per_request=caps)

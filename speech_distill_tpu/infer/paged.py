@@ -100,7 +100,7 @@ class PagedState(NamedTuple):
 def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
                   pool: PagedKVCache, block_tables: jax.Array,
                   lengths: jax.Array, live: jax.Array,
-                  attn_impl: str = "kernel"):
+                  attn_impl: str = "kernel", win_pages: int = 4):
     """One decode step over the page pool.
 
     token [B] int32; the new token's KV is written at page
@@ -160,10 +160,14 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
                                                 mode="drop")
         pool = pool._replace(k=pk, v=pv)
         qh = q.reshape(B, KV, G, Dh)
-        impl = (paged_attention if attn_impl == "kernel"
-                else paged_attention_xla)
-        o = impl(qh, pk, pv, block_tables, klen, layer=li,
-                 k_scale=pool.ks, v_scale=pool.vs)
+        if attn_impl == "kernel":
+            o = paged_attention(qh, pk, pv, block_tables, klen, layer=li,
+                                k_scale=pool.ks, v_scale=pool.vs,
+                                win_pages=win_pages)
+        else:
+            o = paged_attention_xla(qh, pk, pv, block_tables, klen,
+                                    layer=li, k_scale=pool.ks,
+                                    v_scale=pool.vs)
         o = qwen3._proj(o.reshape(B, 1, H * Dh), lp["attn"]["o"],
                         None, "o", 1.0)
         h = h + o
@@ -181,10 +185,13 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
 
 def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
                          win_size: Optional[int] = None,
-                         attn_impl: str = "kernel"):
+                         attn_impl: str = "kernel", win_pages: int = 4):
     """Jitted ``decode_chunk(params, state, n_steps) -> state`` over the
     page pool (early exit when all slots are finished). The host allocator
-    guarantees every live row has pages for ``n_steps`` more tokens."""
+    guarantees every live row has pages for ``n_steps`` more tokens.
+    ``win_pages``: pages per kernel DMA window (amortizes per-page
+    overhead at long residency; tails are page-guarded so short rows pay
+    no extra bytes)."""
     win = win_size or sp.win_size
     eos_ids = tuple(sp.stop_token_ids)
     pad_id = eos_ids[0]
@@ -212,7 +219,7 @@ def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
 
         logits, pool = paged_forward(params, token, cfg, st.pool,
                                      st.block_tables, st.length, live,
-                                     attn_impl)
+                                     attn_impl, win_pages)
         return PagedState(tokens, st.length + live.astype(jnp.int32),
                           pool, st.block_tables, logits, presence,
                           st.num_generated + live.astype(jnp.int32),
@@ -356,7 +363,8 @@ class PagedEngine:
                  chunk_steps: int = 32, seed: int = 0,
                  cache_dtype=jnp.bfloat16, attn_impl: str = "auto",
                  prefix_sharing: bool = True,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 attn_win_pages: int = 4):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -389,7 +397,8 @@ class PagedEngine:
             prefill_chunk = max(page_size,
                                 (prefill_chunk // page_size) * page_size)
         self.prefill_chunk = prefill_chunk
-        self._decode = make_paged_decode_fn(cfg, sp, attn_impl=attn_impl)
+        self._decode = make_paged_decode_fn(cfg, sp, attn_impl=attn_impl,
+                                            win_pages=attn_win_pages)
         self._admit = self._make_admit()
         self._prefill_part = self._make_prefill_part()
         self._finish_slot = jax.jit(

@@ -152,3 +152,22 @@ def test_kernel_int8_full_pool_layer_select():
             q, kq, vq, bt, lengths, layer=jnp.asarray(lay, jnp.int32),
             k_scale=ks, v_scale=vs, interpret=True))
         np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-3)
+
+
+def test_kernel_window_edges_sweep():
+    """Every page count 1..max_pages with lengths at page/window
+    boundaries +-1 (the windowed-DMA tail cases: slack slots, exact
+    window fill, single window, multi window)."""
+    q, kp, vp, bt, _ = _mk(B=1, KV=2, G=3, Dh=64, P=16, ps=64,
+                           max_pages=8, seed=11)
+    ps, mp = 64, 8
+    lens = sorted({1, ps - 1, ps, ps + 1,
+                   2 * ps, 3 * ps - 1, 4 * ps, 4 * ps + 1,
+                   5 * ps + 7, 7 * ps, 8 * ps})
+    for L in lens:
+        lengths = jnp.asarray([L], jnp.int32)
+        ref = np.asarray(paged_attention_xla(q, kp, vp, bt, lengths))
+        got = np.asarray(paged_attention(q, kp, vp, bt, lengths,
+                                         interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4,
+                                   err_msg=f"L={L}")
