@@ -100,13 +100,22 @@ class PagedState(NamedTuple):
 def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
                   pool: PagedKVCache, block_tables: jax.Array,
                   lengths: jax.Array, live: jax.Array,
-                  attn_impl: str = "kernel", win_pages: int = 4):
+                  attn_impl: str = "kernel", win_pages: int = 4,
+                  mesh=None):
     """One decode step over the page pool.
 
     token [B] int32; the new token's KV is written at page
     block_tables[b, lengths[b] // ps], offset lengths[b] % ps (dropped for
     dead rows), then each row attends over its lengths[b]+1 resident keys.
     Returns (logits [B, V], new pool).
+
+    ``mesh``: multi-chip serving — slots shard over dp, KV heads (and the
+    vocab/mlp dims of the model matmuls, via the params' shardings) over
+    tp. The XLA attention path partitions under GSPMD from the shardings
+    alone; the Pallas kernel is shard_map'd over (dp, tp) — each device
+    runs the kernel on its local rows x local KV heads of the pool, no
+    collectives inside attention (GQA heads are independent; the o-proj
+    psum is GSPMD's, from the params sharding).
     """
     B = token.shape[0]
     KV, Dh = cfg.num_key_value_heads, cfg.head_dim
@@ -161,9 +170,32 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
         pool = pool._replace(k=pk, v=pv)
         qh = q.reshape(B, KV, G, Dh)
         if attn_impl == "kernel":
-            o = paged_attention(qh, pk, pv, block_tables, klen, layer=li,
-                                k_scale=pool.ks, v_scale=pool.vs,
-                                win_pages=win_pages)
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as PS
+
+                def _local_attn(qh_, pk_, pv_, bt_, kl_, li_, *scl):
+                    ks_, vs_ = scl if scl else (None, None)
+                    return paged_attention(qh_, pk_, pv_, bt_, kl_,
+                                           layer=li_, k_scale=ks_,
+                                           v_scale=vs_,
+                                           win_pages=win_pages)
+
+                pool_spec = PS(None, None, "tp", None, None)
+                in_specs = [PS("dp", "tp", None, None), pool_spec,
+                            pool_spec, PS("dp", None), PS("dp"), PS()]
+                args = [qh, pk, pv, block_tables, klen, li]
+                if quantized:
+                    in_specs += [PS(None, None, "tp", None)] * 2
+                    args += [pool.ks, pool.vs]
+                # check_vma=False: pallas_call outputs carry no vma
+                o = jax.shard_map(_local_attn, mesh=mesh,
+                                  in_specs=tuple(in_specs),
+                                  out_specs=PS("dp", "tp", None, None),
+                                  check_vma=False)(*args)
+            else:
+                o = paged_attention(qh, pk, pv, block_tables, klen,
+                                    layer=li, k_scale=pool.ks,
+                                    v_scale=pool.vs, win_pages=win_pages)
         else:
             o = paged_attention_xla(qh, pk, pv, block_tables, klen,
                                     layer=li, k_scale=pool.ks,
@@ -185,7 +217,8 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
 
 def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
                          win_size: Optional[int] = None,
-                         attn_impl: str = "kernel", win_pages: int = 4):
+                         attn_impl: str = "kernel", win_pages: int = 4,
+                         mesh=None):
     """Jitted ``decode_chunk(params, state, n_steps) -> state`` over the
     page pool (early exit when all slots are finished). The host allocator
     guarantees every live row has pages for ``n_steps`` more tokens.
@@ -219,7 +252,7 @@ def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
 
         logits, pool = paged_forward(params, token, cfg, st.pool,
                                      st.block_tables, st.length, live,
-                                     attn_impl, win_pages)
+                                     attn_impl, win_pages, mesh)
         return PagedState(tokens, st.length + live.astype(jnp.int32),
                           pool, st.block_tables, logits, presence,
                           st.num_generated + live.astype(jnp.int32),
@@ -364,7 +397,7 @@ class PagedEngine:
                  cache_dtype=jnp.bfloat16, attn_impl: str = "auto",
                  prefix_sharing: bool = True,
                  prefill_chunk: Optional[int] = None,
-                 attn_win_pages: int = 4):
+                 attn_win_pages: int = 4, mesh=None):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -397,8 +430,19 @@ class PagedEngine:
             prefill_chunk = max(page_size,
                                 (prefill_chunk // page_size) * page_size)
         self.prefill_chunk = prefill_chunk
+        self.mesh = mesh
+        if mesh is not None:
+            dp = int(dict(mesh.shape).get("dp", 1))
+            tp = int(dict(mesh.shape).get("tp", 1))
+            if slots % dp != 0:
+                raise ValueError(f"slots={slots} not divisible by dp={dp}")
+            if cfg.num_key_value_heads % tp != 0:
+                raise ValueError(
+                    f"KV heads {cfg.num_key_value_heads} not divisible "
+                    f"by tp={tp}")
         self._decode = make_paged_decode_fn(cfg, sp, attn_impl=attn_impl,
-                                            win_pages=attn_win_pages)
+                                            win_pages=attn_win_pages,
+                                            mesh=mesh)
         self._admit = self._make_admit()
         self._prefill_part = self._make_prefill_part()
         self._finish_slot = jax.jit(
@@ -410,12 +454,37 @@ class PagedEngine:
         self._pool: Optional[PagePool] = None
         self._registry: Optional[PrefixRegistry] = None
 
+    def state_shardings(self) -> Optional[PagedState]:
+        """NamedSharding tree for PagedState on ``self.mesh`` (None off
+        mesh): slot rows over dp, pool KV heads over tp, everything else
+        replicated. last_logits stays vocab-replicated per dp shard so
+        the sampler's top-k runs without a gather."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        def sh(*spec):
+            return NamedSharding(self.mesh, PS(*spec))
+
+        pool = PagedKVCache(
+            k=sh(None, None, "tp", None, None),
+            v=sh(None, None, "tp", None, None),
+            ks=sh(None, None, "tp", None) if self.cache_dtype == jnp.int8
+            else None,
+            vs=sh(None, None, "tp", None) if self.cache_dtype == jnp.int8
+            else None)
+        return PagedState(
+            tokens=sh("dp", None), length=sh("dp"), pool=pool,
+            block_tables=sh("dp", None), last_logits=sh("dp", None),
+            presence=sh("dp", None), num_generated=sh("dp"),
+            cap=sh("dp"), finished=sh("dp"), rng=sh())
+
     def new_state(self) -> PagedState:
         B, V = self.slots, self.cfg.vocab_size
         pool = PagedKVCache.create(self.cfg, self.num_pages, self.ps,
                                    self.cache_dtype)
         self._rng, sub = jax.random.split(self._rng)
-        return PagedState(
+        state = PagedState(
             tokens=jnp.zeros((B, self.max_len), jnp.int32),
             length=jnp.zeros((B,), jnp.int32),
             pool=pool,
@@ -426,6 +495,10 @@ class PagedEngine:
             cap=jnp.zeros((B,), jnp.int32),
             finished=jnp.ones((B,), bool),     # all slots start idle
             rng=sub)
+        shardings = self.state_shardings()
+        if shardings is not None:
+            state = jax.tree.map(jax.device_put, state, shardings)
+        return state
 
     @staticmethod
     def _scatter_impl(pool: PagedKVCache, tmp_k, tmp_v,
@@ -808,7 +881,11 @@ class PagedEngine:
             t_phase = t_now
 
             # 3. one decode chunk
-            state = state._replace(block_tables=jnp.asarray(bt))
+            bt_dev = jnp.asarray(bt)
+            if self.mesh is not None:
+                bt_dev = jax.device_put(bt_dev,
+                                        self.state_shardings().block_tables)
+            state = state._replace(block_tables=bt_dev)
             state = self._decode(self.params, state,
                                  jnp.asarray(self.chunk_steps, jnp.int32))
             self.n_chunks += 1
