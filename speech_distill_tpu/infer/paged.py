@@ -28,6 +28,7 @@ per page-count bucket, exactly like the contiguous engines.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from collections import deque
 from typing import List, NamedTuple, Optional, Sequence
@@ -397,7 +398,8 @@ class PagedEngine:
                  cache_dtype=jnp.bfloat16, attn_impl: str = "auto",
                  prefix_sharing: bool = True,
                  prefill_chunk: Optional[int] = None,
-                 attn_win_pages: int = 4, mesh=None):
+                 attn_win_pages: int = 4, mesh=None,
+                 native_runtime: Optional[bool] = None):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -430,6 +432,12 @@ class PagedEngine:
             prefill_chunk = max(page_size,
                                 (prefill_chunk // page_size) * page_size)
         self.prefill_chunk = prefill_chunk
+        # None = auto (native if it builds; SDT_NATIVE=0 disables),
+        # True = require native, False = Python twins
+        if native_runtime is None and os.environ.get("SDT_NATIVE",
+                                                     "1") == "0":
+            native_runtime = False
+        self.native_runtime = native_runtime
         self.mesh = mesh
         if mesh is not None:
             dp = int(dict(mesh.shape).get("dp", 1))
@@ -453,6 +461,21 @@ class PagedEngine:
         self._state: Optional[PagedState] = None
         self._pool: Optional[PagePool] = None
         self._registry: Optional[PrefixRegistry] = None
+
+    def _make_runtime(self):
+        """(PagePool, PrefixRegistry) — the native C++ serving runtime
+        (allocator + prefix trie, native/serving_runtime.cc) when built,
+        else the Python twins. Both behave identically (tested); the trie
+        walks O(n) tokens per match/register where the Python flat map
+        hashes every full prefix (O(n^2/ps) per admission)."""
+        if self.native_runtime is not False:
+            from speech_distill_tpu.native import serving
+            if serving.available():
+                return (serving.NativePagePool(self.num_pages),
+                        serving.NativePrefixRegistry())
+            if self.native_runtime is True:     # explicitly requested
+                raise RuntimeError("native serving runtime unavailable")
+        return PagePool(self.num_pages), PrefixRegistry()
 
     def state_shardings(self) -> Optional[PagedState]:
         """NamedSharding tree for PagedState on ``self.mesh`` (None off
@@ -708,8 +731,7 @@ class PagedEngine:
         # at retire) are prefix-cache hits for the next, which is what
         # makes stateless multi-turn generate() incremental
         if self._state is None:
-            self._pool = PagePool(self.num_pages)
-            self._registry = PrefixRegistry()
+            self._pool, self._registry = self._make_runtime()
             self._state = self.new_state()
         registry = self._registry
         pool = self._pool
