@@ -744,6 +744,8 @@ class PagedEngine:
         slot_pages: List[List[int]] = [[] for _ in range(self.slots)]
         join_seq = 0
         bt = np.zeros((self.slots, self.max_pages), np.int32)
+        shardings = self.state_shardings()
+        bt_sharding = None if shardings is None else shardings.block_tables
 
         def release(b):
             pool.free(slot_pages[b])
@@ -904,9 +906,8 @@ class PagedEngine:
 
             # 3. one decode chunk
             bt_dev = jnp.asarray(bt)
-            if self.mesh is not None:
-                bt_dev = jax.device_put(bt_dev,
-                                        self.state_shardings().block_tables)
+            if bt_sharding is not None:
+                bt_dev = jax.device_put(bt_dev, bt_sharding)
             state = state._replace(block_tables=bt_dev)
             state = self._decode(self.params, state,
                                  jnp.asarray(self.chunk_steps, jnp.int32))
