@@ -375,3 +375,21 @@ def test_int8_chunked_prefill_and_preemption_complete():
     outs = eng.serve(prompts, max_new=6)
     assert all(len(o) == 6 for o in outs)
     assert eng.n_prefill_chunks > 0
+
+
+def test_batched_admission_matches_per_stream():
+    """8 same-width requests admitted in one scheduler pass (batch of 8
+    through the [n, width] admission program) == per-stream decode."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup()
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 7).tolist()
+               for _ in range(10)]
+    ref = _ref_outputs(params, cfg, sp, prompts, 5)
+    eng = PagedEngine(params, cfg, sp, slots=8, max_len=64, page_size=8,
+                      chunk_steps=3, cache_dtype=jnp.float32,
+                      attn_impl="xla", prefix_sharing=False)
+    got = eng.serve(prompts, max_new=5)
+    assert got == ref
+    assert eng.n_batched_prefills >= 8
