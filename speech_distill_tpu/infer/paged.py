@@ -602,14 +602,18 @@ class PagedEngine:
                 tmp = PagedEngine._gather_impl(state.pool, pages[:m], width)
             else:
                 tmp = qwen3.KVCache.create(cfg, 1, width, cdt)
-            logits, tmp = qwen3.forward(params, arr, cfg,
-                                        attention_mask=mask, cache=tmp)
+            # unembed ONLY the last prompt position (a width-2048 prompt's
+            # full fp32 logits are ~1.3 GB)
+            hidden, tmp = qwen3.forward(params, arr, cfg,
+                                        attention_mask=mask, cache=tmp,
+                                        return_hidden=True)
             pool = PagedEngine._scatter_impl(state.pool, tmp.k[:, :, pre:],
                                              tmp.v[:, :, pre:], pages[m:])
             state = state._replace(pool=pool)
-            logits_row = jax.lax.dynamic_index_in_dim(
-                logits[0], n - pre - 1, axis=0,
-                keepdims=False).astype(jnp.float32)
+            h_row = jax.lax.dynamic_index_in_dim(
+                hidden, n - pre - 1, axis=1, keepdims=True)   # [1, 1, D]
+            logits_row = qwen3.unembed(params, h_row,
+                                       cfg)[0, 0].astype(jnp.float32)
             return PagedEngine._insert_impl(
                 state, b, token_row, n, logits_row, presence_row,
                 n_gen0, cap)
@@ -617,35 +621,49 @@ class PagedEngine:
         return admit
 
     def _make_admit_batch(self):
-        """Batched admission: ``n`` zero-shared-prefix requests of one
-        width bucket prefill as a single [n, width] forward + ONE page
-        scatter + vectorized slot inserts. Sequential per-request
-        admissions cost a full program dispatch + an underfilled B=1
-        forward each — on a 192-request short-prompt workload the
-        admission stream is ~20-25%% of serve wall time. Rows are
-        independent (per-row masks), so batched == sequential."""
+        """Batched admission: ``n`` FRESH (no shared prefix, no resumed
+        generation) requests of one width bucket prefill as a single
+        [n, width] forward + ONE page scatter + vectorized slot inserts.
+        Sequential per-request admissions cost a full program dispatch +
+        an underfilled B=1 forward each. Rows are independent (per-row
+        masks), so batched == sequential.
+
+        Only 5 small arrays cross the host boundary: the mask, the
+        max_len token rows and the [n, V] presence reset are built
+        in-device from ``arrs``/``ns`` (shipping them cost more admit
+        wall time than the batching saved — ~1.2 MB presence per call
+        through the relay)."""
         cfg, cdt = self.cfg, self._tmp_cache_dtype
 
         @functools.partial(jax.jit, static_argnames=("width",),
                            donate_argnums=(1,))
-        def admit_batch(params, state: PagedState, bs, arrs, masks,
-                        pages_flat, ns, token_rows, presence_rows,
-                        n_gen0s, caps, *, width: int) -> PagedState:
+        def admit_batch(params, state: PagedState, bs, arrs, pages_flat,
+                        ns, caps, *, width: int) -> PagedState:
             n = arrs.shape[0]
+            max_len = state.tokens.shape[1]
+            masks = (jnp.arange(width)[None] < ns[:, None]).astype(
+                jnp.int32)
             tmp = qwen3.KVCache.create(cfg, n, width, cdt)
-            logits, tmp = qwen3.forward(params, arrs, cfg,
-                                        attention_mask=masks, cache=tmp)
+            # unembed ONLY each row's last prompt position: the full
+            # [n, width, 159k] fp32 logits would be ~0.65 GB per batch
+            # (1.3 GB at width 2048) — it OOM'd the 64-slot pool config
+            hidden, tmp = qwen3.forward(params, arrs, cfg,
+                                        attention_mask=masks, cache=tmp,
+                                        return_hidden=True)
             pool = PagedEngine._scatter_impl(state.pool, tmp.k, tmp.v,
                                              pages_flat)
             rows = jnp.arange(n)
-            logits_rows = logits[rows, ns - 1].astype(jnp.float32)
+            h_rows = hidden[rows, ns - 1][:, None]          # [n, 1, D]
+            logits_rows = qwen3.unembed(params, h_rows,
+                                        cfg)[:, 0].astype(jnp.float32)
+            token_rows = jnp.pad(arrs, ((0, 0), (0, max_len - width)))
             return state._replace(
                 pool=pool,
                 tokens=state.tokens.at[bs].set(token_rows),
                 length=state.length.at[bs].set(ns),
                 last_logits=state.last_logits.at[bs].set(logits_rows),
-                presence=state.presence.at[bs].set(presence_rows),
-                num_generated=state.num_generated.at[bs].set(n_gen0s),
+                presence=state.presence.at[bs].set(False),
+                num_generated=state.num_generated.at[bs].set(0),
                 cap=state.cap.at[bs].set(caps),
                 finished=state.finished.at[bs].set(False))
 
@@ -723,6 +741,13 @@ class PagedEngine:
         bounded: one program per (batch size, width) pair."""
         groups: dict = {}
         for b, r in pending:
+            if r["gen"]:
+                # resumed-after-preemption rows carry a presence set and
+                # a generation count — the single-row program handles them
+                state = self._prefill_slot(state, b, r["ids"],
+                                           slot_pages[b], r["gen"],
+                                           0, cap=r["cap"])
+                continue
             width = _ceil_div(len(r["ids"]), self.ps) * self.ps
             groups.setdefault(width, []).append((b, r))
         for width, jobs in groups.items():
@@ -744,18 +769,14 @@ class PagedEngine:
 
     def _prefill_batch(self, state: PagedState, jobs, slot_pages,
                        width: int) -> PagedState:
-        """Pack ``jobs`` (list of (slot, request)) into one batched
-        admission program call (see _make_admit_batch)."""
+        """Pack ``jobs`` (list of (slot, request), all fresh) into one
+        batched admission program call (see _make_admit_batch)."""
         n = len(jobs)
         ps = self.ps
         npg = width // ps
         arrs = np.zeros((n, width), np.int32)
-        masks = np.zeros((n, width), np.int32)
-        token_rows = np.zeros((n, self.max_len), np.int32)
-        presence = np.zeros((n, self.cfg.vocab_size), bool)
         bs = np.empty(n, np.int32)
         ns = np.empty(n, np.int32)
-        ngen0 = np.empty(n, np.int32)
         caps = np.empty(n, np.int32)
         pages_flat = np.empty(n * npg, np.int32)
         for i, (b, r) in enumerate(jobs):
@@ -765,19 +786,14 @@ class PagedEngine:
                 raise ValueError(f"prompt length {ln} leaves no room to "
                                  f"generate (max_len={self.max_len})")
             arrs[i, :ln] = ids
-            masks[i, :ln] = 1
-            token_rows[i, :ln] = ids
-            presence[i, list(r["gen"])] = True
             bs[i] = b
             ns[i] = ln
-            ngen0[i] = len(r["gen"])
             caps[i] = min(r["cap"], 1 << 30)
             pages_flat[i * npg:(i + 1) * npg] = slot_pages[b][:npg]
         return self._admit_batch(
             self.params, state, jnp.asarray(bs), jnp.asarray(arrs),
-            jnp.asarray(masks), jnp.asarray(pages_flat), jnp.asarray(ns),
-            jnp.asarray(token_rows), jnp.asarray(presence),
-            jnp.asarray(ngen0), jnp.asarray(caps), width=width)
+            jnp.asarray(pages_flat), jnp.asarray(ns), jnp.asarray(caps),
+            width=width)
 
     # ------------------------------------------------------------------
     # Scheduler
