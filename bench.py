@@ -523,9 +523,21 @@ def bench_serve(args):
         outs = peng.serve(prompts, max_new_per_request=caps)
         dt = time.perf_counter() - t0
         n_tok = sum(len(o) for o in outs)
+        lat = [m for m in peng.request_metrics if m is not None]
+        pct = {}
+        if lat:
+            tt = np.sort([m["ttft_s"] for m in lat])
+            ee = np.sort([m["e2e_s"] for m in lat])
+
+            def q(a, p):
+                return round(float(a[min(len(a) - 1,
+                                         int(p * len(a)))]), 3)
+            pct = {"ttft_p50_s": q(tt, 0.5), "ttft_p95_s": q(tt, 0.95),
+                   "e2e_p50_s": q(ee, 0.5), "e2e_p95_s": q(ee, 0.95)}
         print(json.dumps({"phase": "paged", "requests": N, "tokens": n_tok,
                           "seconds": round(dt, 2),
                           "tokens_per_sec": round(n_tok / dt, 1),
+                          **pct,
                           "preemptions": peng.preemptions,
                           "prefix_hits": peng.prefix_hits,
                           "prefix_hit_tokens": peng.prefix_hit_tokens,

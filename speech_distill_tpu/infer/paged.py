@@ -825,13 +825,14 @@ class PagedEngine:
         """Run every prompt to completion through the slot pool; returns
         generated token ids per prompt (order-preserving)."""
         cap_default = max_new or self.sp.max_tokens
+        t_serve0 = time.perf_counter()
         queue = deque()
         for rid, p in enumerate(prompts):
             queue.append({"rid": rid, "ids": list(p), "plen0": len(p),
                           "cap": (max_new_per_request[rid]
                                   if max_new_per_request is not None
                                   else cap_default),
-                          "gen": []})
+                          "gen": [], "t_enq": t_serve0})
         outputs: List[Optional[List[int]]] = [None] * len(prompts)
         self.preemptions = 0               # serve-level metrics
         self.prefix_hits = 0
@@ -845,6 +846,12 @@ class PagedEngine:
         self.n_prefills = 0
         self.n_prefill_chunks = 0
         self.n_batched_prefills = 0
+        # per-request latency records, chunk-granularity (the host only
+        # observes progress at decode-chunk boundaries): ttft = enqueue ->
+        # end of the first chunk that produced this request's token(s);
+        # e2e = enqueue -> retire. Preemption keeps the ORIGINAL enqueue
+        # and first-token stamps (resume is invisible to the client).
+        self.request_metrics: List[Optional[dict]] = [None] * len(prompts)
         # pool, registry and device state PERSIST across serve() calls:
         # pages registered by one call (incl. full prompt+generated pages
         # at retire) are prefix-cache hits for the next, which is what
@@ -889,6 +896,11 @@ class PagedEngine:
             r["gen"] += gen[:keep]
             if len(r["gen"]) >= r["cap"]:
                 outputs[r["rid"]] = r["gen"]   # cap reached mid-chunk: done
+                t_done = time.perf_counter()
+                self.request_metrics[r["rid"]] = {
+                    "ttft_s": r.get("t_first", t_done) - r["t_enq"],
+                    "e2e_s": t_done - r["t_enq"],
+                    "n_prompt": r["plen0"], "n_gen": len(r["gen"])}
             else:
                 r["ids"] = r["ids"] + gen[:keep]
                 queue.appendleft(r)
@@ -1025,7 +1037,8 @@ class PagedEngine:
                 if self.prefix_sharing:
                     registry.register(r["ids"], slot_pages[b], self.ps,
                                       pool)
-                meta[b] = {**r, "plen": n, "join": join_seq}
+                meta[b] = {**r, "plen": n, "join": join_seq,
+                           "ngen0": len(r["gen"])}
                 join_seq += 1
                 lengths_h[b] = n
             state = self._flush_admissions(state, pending, slot_pages)
@@ -1054,6 +1067,13 @@ class PagedEngine:
             t_now = time.perf_counter()
             self.phase_seconds["decode_sync"] += t_now - t_phase
             t_phase = t_now
+            for b in range(self.slots):
+                # first-token stamp (chunk granularity): this chunk grew
+                # the request beyond what it had at admission
+                r = meta[b]
+                if r is not None and "t_first" not in r \
+                        and int(ngen[b]) > r.get("ngen0", 0):
+                    r["t_first"] = t_now
             done = [b for b in range(self.slots) if meta[b] is not None
                     and fin[b]]
             for b in done:
@@ -1064,6 +1084,10 @@ class PagedEngine:
                 start = r["plen"]
                 r["gen"] += tokens_h[b, start:start + fresh].tolist()
                 outputs[r["rid"]] = r["gen"]
+                self.request_metrics[r["rid"]] = {
+                    "ttft_s": r.get("t_first", t_now) - r["t_enq"],
+                    "e2e_s": t_now - r["t_enq"],
+                    "n_prompt": r["plen0"], "n_gen": len(r["gen"])}
                 if self.prefix_sharing:
                     # register the full pages of prompt+GENERATED tokens
                     # (KV of a page is determined by its token prefix), so

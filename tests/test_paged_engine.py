@@ -393,3 +393,24 @@ def test_batched_admission_matches_per_stream():
     got = eng.serve(prompts, max_new=5)
     assert got == ref
     assert eng.n_batched_prefills >= 8
+
+
+def test_request_metrics_recorded():
+    """Every request gets a latency record (ttft <= e2e, chunk
+    granularity), including requests finished via cap-reached
+    preemption resume."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup()
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(1, cfg.vocab_size - 2,
+                            int(rng.integers(3, 9))).tolist()
+               for _ in range(5)]
+    eng = PagedEngine(params, cfg, sp, slots=2, max_len=48, page_size=8,
+                      num_pages=7, chunk_steps=3, cache_dtype=jnp.float32,
+                      attn_impl="xla")
+    outs = eng.serve(prompts, max_new=6)
+    assert all(m is not None for m in eng.request_metrics)
+    for m, p, o in zip(eng.request_metrics, prompts, outs):
+        assert 0.0 <= m["ttft_s"] <= m["e2e_s"]
+        assert m["n_prompt"] == len(p) and m["n_gen"] == len(o)
