@@ -83,6 +83,10 @@ def main():
     p.add_argument("--serve_prefill_chunk", type=int, default=0,
                    help="paged serve: chunked prefill — max prompt tokens "
                         "prefilled per scheduler pass (0 = whole prompt)")
+    p.add_argument("--serve_request_factor", type=int, default=3,
+                   help="serve: requests = factor * slots (raise for "
+                        "sustained-load steady state — the fixed default "
+                        "workload tails off to low occupancy)")
     p.add_argument("--serve_win_pages", type=int, default=4,
                    help="paged serve: pages per attention DMA window")
     p.add_argument("--serve_prompt_min", type=int, default=64,
@@ -371,7 +375,8 @@ def bench_all():
 
 
 def _serve_workload(vocab: int, S: int, prefix_len: int = 0,
-                    prompt_min: int = 64, prompt_max: int = 128):
+                    prompt_min: int = 64, prompt_max: int = 128,
+                    factor: int = 3):
     """Seeded workload shared by all serve phases (run in separate
     processes): variable generation lengths (exponential-ish service
     times — the regime where continuous batching wins). ``prefix_len``
@@ -380,7 +385,7 @@ def _serve_workload(vocab: int, S: int, prefix_len: int = 0,
     DISTINCT per-request context length (long distinct contexts are the
     KV-capacity regime, where the int8 pool pays)."""
     rng = np.random.default_rng(0)
-    N = 3 * S
+    N = factor * S
     common = rng.integers(0, vocab, prefix_len).tolist()
     prompts = [common
                + rng.integers(0, vocab,
@@ -488,7 +493,8 @@ def bench_serve(args):
     prompts, caps = _serve_workload(cfg.vocab_size, S,
                                     args.serve_prefix_len,
                                     args.serve_prompt_min,
-                                    args.serve_prompt_max)
+                                    args.serve_prompt_max,
+                                    args.serve_request_factor)
     N = len(prompts)
 
     if args.serve_phase == "continuous":
