@@ -82,24 +82,64 @@ def shard_lora(mesh: Mesh, lora_params: Params) -> Params:
     return put(lora_params, lora_pspecs(lora_params, pp=mesh_has_pp(mesh)))
 
 
-def shard_opt_state(mesh: Mesh, opt_state, trainable_specs: Params):
-    """Shard optimizer state: param-shaped leaves follow the param spec,
-    everything else (counts, schedules) is replicated."""
-    flat_specs, _ = jax.tree.flatten(trainable_specs)
+def _zero1_widen(spec: P, shape, mesh: Mesh) -> P:
+    """ZeRO-1 moment spec: additionally shard the leading axis over dp
+    when it divides. Expressed purely as shardings: with moments sharded
+    over ("tp","dp") on the vocab axis (embed/lm_head — the ~2.6 GB fp32
+    of AdamW state on the 0.6B student), GSPMD reduce-scatters the grads
+    into the moment shards, updates locally, and all-gathers the fresh
+    params back to their P("tp", None) layout — the ZeRO-1 dataflow with
+    no manual collectives."""
+    dp = int(dict(mesh.shape).get("dp", 1))
+    tp = int(dict(mesh.shape).get("tp", 1))
+    if dp <= 1 or not isinstance(spec, P) or not len(spec) or not shape:
+        return spec
+    first = spec[0]
+    if first is None and shape[0] % dp == 0:
+        return P(("dp",), *tuple(spec)[1:])
+    if first == "tp" and shape[0] % (tp * dp) == 0:
+        return P(("tp", "dp"), *tuple(spec)[1:])
+    return spec
 
-    def map_component(component):
-        leaves, cdef = jax.tree.flatten(component)
-        if len(leaves) == len(flat_specs):
-            shardings = [NamedSharding(mesh, s) for s in flat_specs]
-            placed = [jax.device_put(l, s) for l, s in zip(leaves, shardings)]
-            return jax.tree.unflatten(cdef, placed)
+
+def shard_opt_state(mesh: Mesh, opt_state, trainable_specs: Params,
+                    zero1: bool = False):
+    """Shard optimizer state: any subtree STRUCTURALLY matching the
+    trainable tree (the mu/nu moment trees, wherever optax nests them)
+    follows the param specs — with ``zero1``, moments additionally
+    dp-shard their leading axis (see :func:`_zero1_widen`); everything
+    else (counts, schedules) is replicated.
+
+    The match is by tree structure, not leaf count: optax's chain state
+    nests ``ScaleByAdamState`` inside tuples, so a whole-component leaf
+    count never equals the trainable tree's (count + mu + nu leaves) —
+    the previous heuristic silently placed the moments replicated."""
+    flat_specs, spec_tree = jax.tree.flatten(trainable_specs)
+
+    def place(subtree):
+        leaves = jax.tree.leaves(subtree)
+        specs = ([_zero1_widen(s, l.shape, mesh)
+                  for l, s in zip(leaves, flat_specs)]
+                 if zero1 else flat_specs)
+        placed = [jax.device_put(l, NamedSharding(mesh, s))
+                  for l, s in zip(leaves, specs)]
+        return jax.tree.unflatten(jax.tree.structure(subtree), placed)
+
+    def walk(node):
+        if jax.tree.structure(node) == spec_tree:
+            return place(node)
+        if isinstance(node, tuple):             # incl. namedtuples
+            vals = [walk(c) for c in node]
+            return (type(node)(*vals) if hasattr(node, "_fields")
+                    else tuple(vals))
+        if isinstance(node, list):
+            return [walk(c) for c in node]
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
         return jax.tree.map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P())), component)
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), node)
 
-    # optax chain state is a tuple of per-transform states
-    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
-        return tuple(map_component(c) for c in opt_state)
-    return map_component(opt_state)
+    return walk(opt_state)
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any],

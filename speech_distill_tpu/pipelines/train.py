@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "stack; num layers must divide by it)")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="microbatches per pipeline step (default 2*pp)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard optimizer moments additionally "
+                        "over dp (GSPMD reduce-scatters grads into the "
+                        "moment shards and all-gathers updated params; "
+                        "~2.6 GB of fp32 AdamW state on the 0.6B student "
+                        "divides by dp per chip)")
     p.add_argument("--teacher_devices", type=int, default=0,
                    help="disaggregate the online teacher onto its own "
                         "trailing N devices (0: share the student mesh); "
@@ -276,7 +282,8 @@ def train(config) -> None:
         state = train_step.TrainState(
             lora_s, sharding.shard_opt_state(
                 mesh, state.opt_state,
-                sharding.lora_pspecs(lora, pp=sharding.mesh_has_pp(mesh))),
+                sharding.lora_pspecs(lora, pp=sharding.mesh_has_pp(mesh)),
+                zero1=config.zero1),
             state.step)
 
     # a disaggregated teacher turns the student step into the precomputed

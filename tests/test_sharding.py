@@ -120,3 +120,54 @@ def test_mesh_construction():
         meshlib.make_mesh(MeshConfig(sp=3))
     with pytest.raises(ValueError):
         meshlib.make_mesh(MeshConfig(pp=3))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_zero1_opt_sharding_matches_single_device():
+    """ZeRO-1 (optimizer moments dp-sharded on top of the param specs):
+    the KD step stays leaf-exact vs single-device, and the moment leaves
+    actually carry the extra dp axis in their sharding."""
+    from jax.sharding import PartitionSpec as PS
+
+    cfg = _f32(qwen3_tiny(128))
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    teacher = qwen3.init_params(jax.random.PRNGKey(1), cfg)
+    dcfg = DistillConfig(top_k=8,
+                         lora=LoraConfig(r=4, alpha=8,
+                                         init_weights="gaussian"))
+    lora, base = init_lora(jax.random.PRNGKey(2), params, cfg, dcfg.lora)
+    opt = train_step.make_optimizer(1e-3, 1, 20)
+
+    rng = np.random.default_rng(0)
+    B, T = 8, 16
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 128, (1, B, T)), jnp.int32),
+        "attention_mask": jnp.ones((1, B, T), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 128, (1, B, T)), jnp.int64),
+    }
+    step = train_step.make_kd_step(cfg, dcfg, opt, mode="online_sparse",
+                                   teacher_cfg=cfg, donate=False)
+    s0 = train_step.init_state(lora, opt)
+    s0_after, m0 = step(s0, base, teacher, batch)
+
+    m = meshlib.make_mesh(MeshConfig(dp=4, tp=2))
+    base_s = sharding.shard_params(m, base, cfg)
+    teacher_s = sharding.shard_params(m, teacher, cfg)
+    lora_s = sharding.shard_lora(m, lora)
+    st = train_step.init_state(lora_s, opt)
+    opt_s = sharding.shard_opt_state(m, st.opt_state,
+                                     sharding.lora_pspecs(lora),
+                                     zero1=True)
+    # the embed moment must actually be dp-sharded (vocab 128 / (2*4))
+    mu_embed = opt_s[1][0].mu["embed"]["weight"]
+    assert mu_embed.sharding.spec == PS(("tp", "dp"), None)
+    st = train_step.TrainState(
+        lora_s, opt_s, jax.device_put(st.step, meshlib.replicated(m)))
+    st_after, m1 = step(st, base_s, teacher_s,
+                        sharding.shard_batch(m, batch))
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s0_after.trainable),
+                    jax.tree.leaves(st_after.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
