@@ -424,7 +424,8 @@ def bench_serve(args):
                  "--serve_chunk_steps", str(args.serve_chunk_steps),
                  "--serve_prompt_min", str(args.serve_prompt_min),
                  "--serve_prompt_max", str(args.serve_prompt_max),
-                 "--serve_win_pages", str(args.serve_win_pages)]
+                 "--serve_win_pages", str(args.serve_win_pages),
+                 "--serve_request_factor", str(args.serve_request_factor)]
                 + (["--serve_kv_quant"] if args.serve_kv_quant else []),
                 capture_output=True, text=True)
             if r.returncode != 0:

@@ -10,9 +10,11 @@ Why a Pallas kernel: batched decode is KV-bandwidth-bound. A contiguous
 [B, max_len] cache reads every column every step regardless of how full each
 row is; an XLA gather over the block table would round-trip the gathered KV
 through HBM. This kernel DMAs exactly ceil(length/page_size) pages per row
-straight from the pool into VMEM (double-buffered, so the next page streams
-in while the current one is in the MXU) — per-step HBM traffic is
-proportional to the tokens actually present, not to max_len.
+straight from the pool into VMEM in double-buffered WINDOWS of win_pages
+(the next window streams in while the current one is in the MXU) — per-step
+HBM traffic is proportional to the tokens actually present, not to max_len,
+and per-page loop overhead amortizes over the window (per-page iteration
+made long-residency decode 26x slower than bytes justify).
 
 Pages are laid out head-inside ([P, KV, page_size, Dh]) so ONE async copy
 per page moves all KV heads (KV*page_size*Dh elements — e.g. 256 KB at
