@@ -351,6 +351,29 @@ def bench_all():
                            "--quant", "int8_embed",
                            "--decode_streams", "64",
                            "--paged_pool_frac", "0.5"]),
+        # sustained load: 10x-slots requests (the 3x default tails off
+        # to ~58% occupancy and understates steady state)
+        ("serve_sustained", ["--mode", "serve", "--serve_phase", "paged",
+                             "--quant", "int8_embed",
+                             "--decode_streams", "64",
+                             "--paged_pool_frac", "0.5",
+                             "--serve_request_factor", "10"]),
+        # long distinct contexts at equal pool HBM: bf16 vs int8 KV pool
+        ("serve_long_bf16", ["--mode", "serve", "--serve_phase", "paged",
+                             "--quant", "int8_embed",
+                             "--decode_streams", "16",
+                             "--serve_prompt_min", "1500",
+                             "--serve_prompt_max", "1800",
+                             "--paged_pool_frac", "0.375",
+                             "--no_prefix_sharing"]),
+        ("serve_long_int8kv", ["--mode", "serve", "--serve_phase",
+                               "paged", "--quant", "int8_embed",
+                               "--decode_streams", "16",
+                               "--serve_prompt_min", "1500",
+                               "--serve_prompt_max", "1800",
+                               "--paged_pool_frac", "0.75",
+                               "--serve_kv_quant",
+                               "--no_prefix_sharing"]),
         ("serve_paged_prefix", ["--mode", "serve", "--serve_phase", "paged",
                                 "--quant", "int8_embed",
                                 "--decode_streams", "16",
