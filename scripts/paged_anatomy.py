@@ -86,23 +86,37 @@ def main():
             cache_positions=cache_positions)
         return jnp.sum(logits)
 
-    # int8-quantized KV pool variant (same forward, quantize-on-write +
-    # scale-folded kernel) — isolates the int8 serving overhead
-    pool_q = PagedKVCache.create(cfg, num_pages, ps, jnp.int8)
+    # scatter-ablated variant: skip the per-layer pool writes (STALE KV —
+    # wrong values, right timing) to isolate the XLA scatters' share
+    import speech_distill_tpu.infer.paged as paged_mod
 
     @jax.jit
-    def step_paged_kernel_q(p, pool, token):
-        logits, pool = paged_forward(p, token, cfg, pool, bt, lengths,
-                                     live, attn_impl="kernel")
+    def step_paged_noscatter(p, pool, token):
+        logits, _ = paged_mod.paged_forward(
+            p, token, cfg, pool, bt, lengths, live,
+            attn_impl="kernel", _skip_kv_write=True)
         return jnp.sum(logits)
 
-    for name, fn, st in (("paged_kernel", step_paged_kernel, pool),
-                         ("paged_kernel_q", step_paged_kernel_q, pool_q),
-                         ("paged_xla", step_paged_xla, pool),
-                         ("contiguous", step_contiguous, cache)):
+    # run sequentially and FREE each state before the next — bf16 pool +
+    # int8 pool + contiguous cache do not co-reside at rows>=32
+    variants = [
+        ("paged_kernel", step_paged_kernel,
+         lambda: PagedKVCache.create(cfg, num_pages, ps, jnp.bfloat16)),
+        ("paged_noscat", step_paged_noscatter,
+         lambda: PagedKVCache.create(cfg, num_pages, ps, jnp.bfloat16)),
+        ("paged_kernel_q", step_paged_kernel,
+         lambda: PagedKVCache.create(cfg, num_pages, ps, jnp.int8)),
+        ("paged_xla", step_paged_xla,
+         lambda: PagedKVCache.create(cfg, num_pages, ps, jnp.bfloat16)),
+        ("contiguous", step_contiguous, lambda: cache),
+    ]
+    del pool
+    for name, fn, mk in variants:
+        st = mk()
         ms = timeit(fn, params, st, token)
         print(f"{name:>14}: {ms:7.2f} ms/step "
-              f"({B / ms * 1e3:7.0f} tok/s at B={B})")
+              f"({B / ms * 1e3:7.0f} tok/s at B={B})", flush=True)
+        del st
 
     # the sampler's share: full serving step = forward + sample
     from speech_distill_tpu.core.config import SamplingParams

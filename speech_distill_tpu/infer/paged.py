@@ -102,7 +102,7 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
                   pool: PagedKVCache, block_tables: jax.Array,
                   lengths: jax.Array, live: jax.Array,
                   attn_impl: str = "kernel", win_pages: int = 4,
-                  mesh=None):
+                  mesh=None, _skip_kv_write: bool = False):
     """One decode step over the page pool.
 
     token [B] int32; the new token's KV is written at page
@@ -156,7 +156,11 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
         q, k, v = qwen3.qkv_proj(lp["attn"], y, cos, sin, cfg)
         k1 = k[:, 0]                                          # [B, KV, Dh]
         v1 = v[:, 0]
-        if quantized:
+        if _skip_kv_write:
+            # timing ablation ONLY (scripts/paged_anatomy.py): stale KV,
+            # isolates the XLA scatters' share of the decode step
+            pass
+        elif quantized:
             k1, ksc = quantize_kv(k1)
             v1, vsc = quantize_kv(v1)
             pool = pool._replace(
@@ -164,11 +168,12 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
                                                            mode="drop"),
                 vs=pool.vs.at[li, p_idx, h_idx, o_idx].set(vsc,
                                                            mode="drop"))
-        pk = pk.at[li, p_idx, h_idx, o_idx].set(k1.astype(pk.dtype),
-                                                mode="drop")
-        pv = pv.at[li, p_idx, h_idx, o_idx].set(v1.astype(pv.dtype),
-                                                mode="drop")
-        pool = pool._replace(k=pk, v=pv)
+        if not _skip_kv_write:
+            pk = pk.at[li, p_idx, h_idx, o_idx].set(k1.astype(pk.dtype),
+                                                    mode="drop")
+            pv = pv.at[li, p_idx, h_idx, o_idx].set(v1.astype(pv.dtype),
+                                                    mode="drop")
+            pool = pool._replace(k=pk, v=pv)
         qh = q.reshape(B, KV, G, Dh)
         if attn_impl == "kernel":
             if mesh is not None:
