@@ -404,7 +404,8 @@ class PagedEngine:
                  prefix_sharing: bool = True,
                  prefill_chunk: Optional[int] = None,
                  attn_win_pages: int = 4, mesh=None,
-                 native_runtime: Optional[bool] = None):
+                 native_runtime: Optional[bool] = None,
+                 admit_batch_max_width: int = 1024):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -419,6 +420,7 @@ class PagedEngine:
                 f"num_pages={self.num_pages} cannot hold one max_len stream "
                 f"({self.max_pages} pages)")
         self.chunk_steps = chunk_steps
+        self.admit_batch_max_width = admit_batch_max_width
         self.cache_dtype = cache_dtype
         # int8 pools (vLLM quantized KV cache): the pool stores int8 +
         # per-token scales; the CONTIGUOUS temp cache prefill runs through
@@ -746,14 +748,17 @@ class PagedEngine:
         bounded: one program per (batch size, width) pair."""
         groups: dict = {}
         for b, r in pending:
-            if r["gen"]:
-                # resumed-after-preemption rows carry a presence set and
-                # a generation count — the single-row program handles them
+            width = _ceil_div(len(r["ids"]), self.ps) * self.ps
+            if r["gen"] or width > self.admit_batch_max_width:
+                # single-row program for: resumed-after-preemption rows
+                # (they carry a presence set + generation count), and
+                # LONG prompts — their prefill compute dwarfs dispatch
+                # overhead, so batching them only multiplies the
+                # (batch size, width) compile buckets
                 state = self._prefill_slot(state, b, r["ids"],
                                            slot_pages[b], r["gen"],
                                            0, cap=r["cap"])
                 continue
-            width = _ceil_div(len(r["ids"]), self.ps) * self.ps
             groups.setdefault(width, []).append((b, r))
         for width, jobs in groups.items():
             i = 0
