@@ -414,3 +414,29 @@ def test_request_metrics_recorded():
     for m, p, o in zip(eng.request_metrics, prompts, outs):
         assert 0.0 <= m["ttft_s"] <= m["e2e_s"]
         assert m["n_prompt"] == len(p) and m["n_gen"] == len(o)
+
+
+def test_admit_batch_width_gate():
+    """Prompts wider than admit_batch_max_width use the single-row
+    program (batching long widths only multiplies compile buckets);
+    short ones still batch."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup()
+    rng = np.random.default_rng(7)
+    long_prompts = [rng.integers(1, cfg.vocab_size - 2, 17).tolist()
+                    for _ in range(4)]
+    kw = dict(max_len=64, page_size=8, chunk_steps=3,
+              cache_dtype=jnp.float32, attn_impl="xla",
+              admit_batch_max_width=8)
+    ref = _ref_outputs(params, cfg, sp, long_prompts, 4)
+    eng = PagedEngine(params, cfg, sp, slots=4, **kw)
+    assert eng.serve(long_prompts, max_new=4) == ref
+    assert eng.n_batched_prefills == 0        # width 24 > gate 8
+
+    short_prompts = [rng.integers(1, cfg.vocab_size - 2, 6).tolist()
+                     for _ in range(4)]
+    eng2 = PagedEngine(params, cfg, sp, slots=4, **kw)
+    ref2 = _ref_outputs(params, cfg, sp, short_prompts, 4)
+    assert eng2.serve(short_prompts, max_new=4) == ref2
+    assert eng2.n_batched_prefills >= 4       # width 8 <= gate 8
