@@ -75,8 +75,12 @@ def main():
                                      live, attn_impl="xla")
         return jnp.sum(logits)
 
-    cache = qwen3.KVCache.create(cfg, B, args.max_len, jnp.bfloat16)
-    cache = cache._replace(length=jnp.asarray(args.length, jnp.int32))
+    # created lazily in its variant: at B=64 the contiguous cache is
+    # 7.5 GB and cannot co-reside with the page pool
+    def mk_cache():
+        c = qwen3.KVCache.create(cfg, B, args.max_len, jnp.bfloat16)
+        return c._replace(length=jnp.asarray(args.length, jnp.int32))
+
     cache_positions = jnp.full((B,), args.length, jnp.int32)
 
     @jax.jit
@@ -97,6 +101,41 @@ def main():
             attn_impl="kernel", _skip_kv_write=True)
         return jnp.sum(logits)
 
+    # donated variants (serve-faithful: the decode chunk donates the
+    # state, so the pool is never copied at entry) — the new pool must be
+    # returned and re-threaded or the donated buffer dies after one call
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step_kernel_donated(p, pool, token):
+        logits, pool = paged_forward(p, token, cfg, pool, bt, lengths,
+                                     live, attn_impl="kernel")
+        return jnp.sum(logits), pool
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step_noscat_donated(p, pool, token):
+        logits, _ = paged_mod.paged_forward(
+            p, token, cfg, pool, bt, lengths, live,
+            attn_impl="kernel", _skip_kv_write=True)
+        return jnp.sum(logits), pool
+
+    def time_donated(fn, st, n=20):
+        out, st = fn(params, st, token)
+        float(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out, st = fn(params, st, token)
+        float(out)
+        return (time.perf_counter() - t0) / n * 1e3, st
+
+    for name, fn in (("kernel_donated", step_kernel_donated),
+                     ("noscat_donated", step_noscat_donated)):
+        st = PagedKVCache.create(cfg, num_pages, ps, jnp.bfloat16)
+        ms, st = time_donated(fn, st)
+        print(f"{name:>14}: {ms:7.2f} ms/step "
+              f"({B / ms * 1e3:7.0f} tok/s at B={B})", flush=True)
+        del st
+
     # run sequentially and FREE each state before the next — bf16 pool +
     # int8 pool + contiguous cache do not co-reside at rows>=32
     variants = [
@@ -108,7 +147,7 @@ def main():
          lambda: PagedKVCache.create(cfg, num_pages, ps, jnp.int8)),
         ("paged_xla", step_paged_xla,
          lambda: PagedKVCache.create(cfg, num_pages, ps, jnp.bfloat16)),
-        ("contiguous", step_contiguous, lambda: cache),
+        ("contiguous", step_contiguous, mk_cache),
     ]
     del pool
     for name, fn, mk in variants:
@@ -127,7 +166,9 @@ def main():
                         topk_method="approx")
     st = PagedState(
         tokens=jnp.zeros((B, args.max_len), jnp.int32),
-        length=lengths, pool=pool, block_tables=bt,
+        length=lengths,
+        pool=PagedKVCache.create(cfg, 1, ps, jnp.bfloat16),  # unused
+        block_tables=bt,
         last_logits=jnp.asarray(
             rng.normal(size=(B, cfg.vocab_size)), jnp.float32),
         presence=jnp.zeros((B, cfg.vocab_size), bool),
