@@ -49,6 +49,22 @@ def main():
                    help="decode mode: KV cache capacity per stream")
     p.add_argument("--decode_streams", type=int, default=1,
                    help="decode mode: concurrent sequences (batched serving)")
+    p.add_argument("--spec_gamma", type=int, default=0,
+                   help="decode mode (B=1): prompt-lookup speculative "
+                        "decoding with this many draft tokens per step "
+                        "(0 = off; vLLM ngram speculative equivalent)")
+    p.add_argument("--spec_ngram", type=int, default=3,
+                   help="max n-gram length for the prompt-lookup draft")
+    p.add_argument("--decode_prompt", default="random",
+                   choices=["random", "repetitive"],
+                   help="decode mode B=1 prompt/workload shape: random "
+                        "ids, or a repetitive speech-token-like stream "
+                        "(the prompt-lookup speculation sweet spot)")
+    p.add_argument("--decode_sampling", default="sampled",
+                   choices=["sampled", "greedy"],
+                   help="decode mode: reference sampling params (T=0.6, "
+                        "RAS) or greedy top-1 (the predictable-output "
+                        "regime where speculation accepts most drafts)")
     p.add_argument("--prefix_len", type=int, default=0,
                    help="decode mode: shared prompt-prefix length — measures "
                         "the prefix-KV-cache serving path vs cold prefill")
@@ -89,6 +105,11 @@ def main():
                         "workload tails off to low occupancy)")
     p.add_argument("--serve_win_pages", type=int, default=4,
                    help="paged serve: pages per attention DMA window")
+    p.add_argument("--serve_chunk_exit_free", type=int, default=0,
+                   help="paged serve: early-exit a decode chunk once this "
+                        "many slots retire while requests queue (0 = run "
+                        "chunks to the boundary; raises occupancy under "
+                        "sustained load at the cost of more dispatches)")
     p.add_argument("--serve_prompt_min", type=int, default=64,
                    help="serve: min DISTINCT context tokens per request")
     p.add_argument("--serve_prompt_max", type=int, default=128,
@@ -275,14 +296,32 @@ def bench_decode(args):
             p, bits=bits,
             quantize_embed=args.quant.endswith("_embed"),
             method=method))(params)
+    sp_kw = {}
+    if args.decode_sampling == "greedy":
+        # pure argmax (penalty off): the canonical predictable-output
+        # regime for speculation — a persistent penalty set keeps even a
+        # greedy stream aperiodic, which is a sampling artifact, not a
+        # speculation property
+        sp_kw = dict(temperature=1.0, top_k=1, top_p=1.0, use_ras=False,
+                     repetition_penalty=1.0)
     sp = SamplingParams(max_tokens=256, min_tokens=256,
                         stop_token_ids=(cfg.eos_token_id,),
-                        topk_method="approx")
-    eng = DecodeEngine(params, cfg, sp, max_len=args.decode_max_len)
+                        topk_method="approx", **sp_kw)
+    eng = DecodeEngine(params, cfg, sp, max_len=args.decode_max_len,
+                       spec_gamma=args.spec_gamma,
+                       spec_ngram=args.spec_ngram)
     rng = np.random.default_rng(0)
     B = args.decode_streams
     if B == 1:
-        prompt = rng.integers(0, cfg.vocab_size, 128).tolist()
+        if args.decode_prompt == "repetitive":
+            # speech-token-like stream: a short cycling motif (prompt
+            # audio tokens repeat at phone/frame granularity) — the
+            # regime prompt-lookup speculation targets
+            motif = rng.integers(cfg.speech_token_offset,
+                                 cfg.vocab_size, 8).tolist()
+            prompt = (motif * 16)[:128]
+        else:
+            prompt = rng.integers(0, cfg.vocab_size, 128).tolist()
         eng.generate(prompt)                     # compile + warmup
         t0 = time.perf_counter()
         out = eng.generate(prompt)
@@ -311,6 +350,11 @@ def bench_decode(args):
                "audio_rtf": round((n / B / 25.0) / dt, 2), "streams": B}
     if args.quant != "none":
         extra_d["quant"] = args.quant
+    if args.spec_gamma:
+        extra_d["spec_gamma"] = args.spec_gamma
+        extra_d["workload"] = args.decode_prompt
+    if args.decode_sampling != "sampled":
+        extra_d["sampling"] = args.decode_sampling
     if B > 1:
         extra_d.update(extra)
         if args.prefix_len:
@@ -452,6 +496,8 @@ def bench_serve(args):
                  "--serve_prompt_min", str(args.serve_prompt_min),
                  "--serve_prompt_max", str(args.serve_prompt_max),
                  "--serve_win_pages", str(args.serve_win_pages),
+                 "--serve_chunk_exit_free",
+                 str(args.serve_chunk_exit_free),
                  "--serve_request_factor", str(args.serve_request_factor)]
                 + (["--serve_kv_quant"] if args.serve_kv_quant else []),
                 capture_output=True, text=True)
@@ -551,7 +597,9 @@ def bench_serve(args):
                            prefix_sharing=not args.no_prefix_sharing,
                            prefill_chunk=(args.serve_prefill_chunk
                                           or None),
-                           attn_win_pages=args.serve_win_pages)
+                           attn_win_pages=args.serve_win_pages,
+                           chunk_exit_free=(args.serve_chunk_exit_free
+                                            or None))
         peng.serve(prompts[:S], max_new=8)    # warmup/compile
         t0 = time.perf_counter()
         outs = peng.serve(prompts, max_new_per_request=caps)
@@ -582,6 +630,8 @@ def bench_serve(args):
                           "phases": {k: round(v, 2) for k, v in
                                      peng.phase_seconds.items()},
                           "chunks": peng.n_chunks,
+                          "decode_steps": peng.n_decode_steps,
+                          "chunk_exit_free": args.serve_chunk_exit_free,
                           "prefills": peng.n_prefills,
                           "prefill_chunks": peng.n_prefill_chunks}))
         return

@@ -79,14 +79,14 @@ def main():
 
     # decode chunk on top (all slots idle except those admitted)
     t0 = time.perf_counter()
-    state = eng._decode(params, state, jnp.asarray(32, jnp.int32))
+    state = eng._decode(params, state, jnp.asarray(32, jnp.int32), jnp.asarray(99, jnp.int32))
     float(jnp.sum(state.length))
     print(f"decode chunk (32 steps) incl. compile: "
           f"{time.perf_counter()-t0:.2f} s")
     t0 = time.perf_counter()
     state = state._replace(finished=state.finished.at[:].set(False),
                            cap=state.cap.at[:].set(1 << 30))
-    state = eng._decode(params, state, jnp.asarray(32, jnp.int32))
+    state = eng._decode(params, state, jnp.asarray(32, jnp.int32), jnp.asarray(99, jnp.int32))
     float(jnp.sum(state.length))
     print(f"decode chunk (32 steps) warm: {time.perf_counter()-t0:.2f} s")
 

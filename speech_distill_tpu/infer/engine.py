@@ -136,7 +136,8 @@ class DecodeEngine:
     def __init__(self, params, cfg: Qwen3Config, sp: SamplingParams,
                  max_len: int = 8192, prefill_bucket: int = 128,
                  seed: int = 0, cache_dtype=jnp.bfloat16,
-                 prefix_cache_size: int = 4, prefix_cache_min: int = 32):
+                 prefix_cache_size: int = 4, prefix_cache_min: int = 32,
+                 spec_gamma: int = 0, spec_ngram: int = 3):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -144,6 +145,13 @@ class DecodeEngine:
         self.bucket = prefill_bucket
         self.cache_dtype = cache_dtype
         self._decode = make_decode_fn(cfg, sp)
+        # prompt-lookup speculative decoding (vLLM ngram method): B=1 only
+        self._spec_gamma = spec_gamma
+        self._spec = None
+        if spec_gamma > 0:
+            from speech_distill_tpu.infer import speculative
+            self._spec = speculative.make_spec_decode_fn(
+                cfg, sp, spec_gamma, ngram_max=spec_ngram)
         self._prefill = jax.jit(
             lambda p, ids, mask, cache, pos: qwen3.forward(
                 p, ids, cfg, attention_mask=mask, positions=pos,
@@ -197,12 +205,23 @@ class DecodeEngine:
         loop is cache-bandwidth-bound, so this is ~max_len/length faster for
         short sessions and batched serving). One compile per window size."""
         done = 0
+        spec = self._spec if (self._spec is not None
+                              and state.tokens.shape[0] == 1) else None
+        # spec decode needs gamma+1 free slots inside its window to run a
+        # single iteration; without the margin the host loop could pick a
+        # window the spec cond immediately rejects and spin forever
+        margin = self._spec_gamma + 1 if spec is not None else 0
         while done < max_new:
             cur = int(jnp.max(state.length))
-            window = self._window_for(cur + 1)
+            window = self._window_for(cur + 1 + margin)
             if window >= self.max_len:
                 # full-size window: no slicing (a trivial slice would alias
                 # the donated merge inputs) — decode the state directly
+                if spec is not None:
+                    state = spec(self.params, state,
+                                 jnp.asarray(max_new, jnp.int32))
+                # regular decode mops up the <= gamma-token tail the spec
+                # loop cannot fit near max_len (no-op if already done)
                 state = self._decode(self.params, state,
                                      jnp.asarray(max_new, jnp.int32))
                 done = int(jnp.min(state.num_generated))
@@ -212,8 +231,8 @@ class DecodeEngine:
                 valid=state.valid[:, :window],
                 cache=state.cache._replace(k=state.cache.k[:, :, :window],
                                            v=state.cache.v[:, :, :window]))
-            st_w = self._decode(self.params, st_w,
-                                jnp.asarray(max_new, jnp.int32))
+            st_w = (spec or self._decode)(self.params, st_w,
+                                          jnp.asarray(max_new, jnp.int32))
             tokens, valid, ck, cv = self._merge_window(
                 state.tokens, state.valid, state.cache.k, state.cache.v,
                 st_w)

@@ -225,8 +225,10 @@ def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
                          win_size: Optional[int] = None,
                          attn_impl: str = "kernel", win_pages: int = 4,
                          mesh=None):
-    """Jitted ``decode_chunk(params, state, n_steps) -> state`` over the
-    page pool (early exit when all slots are finished). The host allocator
+    """Jitted ``decode_chunk(params, state, n_steps, exit_free) ->
+    (state, steps_run)`` over the page pool (early exit when all slots are
+    finished, or when ``exit_free`` slots retire mid-chunk while requests
+    queue — pass ``slots + 1`` to disable). The host allocator
     guarantees every live row has pages for ``n_steps`` more tokens.
     ``win_pages``: pages per kernel DMA window (amortizes per-page
     overhead at long residency; tails are page-guarded so short rows pay
@@ -269,18 +271,30 @@ def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
     # The serve scheduler never touches a superseded state handle, so
     # donation is safe there.
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def decode_chunk(params, st: PagedState, n_steps) -> PagedState:
+    def decode_chunk(params, st: PagedState, n_steps, exit_free):
+        # early chunk exit: when >= exit_free slots RETIRE inside this
+        # chunk, return to the scheduler immediately so queued requests
+        # re-fill them instead of idling to the chunk boundary (the
+        # in-chunk-re-admission half of vLLM mixed batches; the host
+        # passes slots+1 when the queue is empty, disabling it)
+        fin0 = st.finished
+
         def cond(c):
             s, i = c
-            return jnp.logical_and(i < n_steps, jnp.any(~s.finished))
+            newly = jnp.sum(jnp.logical_and(s.finished, ~fin0))
+            return jnp.logical_and(
+                jnp.logical_and(i < n_steps, jnp.any(~s.finished)),
+                newly < exit_free)
 
         def body(c):
             s, i = c
             return step_body(params, s), i + 1
 
-        st, _ = jax.lax.while_loop(cond, body,
+        st, i = jax.lax.while_loop(cond, body,
                                    (st, jnp.zeros((), jnp.int32)))
-        return st
+        # executed step count: the scheduler folds it into its one batched
+        # post-chunk device_get (occupancy accounting, no extra sync)
+        return st, i
 
     return decode_chunk
 
@@ -405,7 +419,8 @@ class PagedEngine:
                  prefill_chunk: Optional[int] = None,
                  attn_win_pages: int = 4, mesh=None,
                  native_runtime: Optional[bool] = None,
-                 admit_batch_max_width: int = 1024):
+                 admit_batch_max_width: int = 1024,
+                 chunk_exit_free: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -420,6 +435,11 @@ class PagedEngine:
                 f"num_pages={self.num_pages} cannot hold one max_len stream "
                 f"({self.max_pages} pages)")
         self.chunk_steps = chunk_steps
+        # early chunk exit: return to the scheduler once this many slots
+        # retire inside a chunk while requests wait (None/0 = run chunks
+        # to the boundary). Raises occupancy under sustained load at the
+        # cost of more chunk dispatches.
+        self.chunk_exit_free = chunk_exit_free
         self.admit_batch_max_width = admit_batch_max_width
         self.cache_dtype = cache_dtype
         # int8 pools (vLLM quantized KV cache): the pool stores int8 +
@@ -853,6 +873,10 @@ class PagedEngine:
         self.phase_seconds = {"grow": 0.0, "admit": 0.0,
                               "decode_sync": 0.0, "retire": 0.0}
         self.n_chunks = 0
+        # device-side decode steps actually executed (early chunk exits
+        # make this < n_chunks * chunk_steps); tokens/step over live slots
+        # is the occupancy metric
+        self.n_decode_steps = 0
         self.n_prefills = 0
         self.n_prefill_chunks = 0
         self.n_batched_prefills = 0
@@ -1057,23 +1081,33 @@ class PagedEngine:
             self.phase_seconds["admit"] += t_now - t_phase
             t_phase = t_now
 
-            # 3. one decode chunk
+            # 3. one decode chunk. With requests still queued, the chunk
+            # early-exits once enough slots retire to seat them (capped by
+            # chunk_exit_free); with an empty queue it runs to the
+            # boundary (slots + 1 can never be reached)
             bt_dev = jnp.asarray(bt)
             if bt_sharding is not None:
                 bt_dev = jax.device_put(bt_dev, bt_sharding)
             state = state._replace(block_tables=bt_dev)
-            state = self._decode(self.params, state,
-                                 jnp.asarray(self.chunk_steps, jnp.int32))
+            if self.chunk_exit_free and queue:
+                exit_free = max(1, min(self.chunk_exit_free, len(queue)))
+            else:
+                exit_free = self.slots + 1
+            state, steps_dev = self._decode(
+                self.params, state,
+                jnp.asarray(self.chunk_steps, jnp.int32),
+                jnp.asarray(exit_free, jnp.int32))
             self.n_chunks += 1
 
             # 4. retire finished slots (ONE host transfer for every host
             # mirror — per-slot scalars AND the token rows; lengths_h /
             # tokens_h carry into the next grow pass). Caps are enforced
             # device-side (state.cap), so `finished` is exact.
-            lengths_h, ngen, fin, tokens_h = (
+            lengths_h, ngen, fin, tokens_h, steps_h = (
                 np.array(a) for a in jax.device_get(
                     (state.length, state.num_generated, state.finished,
-                     state.tokens)))
+                     state.tokens, steps_dev)))
+            self.n_decode_steps += int(steps_h)
             t_now = time.perf_counter()
             self.phase_seconds["decode_sync"] += t_now - t_phase
             t_phase = t_now
