@@ -384,6 +384,13 @@ def bench_all():
         ("stage1", []),
         ("extract", []),
         ("decode", []),
+        # prompt-lookup speculative decoding in its paying regime
+        # (greedy, repetitive speech-token stream); the default RAS
+        # sampler rejects n-gram drafts by design (docs/ROUND3.md)
+        ("decode_spec_greedy", ["--mode", "decode", "--spec_gamma", "7",
+                                "--decode_sampling", "greedy",
+                                "--decode_prompt", "repetitive",
+                                "--decode_max_len", "1024"]),
         # --decode_max_len 1024: at the 4096 default the contiguous
         # 16-stream cache is 7.5 GB and OOMs depending on when the
         # pre-quantization bf16 params get collected

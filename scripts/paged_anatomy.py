@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--len", type=int, default=400, dest="length")
     ap.add_argument("--max_len", type=int, default=1024)
     ap.add_argument("--page_size", type=int, default=128)
+    ap.add_argument("--unrolls", default="",
+                    help="comma list of layer-scan unroll factors to "
+                         "sweep (donated kernel variant), e.g. 2,4,7")
     args = ap.parse_args()
 
     cfg = qwen3_student_0p6b()
@@ -128,8 +131,22 @@ def main():
         float(out)
         return (time.perf_counter() - t0) / n * 1e3, st
 
-    for name, fn in (("kernel_donated", step_kernel_donated),
-                     ("noscat_donated", step_noscat_donated)):
+    variants_d = [("kernel_donated", step_kernel_donated),
+                  ("noscat_donated", step_noscat_donated)]
+    def mk_unrolled(u):
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(p, pool, token):
+            logits, pool = paged_forward(p, token, cfg, pool, bt,
+                                         lengths, live,
+                                         attn_impl="kernel",
+                                         scan_unroll=u)
+            return jnp.sum(logits), pool
+        return step
+
+    for u in [int(v) for v in args.unrolls.split(",") if v]:
+        variants_d.append((f"kernel_unroll{u}", mk_unrolled(u)))
+
+    for name, fn in variants_d:
         st = PagedKVCache.create(cfg, num_pages, ps, jnp.bfloat16)
         ms, st = time_donated(fn, st)
         print(f"{name:>14}: {ms:7.2f} ms/step "

@@ -102,7 +102,8 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
                   pool: PagedKVCache, block_tables: jax.Array,
                   lengths: jax.Array, live: jax.Array,
                   attn_impl: str = "kernel", win_pages: int = 4,
-                  mesh=None, _skip_kv_write: bool = False):
+                  mesh=None, _skip_kv_write: bool = False,
+                  scan_unroll: int = 1):
     """One decode step over the page pool.
 
     token [B] int32; the new token's KV is written at page
@@ -213,9 +214,13 @@ def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
         return (h + qwen3.mlp_block(lp["mlp"], y2), pool), None
 
     n_layers = pool.k.shape[0]
+    # scan_unroll: replicate the layer body k times per loop iteration —
+    # probes/ablates the scan's per-iteration fixed cost (dispatch +
+    # carry threading) at the price of a k-times-larger program
     (x, pool), _ = jax.lax.scan(
         body, (x, pool),
-        (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)))
+        (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)),
+        unroll=scan_unroll)
     x = qwen3.rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
     logits = qwen3.unembed(params, x, cfg)
     return logits[:, 0].astype(jnp.float32), pool
