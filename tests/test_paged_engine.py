@@ -440,3 +440,40 @@ def test_admit_batch_width_gate():
     ref2 = _ref_outputs(params, cfg, sp, short_prompts, 4)
     assert eng2.serve(short_prompts, max_new=4) == ref2
     assert eng2.n_batched_prefills >= 4       # width 8 <= gate 8
+
+
+def test_chunk_exit_free_exact_and_triggers():
+    """Early chunk exit (in-chunk re-admission) only changes SCHEDULING:
+    greedy outputs equal the run-to-boundary engine, early exits actually
+    fire (device steps < chunks * chunk_steps), and with an empty queue
+    chunks still run to the boundary."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(max_tokens=8)
+    rng = np.random.default_rng(9)
+    # mixed caps so slots retire at different steps inside a chunk
+    prompts = [rng.integers(1, cfg.vocab_size - 2,
+                            int(rng.integers(3, 11))).tolist()
+               for _ in range(9)]
+    caps = [2, 8, 3, 7, 2, 6, 4, 8, 3]
+    kw = dict(slots=3, max_len=64, page_size=8, chunk_steps=8,
+              cache_dtype=jnp.float32, attn_impl="xla")
+    base = PagedEngine(params, cfg, sp, **kw)
+    ref = base.serve(prompts, max_new_per_request=caps)
+
+    eng = PagedEngine(params, cfg, sp, chunk_exit_free=1, **kw)
+    got = eng.serve(prompts, max_new_per_request=caps)
+    assert got == ref
+    # early exits must have fired: with caps << chunk_steps and a deep
+    # queue, some chunk returned before its boundary
+    assert eng.n_decode_steps < eng.n_chunks * eng.chunk_steps
+    # and re-admission used them: more chunks than the boundary engine
+    assert eng.n_chunks > base.n_chunks
+
+    # empty queue from the start (fewer prompts than slots): exit_free is
+    # disabled, chunks run to boundary/all-finished exactly as baseline
+    eng2 = PagedEngine(params, cfg, sp, chunk_exit_free=1, **kw)
+    base2 = PagedEngine(params, cfg, sp, **kw)
+    p2 = prompts[:3]
+    assert eng2.serve(p2, max_new=5) == base2.serve(p2, max_new=5)
+    assert eng2.n_chunks == base2.n_chunks
