@@ -442,3 +442,39 @@ class DecodeEngine:
         toks = np.asarray(state.tokens[0])
         end = int(state.length[0])
         return {"token_ids": toks[prompt_end:end].tolist(), "state": state}
+
+    def generate_stream(self, prompt_ids: list, chunk: int = 25,
+                        state: Optional[DecodeState] = None,
+                        max_new: Optional[int] = None):
+        """Token-level streaming: one turn as a generator yielding lists of
+        newly generated ids every ``chunk`` decode steps (sooner at EOS).
+
+        The concatenation of the yields equals ``generate()``'s token_ids
+        for the same rng state (the decode program is identical — max_new
+        is a traced scalar, so chunking adds no compiles). This is the LLM
+        half of streaming TTS (infer/streaming_tts.py): the reference's
+        vLLM engine streams tokens the same way, the HF engine does not
+        (llm_engine.py:37-114)."""
+        state = state if state is not None else self.new_state(1)
+        prompt_end = int(state.length[0]) + len(prompt_ids)
+        state = self.prefill(state, prompt_ids)
+        state = state._replace(
+            presence=jnp.zeros_like(state.presence),
+            num_generated=jnp.zeros_like(state.num_generated),
+            finished=jnp.zeros_like(state.finished))
+        cap = min(max_new or self.sp.max_tokens, self.max_len - prompt_end)
+        emitted = prompt_end
+        done = 0
+        while done < cap:
+            state = self._run_decode(state, min(done + chunk, cap))
+            # one batched host read per chunk (relay round-trips)
+            n_gen, end, fin = (int(a) for a in jax.device_get(
+                (state.num_generated[0], state.length[0],
+                 jnp.all(state.finished))))
+            done = n_gen
+            new = np.asarray(state.tokens[0, emitted:end]).tolist()
+            emitted = end
+            if new:
+                yield new
+            if fin:
+                break

@@ -141,6 +141,47 @@ class SoulXPodcast:
                                  np.asarray(spk_emb_for_flow, np.float32))
         return {"generated_wavs": [wav]}
 
+    def forward_tts_streaming(self, prompt_mels_for_llm,
+                              prompt_mels_lens_for_llm,
+                              prompt_text_tokens_for_llm,
+                              text_tokens_for_llm,
+                              prompt_mels_for_flow_ori, spk_emb_for_flow,
+                              llm_chunk: Optional[int] = None,
+                              **kwargs):
+        """Streaming forward_tts: a generator yielding wav chunks while the
+        LLM is still generating (first-audio latency O(chunk) instead of
+        O(turn)). Runs the chunk-causal machinery the reference ships but
+        never invokes (streaming=False at soulxpodcast.py:419-420); the
+        emitted mel is exactly the offline streaming=True computation
+        (infer/streaming_tts.py). Requires a token-streaming engine
+        (DecodeEngine.generate_stream)."""
+        from speech_distill_tpu.infer import streaming_tts
+
+        mels = np.asarray(prompt_mels_for_llm, np.float32)
+        if mels.ndim == 2:
+            mels = mels[None]
+        lens = np.atleast_1d(np.asarray(prompt_mels_lens_for_llm, np.int32))
+        codes, code_lens = self.s3_quantize(jnp.asarray(mels),
+                                            jnp.asarray(lens))
+        codes = np.asarray(codes)
+        pmel = np.asarray(prompt_mels_for_flow_ori, np.float32)
+        if pmel.ndim == 3:
+            pmel = pmel[0]
+        prompt_tokens, prompt_mel, prompt_mel_len = self._align_prompt(
+            codes[0], int(code_lens[0]), pmel)
+
+        off = self.config.llm.speech_token_offset
+        speech_tokens_i = [int(t) + off for t in prompt_tokens]
+        speech_tokens_i.append(self.config.llm.eos_token_id)
+        inputs = (_flatten(prompt_text_tokens_for_llm) + speech_tokens_i
+                  + _flatten(text_tokens_for_llm))
+        yield from streaming_tts.stream_tts(
+            self.llm, self.flow_params, self.flow_cfg, self.hift_params,
+            self.hift_cfg, inputs, off, [int(t) for t in prompt_tokens],
+            prompt_mel, prompt_mel_len,
+            np.asarray(spk_emb_for_flow, np.float32), self._next_rng(),
+            llm_chunk=llm_chunk)
+
     def forward_tts2(self, prompt_mels_for_llm, prompt_mels_lens_for_llm,
                      inputs, prompt_mels_for_flow_ori, spk_emb_for_flow,
                      sampling_params: Optional[SamplingParams] = None,

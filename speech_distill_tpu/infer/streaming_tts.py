@@ -1,0 +1,236 @@
+"""Streaming TTS synthesis: incremental token -> mel -> wav.
+
+The reference ships the full streaming machinery — chunk-causal attention
+masks (upsample_encoder.py:43-118, estimator.py:760-792 static_chunk_size),
+causal convs, the 3-frame pre-lookahead (upsample_encoder.py:329-365), and
+the vocoder NSF source cache (hifigan.py:237-249 cache_source) — but only
+ever invokes it with ``streaming=False`` (soulxpodcast.py:419-420): audio
+for a turn is synthesized after the whole turn's tokens exist. This module
+actually runs that machinery: wav chunks are emitted while the LLM is
+still generating, cutting first-audio latency from O(turn) to O(chunk).
+
+Design (the CosyVoice2 streaming recipe, restated for static shapes):
+
+* **Token chunking.** Emission boundaries are multiples of the encoder's
+  ``static_chunk_size`` tokens. In streaming mode every attention mask is
+  chunk-causal (a frame attends only to keys before the END of its own
+  block) and every conv is causal, so the mel frames of a COMPLETED block
+  never change as more tokens append — each flow call recomputes the
+  full prefix (O(n^2) total, but the per-call cost is one jitted program
+  over a bucketed width) and the freshly completed blocks are emitted
+  exactly once. The emitted mel is BIT-IDENTICAL to the offline
+  streaming=True computation (tests/test_streaming_tts.py).
+* **Lookahead.** The pre-lookahead layer reads ``la`` future tokens, so a
+  block is only final once ``la`` tokens beyond its boundary exist; the
+  final flush encodes everything (zero-padded lookahead), exactly the
+  reference's ``finalize=True``.
+* **Fixed noise.** The CFM solves from one noise buffer sampled per
+  utterance and sliced per call — the ODE trajectory of a frame is
+  frame-local, so fixed noise + stable velocity field = stable mel.
+* **Vocoder windowing.** HiFT convs are not causal, so chunks are vocoded
+  over a small overlap window: the last ``mel_cache_frames`` mel frames
+  are re-synthesized with the next chunk, the NSF source is spliced
+  through ``cache_source`` (phase continuity), and the overlap region is
+  Hamming cross-faded (the fade_in_out of the CosyVoice2 recipe).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speech_distill_tpu.models import flow as flow_lib
+from speech_distill_tpu.models import hift as hift_lib
+
+
+def fade_in_out(new: np.ndarray, old_tail: np.ndarray,
+                window: np.ndarray) -> np.ndarray:
+    """Cross-fade the first ``len(old_tail)`` samples of ``new`` against
+    ``old_tail`` with the two halves of ``window`` (rising half on the new
+    audio, falling half on the old)."""
+    n = old_tail.shape[-1]
+    out = new.copy()
+    out[..., :n] = new[..., :n] * window[:n] + old_tail * window[n:]
+    return out
+
+
+class StreamingTokenToWav:
+    """Incremental speech-token -> waveform synthesizer for ONE utterance.
+
+    ``push(gen_tokens, final)`` takes the FULL list of generated flow
+    tokens so far (prompt tokens are fixed at construction) and returns
+    the wav chunks newly available at chunk-aligned boundaries; the
+    ``final=True`` call flushes everything remaining.
+    """
+
+    def __init__(self, flow_params, flow_cfg: flow_lib.FlowConfig,
+                 hift_params, hift_cfg: hift_lib.HiFTConfig,
+                 prompt_tokens: Sequence[int], prompt_mel: np.ndarray,
+                 prompt_mel_len: int, spk_emb: np.ndarray,
+                 rng: jax.Array, chunk_tokens: Optional[int] = None,
+                 token_bucket: int = 64,
+                 mel_cache_frames: Optional[int] = None,
+                 max_tokens: int = 4096):
+        self.fp, self.fc = flow_params, flow_cfg
+        self.hp, self.hc = hift_params, hift_cfg
+        self.prompt_tokens = [int(t) for t in prompt_tokens]
+        self.prompt_mel = np.asarray(prompt_mel, np.float32)[None] \
+            if np.asarray(prompt_mel).ndim == 2 else np.asarray(
+                prompt_mel, np.float32)
+        self.prompt_mel_len = int(prompt_mel_len)
+        self.spk_emb = np.asarray(spk_emb, np.float32)
+        if self.spk_emb.ndim == 1:
+            self.spk_emb = self.spk_emb[None]
+        self.la = flow_cfg.pre_lookahead_len
+        self.ratio = flow_cfg.token_mel_ratio
+        # emission boundaries must complete BOTH chunk masks: the encoder's
+        # (token-level) and the estimator's (mel-level / ratio)
+        enc_c = flow_cfg.encoder.static_chunk_size
+        est_c = -(-flow_cfg.static_chunk_size // self.ratio)
+        base = math.lcm(enc_c, est_c)
+        self.chunk = chunk_tokens or base
+        if self.chunk % base != 0:
+            raise ValueError(
+                f"chunk_tokens={self.chunk} must be a multiple of "
+                f"lcm(encoder chunk {enc_c}, estimator chunk/{self.ratio} "
+                f"{est_c}) = {base}")
+        self.bucket = token_bucket
+        if mel_cache_frames is None:
+            # vocoder overlap window: 8 frames at production chunk sizes
+            # (the CosyVoice2 value), clamped for tiny test configs
+            mel_cache_frames = min(8, (self.chunk * self.ratio) // 2)
+        if mel_cache_frames >= self.chunk * self.ratio:
+            raise ValueError(
+                f"mel_cache_frames={mel_cache_frames} must be smaller than "
+                f"one mel chunk ({self.chunk * self.ratio} frames) so every "
+                f"non-final vocoder window emits something")
+        self.cache_frames = mel_cache_frames
+        self.scale = hift_cfg.upsample_scale
+        fade = mel_cache_frames * self.scale
+        self._window = np.hamming(2 * fade).astype(np.float32)
+        rng, kn, kh = jax.random.split(rng, 3)
+        # one noise buffer per utterance, sliced per call (see module doc)
+        self._noise = jax.random.normal(
+            kn, (1, self.ratio * max_tokens, flow_cfg.output_size),
+            jnp.float32)
+        self._hift_rng = kh
+        # vocoder streaming caches
+        self._mel_cache = np.zeros((1, 0, flow_cfg.output_size), np.float32)
+        self._source_cache = jnp.zeros((1, 0), jnp.float32)
+        self._speech_tail: Optional[np.ndarray] = None
+        self._mel_done = self.prompt_mel_len   # mel frames already vocoded
+        self._enc_done = len(self.prompt_tokens)  # tokens already encoded
+        self._flow = jax.jit(partial(
+            flow_lib.forward_flow, cfg=flow_cfg, streaming=True))
+        self._hift = jax.jit(partial(hift_lib.forward, cfg=hift_cfg))
+        self._finished = False
+
+    # -- flow ---------------------------------------------------------------
+
+    def _flow_call(self, tokens: List[int], n_enc: int) -> np.ndarray:
+        """Run the chunk-causal flow over ``tokens`` (prompt+generated,
+        length n) encoding the first ``n_enc``; returns mel [1, 2*n_enc, 80]
+        (frames beyond previously emitted ones are the new payload)."""
+        n = len(tokens)
+        W = -(-max(n, 1) // self.bucket) * self.bucket
+        arr = np.zeros((1, W), np.int32)
+        arr[0, :n] = tokens
+        mels, _ = self._flow(
+            self.fp, jnp.asarray(arr), jnp.asarray([n], jnp.int32),
+            jnp.asarray(self.prompt_mel),
+            jnp.asarray([self.prompt_mel_len], jnp.int32),
+            jnp.asarray(self.spk_emb),
+            noise=jax.lax.dynamic_slice_in_dim(
+                self._noise, 0, self.ratio * W, axis=1),
+            enc_len=jnp.asarray([n_enc], jnp.int32))
+        return np.asarray(mels[:, :self.ratio * n_enc])
+
+    # -- vocoder ------------------------------------------------------------
+
+    def _vocode(self, new_mel: np.ndarray, final: bool) -> np.ndarray:
+        """Windowed HiFT synthesis of ``new_mel`` [1, Tm, 80] with source
+        splice + cross-fade against the previous chunk's tail."""
+        mel_in = np.concatenate([self._mel_cache, new_mel], axis=1)
+        self._hift_rng, sub = jax.random.split(self._hift_rng)
+        wav, source = self._hift(self.hp, jnp.asarray(mel_in), rng=sub,
+                                 cache_source=self._source_cache)
+        wav = np.asarray(wav)
+        if self._speech_tail is not None:
+            wav = fade_in_out(wav, self._speech_tail, self._window)
+        hold = self.cache_frames * self.scale
+        if final:
+            self._mel_cache = mel_in[:, mel_in.shape[1]:]
+            self._speech_tail = None
+            return wav
+        self._mel_cache = mel_in[:, -self.cache_frames:]
+        self._source_cache = source[:, -hold:]
+        self._speech_tail = wav[:, -hold:]
+        return wav[:, :-hold]
+
+    # -- public -------------------------------------------------------------
+
+    def push(self, gen_tokens: Sequence[int],
+             final: bool = False) -> List[np.ndarray]:
+        """Advance the stream to ``gen_tokens`` (the full generated-token
+        list so far, flow-vocabulary ids). Returns 0+ wav chunks [T]."""
+        if self._finished:
+            raise RuntimeError("push() after final=True")
+        total = self.prompt_tokens + [int(t) for t in gen_tokens]
+        n = len(total)
+        if final:
+            n_enc = n
+        else:
+            # encode up to the last chunk boundary with `la` lookahead
+            # tokens beyond it
+            n_enc = ((n - self.la) // self.chunk) * self.chunk
+        out: List[np.ndarray] = []
+        if final:
+            self._finished = True
+            if n_enc <= self._enc_done:
+                # no new tokens: flush the vocoder window only
+                if self._mel_cache.shape[1] > 0:
+                    empty = np.zeros((1, 0, self.fc.output_size), np.float32)
+                    out.append(np.asarray(self._vocode(empty, True))[0])
+                return out
+        elif n_enc <= self._enc_done:
+            return out
+        mel = self._flow_call(total[:min(n, n_enc + self.la)], n_enc)
+        new_mel = mel[:, self._mel_done:]
+        self._enc_done = n_enc
+        self._mel_done = mel.shape[1]
+        if new_mel.shape[1] > 0 or (final and self._mel_cache.shape[1] > 0):
+            out.append(np.asarray(self._vocode(new_mel, final))[0])
+        return out
+
+
+def stream_tts(llm_engine, flow_params, flow_cfg, hift_params, hift_cfg,
+               llm_inputs: Sequence[int], speech_token_offset: int,
+               prompt_tokens: Sequence[int], prompt_mel: np.ndarray,
+               prompt_mel_len: int, spk_emb: np.ndarray, rng: jax.Array,
+               llm_chunk: Optional[int] = None,
+               **kw) -> Iterator[np.ndarray]:
+    """End-to-end streaming TTS for one turn: LLM token chunks feed the
+    incremental synthesizer; yields wav chunks as they complete.
+
+    The trailing token of the generated stream is withheld from the flow
+    until the end (it is the EOS in the reference grammar —
+    soulxpodcast.py:390-393 drops it before flow)."""
+    synth = StreamingTokenToWav(flow_params, flow_cfg, hift_params,
+                                hift_cfg, prompt_tokens, prompt_mel,
+                                prompt_mel_len, spk_emb, rng, **kw)
+    # la + 1 extra tokens must exist past a boundary before it can flush
+    # (1 withheld possible-EOS + la lookahead); poll the LLM in chunk-sized
+    # pieces so wav chunks appear at a steady cadence
+    chunk = llm_chunk or synth.chunk
+    gen: List[int] = []
+    for new in llm_engine.generate_stream(list(llm_inputs), chunk=chunk):
+        gen.extend(new)
+        for wav in synth.push([t - speech_token_offset for t in gen[:-1]]):
+            yield wav
+    for wav in synth.push([t - speech_token_offset for t in gen[:-1]],
+                          final=True):
+        yield wav

@@ -238,13 +238,23 @@ def forward_flow(params: Params, token: jax.Array, token_len: jax.Array,
                  rng: Optional[jax.Array] = None,
                  streaming: bool = False,
                  finalize: bool = True,
-                 noise: Optional[jax.Array] = None
+                 noise: Optional[jax.Array] = None,
+                 enc_len: Optional[jax.Array] = None
                  ) -> Tuple[jax.Array, jax.Array]:
     """CausalMaskedDiffWithXvec.forward (flow.py:156-197).
 
     token [B, T] int, prompt_feat [B, Tp, 80], embedding [B, 192]
     -> (mel [B, T*2, 80], mel_lens [B]).  (Channel-last; transpose at the
     vocoder boundary.)
+
+    ``enc_len`` ([B] int32, requires ``finalize=True``): encode only the
+    first ``enc_len`` tokens while positions [enc_len, token_len) serve as
+    the pre-lookahead context *inline* — the padded-static-shape form of
+    the ``finalize=False`` context path (bit-identical for the encoded
+    region, since the right-padded lookahead conv reads the same real
+    tokens; one compile per token-width bucket instead of per exact
+    width). This is what incremental streaming synthesis calls with
+    chunk-aligned ``enc_len`` (infer/streaming_tts.py).
     """
     # xvec: L2 normalise then affine to 80
     emb = embedding / jnp.linalg.norm(embedding, axis=1, keepdims=True)
@@ -256,9 +266,13 @@ def forward_flow(params: Params, token: jax.Array, token_len: jax.Array,
     x = x * tok_mask
 
     if finalize:
-        h, h_lens = flow_encoder.forward(params["encoder"], x, token_len,
+        el = token_len if enc_len is None else enc_len
+        h, h_lens = flow_encoder.forward(params["encoder"], x, el,
                                          cfg.encoder, streaming=streaming)
     else:
+        if enc_len is not None:
+            raise ValueError("enc_len requires finalize=True (it IS the "
+                             "static-shape context form)")
         la = cfg.pre_lookahead_len
         h, h_lens = flow_encoder.forward(
             params["encoder"], x[:, :-la], token_len,
