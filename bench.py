@@ -22,8 +22,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="precomputed",
                    choices=["precomputed", "online_sparse", "online_dense",
-                            "decode", "serve", "tts", "stage1", "s3",
-                            "extract", "all"])
+                            "decode", "serve", "tts", "tts_streaming",
+                            "stage1", "s3", "extract", "all"])
     # per-device batch 8: the reference's effective batch is 16
     # (bs4 x grad-accum 4, train.py:333-334); 8 feeds the MXU better than 4
     # while staying inside that envelope
@@ -125,6 +125,11 @@ def main():
                         "tokens to every request (the longform-TTS "
                         "regime: shared dialogue history; the paged "
                         "engine's prefix cache prefills it once)")
+    p.add_argument("--tts_gen_tokens", type=int, default=150,
+                   help="tts_streaming: generated speech tokens per turn "
+                        "(25/s; longer turns grow the offline pipeline's "
+                        "first-audio latency linearly, streaming's stays "
+                        "flat)")
     p.add_argument("--topk_recall", type=float, default=None,
                    help="online_sparse: approx_max_k recall target "
                         "(default: DistillConfig.online_topk_recall=0.95)")
@@ -180,6 +185,8 @@ def main():
         return bench_serve(args)
     if args.mode == "tts":
         return bench_tts(args)
+    if args.mode == "tts_streaming":
+        return bench_tts_streaming(args)
     if args.mode == "stage1":
         return bench_stage1(args)
     if args.mode == "s3":
@@ -435,6 +442,8 @@ def bench_all():
                                 "--decode_max_len", "1024",
                                 "--serve_prefix_len", "256"]),
         ("tts", []),
+        ("tts_streaming", ["--mode", "tts_streaming",
+                           "--quant", "int8_embed"]),
         ("s3", []),
     ]
     results = []
@@ -832,6 +841,116 @@ def bench_stage1(args):
         "extra": {"steps_per_sec": round(steps_per_sec, 3),
                   "mfu": round(mfu, 4), "batch": B, "seq": T,
                   "loss": float(metrics["loss"])},
+    }))
+
+
+def bench_tts_streaming(args):
+    """End-to-end STREAMING TTS: real 0.6B LLM decode feeding incremental
+    flow+HiFT synthesis (infer/streaming_tts.py) — wav chunks emitted while
+    the LLM is still generating. Headline: first-audio latency (TTFA) vs
+    the offline pipeline, whose TTFA is its entire turn (the reference
+    always synthesizes after the full turn, soulxpodcast.py:400-428)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from speech_distill_tpu.core.config import (SamplingParams,
+                                                qwen3_student_0p6b)
+    from speech_distill_tpu.infer.engine import DecodeEngine
+    from speech_distill_tpu.infer import streaming_tts
+    from speech_distill_tpu.models import flow as flow_lib
+    from speech_distill_tpu.models import hift as hift_lib
+    from speech_distill_tpu.models import qwen3
+
+    cfg = qwen3_student_0p6b()
+    params = qwen3.init_params_on_device(0, cfg)
+    if args.quant != "none":
+        from speech_distill_tpu.ops.quant import quantize_params
+        method = {"int8": "int8", "int8_embed": "int8",
+                  "int4": "int4", "int4_embed": "int4",
+                  "nf4": "nf4"}[args.quant]
+        bits = 8 if method == "int8" else 4
+        params = jax.jit(lambda p: quantize_params(
+            p, bits=bits, quantize_embed=args.quant.endswith("_embed"),
+            method=method))(params)
+    n_gen = args.tts_gen_tokens             # 150 = a 6 s turn at 25 Hz
+    sp = SamplingParams(max_tokens=n_gen + 1, min_tokens=n_gen + 1,
+                        stop_token_ids=(cfg.eos_token_id,),
+                        topk_method="approx")
+    eng = DecodeEngine(params, cfg, sp,
+                       max_len=max(1024, 256 + 8 * (n_gen // 8 + 1)))
+
+    fcfg = flow_lib.FlowConfig()
+    hcfg = hift_lib.HiFTConfig()
+    fparams = flow_lib.init_params(jax.random.PRNGKey(0), fcfg)
+    hparams = hift_lib.init_params(jax.random.PRNGKey(1), hcfg)
+
+    rng = np.random.default_rng(0)
+    n_prompt = 75
+    prompt_speech = rng.integers(0, 6561, n_prompt).tolist()
+    prompt_mel = rng.normal(size=(n_prompt * 2, 80)).astype(np.float32) * .1
+    spk = rng.normal(size=(192,)).astype(np.float32)
+    llm_prompt = rng.integers(0, cfg.vocab_size, 128).tolist()
+
+    programs = streaming_tts.make_stream_programs(fcfg, hcfg)
+
+    def run():
+        t0 = time.perf_counter()
+        ttfa, samples, n_chunks = None, 0, 0
+        for wav in streaming_tts.stream_tts(
+                eng, fparams, fcfg, hparams, hcfg, llm_prompt,
+                cfg.speech_token_offset, prompt_speech, prompt_mel,
+                n_prompt * 2, spk, jax.random.PRNGKey(2),
+                programs=programs):
+            if ttfa is None:
+                ttfa = time.perf_counter() - t0
+            samples += wav.shape[0]
+            n_chunks += 1
+        return ttfa, time.perf_counter() - t0, samples, n_chunks
+
+    run()                                   # compile every bucket + warmup
+    ttfa, total, samples, n_chunks = run()
+
+    # offline comparison on the same turn: full decode, then one-shot
+    # flow+vocoder (bucketed widths like _token_to_wav)
+    flow_fn = jax.jit(lambda fp, t, tl, pf, pfl, emb, rng:
+                      flow_lib.forward_flow(fp, t, tl, pf, pfl, emb, fcfg,
+                                            rng=rng))
+    hift_fn = jax.jit(lambda hp, mel, rng: hift_lib.forward(
+        hp, mel, hcfg, rng=rng))
+
+    def run_offline():
+        t0 = time.perf_counter()
+        out = eng.generate(llm_prompt)
+        gen = [t - cfg.speech_token_offset for t in out["token_ids"][:-1]]
+        toks = prompt_speech + gen
+        W = -(-len(toks) // 64) * 64
+        arr = np.zeros((1, W), np.int32)
+        arr[0, :len(toks)] = toks
+        mels, _ = flow_fn(fparams, jnp.asarray(arr),
+                          jnp.asarray([len(toks)], jnp.int32),
+                          jnp.asarray(prompt_mel[None]),
+                          jnp.asarray([n_prompt * 2], jnp.int32),
+                          jnp.asarray(spk[None]), jax.random.PRNGKey(3))
+        wav, _ = hift_fn(hparams, mels[:, n_prompt * 2:],
+                         jax.random.PRNGKey(4))
+        float(np.asarray(wav[0, 0]))
+        return time.perf_counter() - t0
+
+    run_offline()                           # compile + warmup
+    offline_s = run_offline()
+
+    audio_s = samples / hcfg.sampling_rate
+    print(json.dumps({
+        "metric": "tts_streaming_first_audio_ms",
+        "value": round(ttfa * 1e3, 1),
+        "unit": "ms",
+        # offline first-audio = the whole turn's wall clock
+        "vs_baseline": round(offline_s / ttfa, 2),
+        "extra": {"total_s": round(total, 3), "audio_s": round(audio_s, 2),
+                  "rtf": round(audio_s / total, 2), "chunks": n_chunks,
+                  "offline_turn_s": round(offline_s, 3),
+                  "gen_tokens": n_gen, "quant": args.quant},
     }))
 
 

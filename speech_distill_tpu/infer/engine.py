@@ -454,7 +454,12 @@ class DecodeEngine:
         is a traced scalar, so chunking adds no compiles). This is the LLM
         half of streaming TTS (infer/streaming_tts.py): the reference's
         vLLM engine streams tokens the same way, the HF engine does not
-        (llm_engine.py:37-114)."""
+        (llm_engine.py:37-114).
+
+        After exhaustion, ``self.last_stream_state`` holds the final
+        DecodeState (a generator cannot return one) so multi-turn sessions
+        — the longform orchestrator — can continue the cache."""
+        self.last_stream_state = None
         state = state if state is not None else self.new_state(1)
         prompt_end = int(state.length[0]) + len(prompt_ids)
         state = self.prefill(state, prompt_ids)
@@ -478,3 +483,4 @@ class DecodeEngine:
                 yield new
             if fin:
                 break
+        self.last_stream_state = state

@@ -105,6 +105,16 @@ class SoulXPodcast:
         off = self.config.llm.speech_token_offset
         return [t - off for t in token_ids[:-1]]             # drop final eos
 
+    def _ensure_stream_programs(self):
+        """Shared jitted flow/vocoder programs for streaming synthesis:
+        per-turn jits would re-trace + reload every width bucket each turn
+        (streaming_tts.make_stream_programs)."""
+        if not hasattr(self, "_stream_programs"):
+            from speech_distill_tpu.infer import streaming_tts
+            self._stream_programs = streaming_tts.make_stream_programs(
+                self.flow_cfg, self.hift_cfg)
+        return self._stream_programs
+
     # -- single-shot TTS ----------------------------------------------------
 
     def forward_tts(self, prompt_mels_for_llm, prompt_mels_lens_for_llm,
@@ -157,6 +167,7 @@ class SoulXPodcast:
         (DecodeEngine.generate_stream)."""
         from speech_distill_tpu.infer import streaming_tts
 
+        self._ensure_stream_programs()
         mels = np.asarray(prompt_mels_for_llm, np.float32)
         if mels.ndim == 2:
             mels = mels[None]
@@ -180,7 +191,7 @@ class SoulXPodcast:
             self.hift_cfg, inputs, off, [int(t) for t in prompt_tokens],
             prompt_mel, prompt_mel_len,
             np.asarray(spk_emb_for_flow, np.float32), self._next_rng(),
-            llm_chunk=llm_chunk)
+            llm_chunk=llm_chunk, programs=self._stream_programs)
 
     def forward_tts2(self, prompt_mels_for_llm, prompt_mels_lens_for_llm,
                      inputs, prompt_mels_for_flow_ori, spk_emb_for_flow,
@@ -210,35 +221,27 @@ class SoulXPodcast:
 
     # -- longform multi-turn ------------------------------------------------
 
-    def forward_longform(self, prompt_mels_for_llm, prompt_mels_lens_for_llm,
-                         prompt_text_tokens_for_llm: List[List[int]],
-                         text_tokens_for_llm: List[List[int]],
-                         prompt_mels_for_flow_ori, spk_emb_for_flow,
-                         sampling_params: Optional[SamplingParams] = None,
-                         spk_ids: Optional[List[int]] = None,
-                         use_dialect_prompt: bool = False,
-                         dialect_prompt_text_tokens_for_llm=None,
-                         dialect_prefix=None,
-                         **kwargs) -> Dict[str, Any]:
-        """Reference forward_longform (soulxpodcast.py:252-432): multi-turn
-        dialogue with KV-cache reuse and the eviction policy — when the
-        session exceeds max_turn_size turns or turn_tokens_threshold tokens,
-        rebuild the context from (first prompt_context prompts) + (middle
-        text-only history window) + (last history_context full turns) and
-        start a fresh cache."""
+    def _longform_prepare(self, prompt_mels_for_llm,
+                          prompt_mels_lens_for_llm,
+                          prompt_text_tokens_for_llm,
+                          prompt_mels_for_flow_ori,
+                          use_dialect_prompt=False,
+                          dialect_prompt_text_tokens_for_llm=None,
+                          dialect_prefix=None):
+        """Shared longform setup (soulxpodcast.py:272-335): tokenize prompt
+        audio, align prompt mels, assemble per-speaker prompt/history token
+        lists (incl. the dialect-prompt pre-generation)."""
         cfg = self.config
         off = cfg.llm.speech_token_offset
         prompt_size = len(prompt_text_tokens_for_llm)
-        turn_size = len(text_tokens_for_llm)
-        spk_ids = spk_ids or [0] * turn_size
-
         mels = np.asarray(prompt_mels_for_llm, np.float32)
         lens = np.asarray(prompt_mels_lens_for_llm, np.int32)
         codes, code_lens = self.s3_quantize(jnp.asarray(mels),
                                             jnp.asarray(lens))
         codes = np.asarray(codes)
 
-        prompt_speech_tokens, prompt_mels_flow, prompt_mels_lens_flow = [], [], []
+        prompt_speech_tokens, prompt_mels_flow, prompt_mels_lens_flow = \
+            [], [], []
         for i in range(prompt_size):
             pmel = np.asarray(prompt_mels_for_flow_ori[i], np.float32)
             toks, mel_i, mel_len = self._align_prompt(
@@ -269,6 +272,121 @@ class SoulXPodcast:
                                      + speech_tokens_i)
                 history_inputs.append(prompt_text_tokens_for_llm[i]
                                       + speech_tokens_i)
+        return (prompt_speech_tokens, prompt_mels_flow,
+                prompt_mels_lens_flow, prompt_inputs, history_inputs)
+
+    def forward_longform_streaming(self, prompt_mels_for_llm,
+                                   prompt_mels_lens_for_llm,
+                                   prompt_text_tokens_for_llm,
+                                   text_tokens_for_llm,
+                                   prompt_mels_for_flow_ori,
+                                   spk_emb_for_flow,
+                                   spk_ids: Optional[List[int]] = None,
+                                   use_dialect_prompt: bool = False,
+                                   dialect_prompt_text_tokens_for_llm=None,
+                                   dialect_prefix=None,
+                                   llm_chunk: Optional[int] = None,
+                                   **kwargs):
+        """Streaming forward_longform: a generator yielding ``(turn_index,
+        wav_chunk)`` while each turn's LLM decode is still running. Context
+        management (KV reuse + the eviction policy) is identical to
+        forward_longform; synthesis per turn runs the chunk-causal
+        incremental path (infer/streaming_tts.py). Requires the stateful
+        DecodeEngine (token streaming + caller-held cache state)."""
+        from speech_distill_tpu.infer import streaming_tts
+
+        if not getattr(self.llm, "stateful", True):
+            raise ValueError("streaming longform needs the stateful "
+                             "DecodeEngine (generate_stream)")
+        programs = self._ensure_stream_programs()
+        cfg = self.config
+        off = cfg.llm.speech_token_offset
+        turn_size = len(text_tokens_for_llm)
+        spk_ids = spk_ids or [0] * turn_size
+        (prompt_speech_tokens, prompt_mels_flow, prompt_mels_lens_flow,
+         prompt_inputs, history_inputs) = self._longform_prepare(
+            prompt_mels_for_llm, prompt_mels_lens_for_llm,
+            prompt_text_tokens_for_llm, prompt_mels_for_flow_ori,
+            use_dialect_prompt, dialect_prompt_text_tokens_for_llm,
+            dialect_prefix)
+        prompt_size = len(prompt_text_tokens_for_llm)
+
+        inputs = _flatten(prompt_inputs)
+        state = None
+        pending = list(inputs)
+        valid_turn_size = prompt_size
+
+        for i in range(turn_size):
+            if (valid_turn_size > cfg.max_turn_size
+                    or len(inputs) > cfg.turn_tokens_threshold):
+                prompt_text_bound = max(
+                    cfg.prompt_context,
+                    len(history_inputs) - cfg.history_text_context
+                    - cfg.history_context)
+                inputs = _flatten(
+                    history_inputs[:cfg.prompt_context]
+                    + history_inputs[prompt_text_bound:-cfg.history_context]
+                    + prompt_inputs[-cfg.history_context:])
+                valid_turn_size = (cfg.prompt_context + len(history_inputs)
+                                   - prompt_text_bound)
+                state = None
+                pending = list(inputs)
+            valid_turn_size += 1
+
+            inputs = inputs + list(text_tokens_for_llm[i])
+            pending = pending + list(text_tokens_for_llm[i])
+            if state is None:
+                state = self.llm.new_state(1)
+            spk = spk_ids[i]
+            synth = streaming_tts.StreamingTokenToWav(
+                self.flow_params, self.flow_cfg, self.hift_params,
+                self.hift_cfg, prompt_speech_tokens[spk],
+                prompt_mels_flow[spk], prompt_mels_lens_flow[spk],
+                np.asarray(spk_emb_for_flow[spk:spk + 1], np.float32),
+                self._next_rng(), programs=programs)
+            token_ids: List[int] = []
+            for new in self.llm.generate_stream(
+                    pending, chunk=llm_chunk or synth.chunk, state=state):
+                token_ids.extend(new)
+                for wav in synth.push([t - off for t in token_ids[:-1]]):
+                    yield i, wav
+            state = self.llm.last_stream_state
+            for wav in synth.push([t - off for t in token_ids[:-1]],
+                                  final=True):
+                yield i, wav
+            pending = []
+
+            inputs = inputs + token_ids
+            prompt_inputs.append(list(text_tokens_for_llm[i]) + token_ids)
+            history_inputs.append(list(text_tokens_for_llm[i])[:-1])
+
+    def forward_longform(self, prompt_mels_for_llm, prompt_mels_lens_for_llm,
+                         prompt_text_tokens_for_llm: List[List[int]],
+                         text_tokens_for_llm: List[List[int]],
+                         prompt_mels_for_flow_ori, spk_emb_for_flow,
+                         sampling_params: Optional[SamplingParams] = None,
+                         spk_ids: Optional[List[int]] = None,
+                         use_dialect_prompt: bool = False,
+                         dialect_prompt_text_tokens_for_llm=None,
+                         dialect_prefix=None,
+                         **kwargs) -> Dict[str, Any]:
+        """Reference forward_longform (soulxpodcast.py:252-432): multi-turn
+        dialogue with KV-cache reuse and the eviction policy — when the
+        session exceeds max_turn_size turns or turn_tokens_threshold tokens,
+        rebuild the context from (first prompt_context prompts) + (middle
+        text-only history window) + (last history_context full turns) and
+        start a fresh cache."""
+        cfg = self.config
+        off = cfg.llm.speech_token_offset
+        turn_size = len(text_tokens_for_llm)
+        spk_ids = spk_ids or [0] * turn_size
+        (prompt_speech_tokens, prompt_mels_flow, prompt_mels_lens_flow,
+         prompt_inputs, history_inputs) = self._longform_prepare(
+            prompt_mels_for_llm, prompt_mels_lens_for_llm,
+            prompt_text_tokens_for_llm, prompt_mels_for_flow_ori,
+            use_dialect_prompt, dialect_prompt_text_tokens_for_llm,
+            dialect_prefix)
+        prompt_size = len(prompt_text_tokens_for_llm)
 
         generated_wavs = []
         inputs = _flatten(prompt_inputs)

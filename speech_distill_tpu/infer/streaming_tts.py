@@ -47,6 +47,21 @@ from speech_distill_tpu.models import flow as flow_lib
 from speech_distill_tpu.models import hift as hift_lib
 
 
+def make_stream_programs(flow_cfg: flow_lib.FlowConfig,
+                         hift_cfg: hift_lib.HiFTConfig) -> dict:
+    """Jitted flow/vocoder programs shared by every StreamingTokenToWav
+    built from the same configs. A fresh ``jax.jit`` per utterance would
+    re-trace and re-load each width bucket from the persistent compile
+    cache EVERY TURN (~0.5 s per program through the relay — measured 3.0 s
+    first-audio latency vs 0.4 s with shared programs); build once, pass to
+    every synthesizer."""
+    return {
+        "flow": jax.jit(partial(flow_lib.forward_flow, cfg=flow_cfg,
+                                streaming=True)),
+        "hift": jax.jit(partial(hift_lib.forward, cfg=hift_cfg)),
+    }
+
+
 def fade_in_out(new: np.ndarray, old_tail: np.ndarray,
                 window: np.ndarray) -> np.ndarray:
     """Cross-fade the first ``len(old_tail)`` samples of ``new`` against
@@ -74,7 +89,7 @@ class StreamingTokenToWav:
                  rng: jax.Array, chunk_tokens: Optional[int] = None,
                  token_bucket: int = 64,
                  mel_cache_frames: Optional[int] = None,
-                 max_tokens: int = 4096):
+                 max_tokens: int = 4096, programs: Optional[dict] = None):
         self.fp, self.fc = flow_params, flow_cfg
         self.hp, self.hc = hift_params, hift_cfg
         self.prompt_tokens = [int(t) for t in prompt_tokens]
@@ -124,9 +139,9 @@ class StreamingTokenToWav:
         self._speech_tail: Optional[np.ndarray] = None
         self._mel_done = self.prompt_mel_len   # mel frames already vocoded
         self._enc_done = len(self.prompt_tokens)  # tokens already encoded
-        self._flow = jax.jit(partial(
-            flow_lib.forward_flow, cfg=flow_cfg, streaming=True))
-        self._hift = jax.jit(partial(hift_lib.forward, cfg=hift_cfg))
+        programs = programs or make_stream_programs(flow_cfg, hift_cfg)
+        self._flow = programs["flow"]
+        self._hift = programs["hift"]
         self._finished = False
 
     # -- flow ---------------------------------------------------------------
@@ -212,6 +227,7 @@ def stream_tts(llm_engine, flow_params, flow_cfg, hift_params, hift_cfg,
                prompt_tokens: Sequence[int], prompt_mel: np.ndarray,
                prompt_mel_len: int, spk_emb: np.ndarray, rng: jax.Array,
                llm_chunk: Optional[int] = None,
+               programs: Optional[dict] = None,
                **kw) -> Iterator[np.ndarray]:
     """End-to-end streaming TTS for one turn: LLM token chunks feed the
     incremental synthesizer; yields wav chunks as they complete.
@@ -221,7 +237,8 @@ def stream_tts(llm_engine, flow_params, flow_cfg, hift_params, hift_cfg,
     soulxpodcast.py:390-393 drops it before flow)."""
     synth = StreamingTokenToWav(flow_params, flow_cfg, hift_params,
                                 hift_cfg, prompt_tokens, prompt_mel,
-                                prompt_mel_len, spk_emb, rng, **kw)
+                                prompt_mel_len, spk_emb, rng,
+                                programs=programs, **kw)
     # la + 1 extra tokens must exist past a boundary before it can flush
     # (1 withheld possible-EOS + la lookahead); poll the LLM in chunk-sized
     # pieces so wav chunks appear at a steady cadence

@@ -22,6 +22,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--llm_engine", type=str, default="jax")
     p.add_argument("--fp16_flow", action="store_true")
+    p.add_argument("--streaming", action="store_true",
+                   help="stream wav chunks per turn while the LLM decodes "
+                        "(chunk-causal incremental synthesis; logs "
+                        "first-audio latency per turn)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -42,9 +46,23 @@ def main(argv=None):
         entry["use_dialect_prompt"], entry["dialect_prompt_text"])
     check_models(args.model_path, inputs)
 
-    out = model.forward_longform(**inputs)
     os.makedirs(args.output_dir, exist_ok=True)
-    wav = np.concatenate(out["generated_wavs"])
+    if args.streaming:
+        import time
+        chunks, cur, t_mark = [], -1, time.perf_counter()
+        for turn, wav_chunk in model.forward_longform_streaming(**inputs):
+            if turn != cur:
+                # first audio of this turn, measured from the end of the
+                # previous turn's audio (= turn decode + first-chunk synth)
+                dt = time.perf_counter() - t_mark
+                print(f"turn {turn}: first audio after {dt * 1e3:.0f} ms")
+                cur = turn
+            chunks.append(wav_chunk)
+            t_mark = time.perf_counter()
+        wav = np.concatenate(chunks)
+    else:
+        out = model.forward_longform(**inputs)
+        wav = np.concatenate(out["generated_wavs"])
     wav_write(entry["wav"], 24000, (wav * 32767).astype(np.int16))
     print(f"Saved {entry['wav']} ({wav.shape[0] / 24000:.2f}s)")
 

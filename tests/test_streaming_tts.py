@@ -191,3 +191,83 @@ def test_forward_tts_streaming_e2e():
     wav = np.concatenate(chunks)
     assert wav.ndim == 1 and np.isfinite(wav).all()
     assert wav.shape[0] % hc.upsample_scale == 0 and wav.shape[0] > 0
+
+
+def test_generate_stream_multi_turn_state():
+    """generate_stream continues a caller-held cache across turns exactly
+    like generate (greedy)."""
+    cfg = qwen3_tiny(48)
+    cfg = dataclasses.replace(cfg, dtype="float32", remat=False)
+    params = qwen3.init_params(jax.random.PRNGKey(6), cfg)
+    sp = SamplingParams(stop_token_ids=(47,), max_tokens=9, min_tokens=9,
+                        top_k=1, temperature=1.0, use_ras=False,
+                        repetition_penalty=1.0)
+    t1, t2 = list(range(1, 7)), [7, 8, 9]
+
+    eng = DecodeEngine(params, cfg, sp, max_len=64, prefill_bucket=8,
+                       cache_dtype=jnp.float32)
+    s = eng.new_state(1)
+    o1 = eng.generate(t1, state=s)
+    o2 = eng.generate(t2, state=o1["state"])
+
+    eng2 = DecodeEngine(params, cfg, sp, max_len=64, prefill_bucket=8,
+                        cache_dtype=jnp.float32)
+    s2 = eng2.new_state(1)
+    g1 = [t for c in eng2.generate_stream(t1, chunk=4, state=s2) for t in c]
+    assert eng2.last_stream_state is not None
+    g2 = [t for c in eng2.generate_stream(t2, chunk=4,
+                                          state=eng2.last_stream_state)
+          for t in c]
+    assert g1 == o1["token_ids"] and g2 == o2["token_ids"]
+
+
+@pytest.mark.slow
+def test_forward_longform_streaming_e2e():
+    """Multi-turn streaming longform: chunks stream per turn through the
+    eviction policy; every turn yields audio."""
+    from speech_distill_tpu.infer.soulxpodcast import SoulXPodcast
+    from speech_distill_tpu.tokenizer import s3
+
+    llm_cfg = qwen3_tiny(64)
+    llm_cfg = dataclasses.replace(llm_cfg, dtype="float32", remat=False,
+                                  speech_token_offset=40, eos_token_id=63)
+    llm_params = qwen3.init_params(jax.random.PRNGKey(0), llm_cfg)
+    sp = SamplingParams(temperature=1.0, repetition_penalty=1.1, top_k=0,
+                        top_p=1.0, min_tokens=8, max_tokens=10,
+                        stop_token_ids=(63,), use_ras=True, win_size=5)
+    # tight thresholds force at least one eviction rebuild across 4 turns
+    cfg = EngineConfig(model="", llm=llm_cfg, sampling=sp,
+                       max_model_len=256, max_turn_size=2,
+                       turn_tokens_threshold=100)
+    engine = DecodeEngine(llm_params, llm_cfg, sp, max_len=256,
+                          prefill_bucket=16, cache_dtype=jnp.float32)
+    fp, fc = _tiny_flow(enc_chunk=2)
+    hp, hc = _tiny_hift()
+    s3_cfg = s3.S3Config(n_mels=16, n_state=16, n_head=2, n_layer=1,
+                         fsq_dim=3, fsq_level=3)
+    s3_params = s3.init_params(jax.random.PRNGKey(3), s3_cfg)
+
+    def s3_quantize(mels, lens):
+        codes, code_lens = s3.quantize(s3_params, mels, lens, s3_cfg)
+        return jnp.minimum(codes, fc.vocab_size - 1), code_lens
+
+    model = SoulXPodcast(cfg, engine, s3_quantize, fp, fc, hp, hc)
+    rng = np.random.default_rng(1)
+    n_turns = 4
+    mels = rng.normal(size=(1, 16, 32)).astype(np.float32)
+    lens = np.full((1,), 32, np.int32)
+    flow_mel = [rng.normal(size=(16, 8)).astype(np.float32)]
+    spk = rng.normal(size=(1, 6)).astype(np.float32)
+
+    events = list(model.forward_longform_streaming(
+        prompt_mels_for_llm=mels, prompt_mels_lens_for_llm=lens,
+        prompt_text_tokens_for_llm=[[1, 2, 3]],
+        text_tokens_for_llm=[[4 + i, 5] for i in range(n_turns)],
+        prompt_mels_for_flow_ori=flow_mel, spk_emb_for_flow=spk,
+        llm_chunk=4))
+    turns = sorted({t for t, _ in events})
+    assert turns == list(range(n_turns))     # every turn produced audio
+    for _, w in events:
+        assert w.ndim == 1 and np.isfinite(w).all()
+    # streaming within turns: more chunks than turns
+    assert len(events) > n_turns
