@@ -855,10 +855,21 @@ class PagedEngine:
 
     def serve(self, prompts: Sequence[Sequence[int]],
               max_new: Optional[int] = None,
-              max_new_per_request: Optional[Sequence[int]] = None
-              ) -> List[List[int]]:
+              max_new_per_request: Optional[Sequence[int]] = None,
+              on_tokens=None) -> List[List[int]]:
         """Run every prompt to completion through the slot pool; returns
-        generated token ids per prompt (order-preserving)."""
+        generated token ids per prompt (order-preserving).
+
+        ``on_tokens(rid, new_token_ids, done)``: optional streaming
+        callback (the vLLM incremental-response capability) invoked at
+        decode-chunk granularity — the host only observes progress at
+        chunk boundaries — with each request's newly generated ids, in
+        order, exactly once per token (preemption/resume included: tokens
+        a preempted stream already emitted are not re-emitted). The
+        concatenation of a request's callbacks equals its entry in the
+        returned outputs. Use it to pipeline downstream work (e.g. one
+        StreamingTokenToWav per request for concurrent streaming TTS)
+        while decode continues."""
         cap_default = max_new or self.sp.max_tokens
         t_serve0 = time.perf_counter()
         queue = deque()
@@ -867,7 +878,7 @@ class PagedEngine:
                           "cap": (max_new_per_request[rid]
                                   if max_new_per_request is not None
                                   else cap_default),
-                          "gen": [], "t_enq": t_serve0})
+                          "gen": [], "n_emitted": 0, "t_enq": t_serve0})
         outputs: List[Optional[List[int]]] = [None] * len(prompts)
         self.preemptions = 0               # serve-level metrics
         self.prefix_hits = 0
@@ -935,6 +946,9 @@ class PagedEngine:
             r["gen"] += gen[:keep]
             if len(r["gen"]) >= r["cap"]:
                 outputs[r["rid"]] = r["gen"]   # cap reached mid-chunk: done
+                if on_tokens is not None:
+                    on_tokens(r["rid"], r["gen"][r["n_emitted"]:], True)
+                    r["n_emitted"] = len(r["gen"])
                 t_done = time.perf_counter()
                 self.request_metrics[r["rid"]] = {
                     "ttft_s": r.get("t_first", t_done) - r["t_enq"],
@@ -1120,9 +1134,25 @@ class PagedEngine:
                 # first-token stamp (chunk granularity): this chunk grew
                 # the request beyond what it had at admission
                 r = meta[b]
-                if r is not None and "t_first" not in r \
-                        and int(ngen[b]) > r.get("ngen0", 0):
+                if r is None:
+                    continue
+                if "t_first" not in r and int(ngen[b]) > r.get("ngen0", 0):
                     r["t_first"] = t_now
+                if on_tokens is not None:
+                    # stream this chunk's new tokens: request-total ngen
+                    # counts across preemptions; tokens before len(gen)
+                    # came from a previous residency (already in r["gen"]),
+                    # the rest sit in this residency's token row
+                    total_now = min(int(ngen[b]), r["cap"])
+                    if total_now > r["n_emitted"]:
+                        lo, g = r["n_emitted"], len(r["gen"])
+                        new = list(r["gen"][lo:min(total_now, g)])
+                        if total_now > g:
+                            s0 = r["plen"] + max(lo, g) - g
+                            new += tokens_h[
+                                b, s0:r["plen"] + total_now - g].tolist()
+                        r["n_emitted"] = total_now
+                        on_tokens(r["rid"], new, False)
             done = [b for b in range(self.slots) if meta[b] is not None
                     and fin[b]]
             for b in done:
@@ -1133,6 +1163,9 @@ class PagedEngine:
                 start = r["plen"]
                 r["gen"] += tokens_h[b, start:start + fresh].tolist()
                 outputs[r["rid"]] = r["gen"]
+                if on_tokens is not None:
+                    on_tokens(r["rid"], r["gen"][r["n_emitted"]:], True)
+                    r["n_emitted"] = len(r["gen"])
                 self.request_metrics[r["rid"]] = {
                     "ttft_s": r.get("t_first", t_now) - r["t_enq"],
                     "e2e_s": t_now - r["t_enq"],

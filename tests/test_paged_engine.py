@@ -477,3 +477,34 @@ def test_chunk_exit_free_exact_and_triggers():
     p2 = prompts[:3]
     assert eng2.serve(p2, max_new=5) == base2.serve(p2, max_new=5)
     assert eng2.n_chunks == base2.n_chunks
+
+
+def test_streaming_token_callback():
+    """serve(on_tokens=...): chunk-granularity streaming of generated ids —
+    per-request concatenation equals the returned outputs, every token is
+    emitted exactly once (preemption/resume included), done fires exactly
+    once per request as the final event."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=5, max_tokens=8)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 9).tolist()
+               for _ in range(4)]
+
+    # pool too small for all slots: forces recompute preemption mid-stream
+    eng = PagedEngine(params, cfg, sp, slots=3, max_len=48, page_size=8,
+                      num_pages=7, chunk_steps=3,
+                      cache_dtype=jnp.float32, attn_impl="xla")
+    events = []
+    outs = eng.serve(prompts, max_new=8,
+                     on_tokens=lambda rid, toks, done:
+                     events.append((rid, list(toks), done)))
+    assert eng.preemptions > 0
+    for rid in range(len(prompts)):
+        ev = [(t, d) for r, t, d in events if r == rid]
+        assert sum(d for _, d in ev) == 1 and ev[-1][1]   # one final done
+        got = [tok for t, _ in ev for tok in t]
+        assert got == outs[rid]
+    # streamed: some request produced tokens across >= 2 callbacks
+    assert any(len([1 for r, t, d in events if r == rid and t]) >= 2
+               for rid in range(len(prompts)))

@@ -271,3 +271,51 @@ def test_forward_longform_streaming_e2e():
         assert w.ndim == 1 and np.isfinite(w).all()
     # streaming within turns: more chunks than turns
     assert len(events) > n_turns
+
+
+@pytest.mark.slow
+def test_concurrent_streaming_tts_over_paged_engine():
+    """The production-server composition: PagedEngine.serve streams token
+    chunks per request (on_tokens) into one StreamingTokenToWav per
+    request — N concurrent TTS sessions synthesize audio while decode
+    continues, each producing its full waveform."""
+    from speech_distill_tpu.core.config import qwen3_tiny
+    from speech_distill_tpu.infer.paged import PagedEngine
+    from speech_distill_tpu.infer.streaming_tts import make_stream_programs
+
+    llm_cfg = qwen3_tiny(48)
+    llm_cfg = dataclasses.replace(llm_cfg, dtype="float32", remat=False)
+    llm_params = qwen3.init_params(jax.random.PRNGKey(3), llm_cfg)
+    sp = SamplingParams(stop_token_ids=(47,), max_tokens=12, min_tokens=12,
+                        top_k=1, temperature=1.0, use_ras=False,
+                        repetition_penalty=1.0)
+    eng = PagedEngine(llm_params, llm_cfg, sp, slots=2, max_len=64,
+                      page_size=8, chunk_steps=3,
+                      cache_dtype=jnp.float32, attn_impl="xla")
+
+    fp, fc = _tiny_flow(enc_chunk=2)
+    hp, hc = _tiny_hift()
+    programs = make_stream_programs(fc, hc)
+    rng = np.random.default_rng(8)
+    n_req = 4
+    prompts = [rng.integers(1, 46, 8).tolist() for _ in range(n_req)]
+    pml = 4
+    synths = [StreamingTokenToWav(
+        fp, fc, hp, hc, rng.integers(0, fc.vocab_size, 2).tolist(),
+        rng.normal(size=(pml, 8)).astype(np.float32), pml,
+        rng.normal(size=(6,)).astype(np.float32), jax.random.PRNGKey(i),
+        token_bucket=8, programs=programs) for i in range(n_req)]
+    wavs = [[] for _ in range(n_req)]
+    gens = [[] for _ in range(n_req)]
+
+    def on_tokens(rid, toks, done):
+        gens[rid].extend(min(t, fc.vocab_size - 1) for t in toks)
+        wavs[rid] += synths[rid].push(gens[rid], final=done)
+
+    outs = eng.serve(prompts, max_new=12, on_tokens=on_tokens)
+    for rid in range(n_req):
+        assert len(gens[rid]) == len(outs[rid]) == 12
+        wav = np.concatenate(wavs[rid])
+        assert np.isfinite(wav).all()
+        # every (prompt + generated) token became ratio*upsample samples
+        assert wav.shape[0] == (2 * (2 + 12) - pml) * hc.upsample_scale
