@@ -472,12 +472,14 @@ class DecodeEngine:
         done = 0
         while done < cap:
             state = self._run_decode(state, min(done + chunk, cap))
-            # one batched host read per chunk (relay round-trips)
-            n_gen, end, fin = (int(a) for a in jax.device_get(
+            # ONE batched host read per chunk — incl. the token row; a
+            # separate np.asarray(slice) is its own relay round-trip
+            # (~10 ms) on the first-audio-latency path
+            n_gen, end, fin, row = jax.device_get(
                 (state.num_generated[0], state.length[0],
-                 jnp.all(state.finished))))
-            done = n_gen
-            new = np.asarray(state.tokens[0, emitted:end]).tolist()
+                 jnp.all(state.finished), state.tokens[0]))
+            done, end, fin = int(n_gen), int(end), bool(fin)
+            new = np.asarray(row)[emitted:end].tolist()
             emitted = end
             if new:
                 yield new

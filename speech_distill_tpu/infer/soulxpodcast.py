@@ -117,12 +117,10 @@ class SoulXPodcast:
 
     # -- single-shot TTS ----------------------------------------------------
 
-    def forward_tts(self, prompt_mels_for_llm, prompt_mels_lens_for_llm,
-                    prompt_text_tokens_for_llm, text_tokens_for_llm,
-                    prompt_mels_for_flow_ori, spk_emb_for_flow,
-                    sampling_params: Optional[SamplingParams] = None,
-                    **kwargs) -> Dict[str, Any]:
-        """Reference forward_tts (soulxpodcast.py:145-250)."""
+    def _tts_prepare(self, prompt_mels_for_llm, prompt_mels_lens_for_llm,
+                     prompt_mels_for_flow_ori):
+        """Shared single-shot preamble: tokenize the prompt audio and align
+        the prompt speech tokens with the flow prompt mel."""
         mels = np.asarray(prompt_mels_for_llm, np.float32)
         if mels.ndim == 2:
             mels = mels[None]
@@ -130,13 +128,20 @@ class SoulXPodcast:
         codes, code_lens = self.s3_quantize(jnp.asarray(mels),
                                             jnp.asarray(lens))
         codes = np.asarray(codes)
-        tok_len = int(code_lens[0])
-
         pmel = np.asarray(prompt_mels_for_flow_ori, np.float32)
         if pmel.ndim == 3:
             pmel = pmel[0]
-        prompt_tokens, prompt_mel, prompt_mel_len = self._align_prompt(
-            codes[0], tok_len, pmel)
+        return self._align_prompt(codes[0], int(code_lens[0]), pmel)
+
+    def forward_tts(self, prompt_mels_for_llm, prompt_mels_lens_for_llm,
+                    prompt_text_tokens_for_llm, text_tokens_for_llm,
+                    prompt_mels_for_flow_ori, spk_emb_for_flow,
+                    sampling_params: Optional[SamplingParams] = None,
+                    **kwargs) -> Dict[str, Any]:
+        """Reference forward_tts (soulxpodcast.py:145-250)."""
+        prompt_tokens, prompt_mel, prompt_mel_len = self._tts_prepare(
+            prompt_mels_for_llm, prompt_mels_lens_for_llm,
+            prompt_mels_for_flow_ori)
 
         off = self.config.llm.speech_token_offset
         speech_tokens_i = [int(t) + off for t in prompt_tokens]
@@ -167,19 +172,13 @@ class SoulXPodcast:
         (DecodeEngine.generate_stream)."""
         from speech_distill_tpu.infer import streaming_tts
 
+        if not hasattr(self.llm, "generate_stream"):
+            raise ValueError("streaming TTS needs a token-streaming engine "
+                             "(DecodeEngine.generate_stream)")
         self._ensure_stream_programs()
-        mels = np.asarray(prompt_mels_for_llm, np.float32)
-        if mels.ndim == 2:
-            mels = mels[None]
-        lens = np.atleast_1d(np.asarray(prompt_mels_lens_for_llm, np.int32))
-        codes, code_lens = self.s3_quantize(jnp.asarray(mels),
-                                            jnp.asarray(lens))
-        codes = np.asarray(codes)
-        pmel = np.asarray(prompt_mels_for_flow_ori, np.float32)
-        if pmel.ndim == 3:
-            pmel = pmel[0]
-        prompt_tokens, prompt_mel, prompt_mel_len = self._align_prompt(
-            codes[0], int(code_lens[0]), pmel)
+        prompt_tokens, prompt_mel, prompt_mel_len = self._tts_prepare(
+            prompt_mels_for_llm, prompt_mels_lens_for_llm,
+            prompt_mels_for_flow_ori)
 
         off = self.config.llm.speech_token_offset
         speech_tokens_i = [int(t) + off for t in prompt_tokens]
@@ -199,18 +198,9 @@ class SoulXPodcast:
                      **kwargs) -> Dict[str, Any]:
         """Reference forward_tts2 (soulxpodcast.py:59-143): caller supplies
         the fully-assembled LLM input ids."""
-        mels = np.asarray(prompt_mels_for_llm, np.float32)
-        if mels.ndim == 2:
-            mels = mels[None]
-        lens = np.atleast_1d(np.asarray(prompt_mels_lens_for_llm, np.int32))
-        codes, code_lens = self.s3_quantize(jnp.asarray(mels),
-                                            jnp.asarray(lens))
-        codes = np.asarray(codes)
-        pmel = np.asarray(prompt_mels_for_flow_ori, np.float32)
-        if pmel.ndim == 3:
-            pmel = pmel[0]
-        prompt_tokens, prompt_mel, prompt_mel_len = self._align_prompt(
-            codes[0], int(code_lens[0]), pmel)
+        prompt_tokens, prompt_mel, prompt_mel_len = self._tts_prepare(
+            prompt_mels_for_llm, prompt_mels_lens_for_llm,
+            prompt_mels_for_flow_ori)
 
         out = self.llm.generate(list(inputs))
         gen = self._generated_to_flow_tokens(out["token_ids"])

@@ -102,27 +102,25 @@ class StreamingTokenToWav:
             self.spk_emb = self.spk_emb[None]
         self.la = flow_cfg.pre_lookahead_len
         self.ratio = flow_cfg.token_mel_ratio
-        # emission boundaries must complete BOTH chunk masks: the encoder's
-        # (token-level) and the estimator's (mel-level / ratio)
+        # emission boundaries must complete BOTH chunk masks: chunk must be
+        # a multiple of the encoder's (token-level) chunk AND chunk*ratio a
+        # multiple of the estimator's (mel-level) chunk — i.e. a multiple
+        # of est / gcd(est, ratio) tokens
         enc_c = flow_cfg.encoder.static_chunk_size
-        est_c = -(-flow_cfg.static_chunk_size // self.ratio)
-        base = math.lcm(enc_c, est_c)
+        est = flow_cfg.static_chunk_size
+        base = math.lcm(enc_c, est // math.gcd(est, self.ratio))
         self.chunk = chunk_tokens or base
         if self.chunk % base != 0:
             raise ValueError(
                 f"chunk_tokens={self.chunk} must be a multiple of "
-                f"lcm(encoder chunk {enc_c}, estimator chunk/{self.ratio} "
-                f"{est_c}) = {base}")
+                f"lcm(encoder chunk {enc_c}, estimator chunk {est} / "
+                f"gcd(est, ratio {self.ratio})) = {base}")
         self.bucket = token_bucket
         if mel_cache_frames is None:
-            # vocoder overlap window: 8 frames at production chunk sizes
-            # (the CosyVoice2 value), clamped for tiny test configs
-            mel_cache_frames = min(8, (self.chunk * self.ratio) // 2)
-        if mel_cache_frames >= self.chunk * self.ratio:
-            raise ValueError(
-                f"mel_cache_frames={mel_cache_frames} must be smaller than "
-                f"one mel chunk ({self.chunk * self.ratio} frames) so every "
-                f"non-final vocoder window emits something")
+            mel_cache_frames = 8          # the CosyVoice2 overlap window
+        if mel_cache_frames < 1:
+            raise ValueError("mel_cache_frames must be >= 1 (the -0: "
+                             "slices would invert the hold semantics)")
         self.cache_frames = mel_cache_frames
         self.scale = hift_cfg.upsample_scale
         fade = mel_cache_frames * self.scale
@@ -137,6 +135,13 @@ class StreamingTokenToWav:
         self._mel_cache = np.zeros((1, 0, flow_cfg.output_size), np.float32)
         self._source_cache = jnp.zeros((1, 0), jnp.float32)
         self._speech_tail: Optional[np.ndarray] = None
+        # mel emitted by the flow but not yet vocoded: the first emitted
+        # region after a non-chunk-aligned prompt can be smaller than the
+        # hold window — accumulate until a window can both refill the
+        # cache and emit >= 1 frame, instead of storing an undersized
+        # tail that breaks the next cross-fade
+        self._pending_mel = np.zeros((1, 0, flow_cfg.output_size),
+                                     np.float32)
         self._mel_done = self.prompt_mel_len   # mel frames already vocoded
         self._enc_done = len(self.prompt_tokens)  # tokens already encoded
         programs = programs or make_stream_programs(flow_cfg, hift_cfg)
@@ -206,20 +211,30 @@ class StreamingTokenToWav:
         if final:
             self._finished = True
             if n_enc <= self._enc_done:
-                # no new tokens: flush the vocoder window only
-                if self._mel_cache.shape[1] > 0:
-                    empty = np.zeros((1, 0, self.fc.output_size), np.float32)
-                    out.append(np.asarray(self._vocode(empty, True))[0])
+                # no new tokens: flush the pending mel + vocoder window
+                self._drain(out, final=True)
                 return out
         elif n_enc <= self._enc_done:
             return out
         mel = self._flow_call(total[:min(n, n_enc + self.la)], n_enc)
-        new_mel = mel[:, self._mel_done:]
+        self._pending_mel = np.concatenate(
+            [self._pending_mel, mel[:, self._mel_done:]], axis=1)
         self._enc_done = n_enc
         self._mel_done = mel.shape[1]
-        if new_mel.shape[1] > 0 or (final and self._mel_cache.shape[1] > 0):
-            out.append(np.asarray(self._vocode(new_mel, final))[0])
+        self._drain(out, final)
         return out
+
+    def _drain(self, out: List[np.ndarray], final: bool) -> None:
+        """Vocode the pending mel when the window can refill the hold
+        cache AND emit >= 1 frame (always on final)."""
+        have = self._pending_mel.shape[1] + self._mel_cache.shape[1]
+        if final:
+            if have == 0:
+                return
+        elif have <= self.cache_frames or self._pending_mel.shape[1] == 0:
+            return
+        out.append(np.asarray(self._vocode(self._pending_mel, final))[0])
+        self._pending_mel = self._pending_mel[:, :0]
 
 
 def stream_tts(llm_engine, flow_params, flow_cfg, hift_params, hift_cfg,

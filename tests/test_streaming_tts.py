@@ -133,7 +133,49 @@ def test_streaming_chunk_boundary_validation():
     with pytest.raises(ValueError, match="mel_cache_frames"):
         StreamingTokenToWav(fp, fc, hp, hc, [1], z, 2,
                             np.zeros(6, np.float32), jax.random.PRNGKey(0),
-                            mel_cache_frames=8)
+                            mel_cache_frames=0)
+    # estimator chunk not divisible by ratio: boundaries must complete the
+    # MEL blocks, i.e. chunk*ratio % est == 0 (est 6, ratio 2 -> base
+    # includes 3), not ceil(est/ratio)
+    import dataclasses as dc
+    fc6 = dc.replace(fc, static_chunk_size=6,
+                     encoder=dc.replace(fc.encoder, static_chunk_size=2))
+    with pytest.raises(ValueError, match="multiple"):
+        StreamingTokenToWav(fp, fc6, hp, hc, [1], z, 2,
+                            np.zeros(6, np.float32), jax.random.PRNGKey(0),
+                            chunk_tokens=2)
+    assert StreamingTokenToWav(fp, fc6, hp, hc, [1], z, 2,
+                               np.zeros(6, np.float32),
+                               jax.random.PRNGKey(0)).chunk == 6
+
+
+def test_streaming_unaligned_prompt_small_first_chunk():
+    """A prompt whose length is NOT chunk-aligned makes the first emitted
+    mel region smaller than the vocoder hold window; the pending-mel
+    accumulator must merge it into the next window instead of storing an
+    undersized cross-fade tail (used to raise a broadcast ValueError)."""
+    fp, fc = _tiny_flow()                # chunk = 4 tokens = 8 mel frames
+    hp, hc = _tiny_hift()
+    rng = np.random.default_rng(11)
+    prompt_toks = rng.integers(0, fc.vocab_size, 3).tolist()  # unaligned
+    pml = 6
+    pmel = rng.normal(size=(pml, 8)).astype(np.float32)
+    spk = rng.normal(size=(6,)).astype(np.float32)
+    gen = rng.integers(0, fc.vocab_size, 15).tolist()
+
+    # cache 4 >= the 2-frame first emitted region: the old code crashed
+    synth = StreamingTokenToWav(fp, fc, hp, hc, prompt_toks, pmel, pml, spk,
+                                jax.random.PRNGKey(5), token_bucket=8,
+                                mel_cache_frames=4, max_tokens=64)
+    chunks = []
+    for i in range(1, len(gen) + 1):
+        chunks += synth.push(gen[:i])
+    assert len(chunks) >= 1              # streamed before the flush
+    chunks += synth.push(gen, final=True)
+    wav = np.concatenate(chunks)
+    total_tokens = len(prompt_toks) + len(gen)
+    assert wav.shape[0] == (2 * total_tokens - pml) * hc.upsample_scale
+    assert np.isfinite(wav).all()
 
 
 def test_fade_in_out():
