@@ -86,7 +86,7 @@ class Qwen3Config(_JsonOverlayMixin):
     remat_policy: str = "full"         # full | dots (save MXU outputs,
     #                                    recompute only elementwise in bwd)
     scan_layers: bool = True           # stack layers & lax.scan
-    attn_impl: str = "auto"            # auto | xla | pallas | ring (sp mesh)
+    attn_impl: str = "auto"            # auto | xla | pallas | ring | ring_zigzag
     pp_microbatches: int = 0           # >0: GPipe-pipeline the layer stack
     #                                    over the mesh's pp axis, splitting
     #                                    the batch into this many

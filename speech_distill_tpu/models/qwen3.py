@@ -464,8 +464,8 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
     if cache is None:
         if positions is None:
             positions = jnp.arange(T)[None, :].repeat(B, axis=0)
-        cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
         use_ring = False
+        zz_inv = None
         if cfg.attn_impl == "ring":
             # ring attention computes causality from global positions
             # inside its shard_map; skip materializing the [B,1,T,T] bias
@@ -473,6 +473,23 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
             from speech_distill_tpu.ops.ring_attention import ring_available
             from speech_distill_tpu.parallel.mesh import get_active_mesh
             use_ring = ring_available(get_active_mesh(), T)
+        elif cfg.attn_impl == "ring_zigzag":
+            # zig-zag ring: permute embeddings + rope positions into the
+            # chunk-pair layout once here (every other transformer op is
+            # position-local), run the stack in permuted order, invert
+            # after the layer stack. Balances causal work across sp ranks
+            # and halves attention FLOPs (ops/ring_attention.py).
+            from speech_distill_tpu.ops.ring_attention import (
+                zigzag_available, zigzag_inverse, zigzag_order)
+            from speech_distill_tpu.parallel.mesh import get_active_mesh
+            m = get_active_mesh()
+            if zigzag_available(m, T):
+                use_ring = True
+                sp_n = int(dict(m.shape)["sp"])
+                x = x[:, jnp.asarray(zigzag_order(T, sp_n))]
+                positions = positions[:, jnp.asarray(zigzag_order(T, sp_n))]
+                zz_inv = jnp.asarray(zigzag_inverse(T, sp_n))
+        cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
         mask_bias = None if use_ring else _causal_bias(attention_mask, B, T)
 
         pp_mesh = None
@@ -562,6 +579,8 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
                     jax.tree.map(lambda a: a[i], adapters)
                 x, _ = layer_fns[i](_restructure_layer(params["layers"], i),
                                     x, la_i)
+        if zz_inv is not None:
+            x = x[:, zz_inv]              # back to global token order
         new_cache = None
     else:
         if adapters is not None:

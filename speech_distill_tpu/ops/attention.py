@@ -71,6 +71,17 @@ def sdpa(q, k, v, mask_bias, impl: str = "auto"):
             from speech_distill_tpu.parallel.mesh import get_active_mesh
             return ring_attention(q, k, v, get_active_mesh())
         return sdpa_xla(q, k, v, mask_bias)
+    if impl == "ring_zigzag":
+        # sequences arrive zig-zag-permuted (models/qwen3.forward permutes
+        # embeds + rope positions when it signals eligibility by passing
+        # mask_bias=None); ineligible calls carry a bias and the un-permuted
+        # order, so plain SDPA is correct
+        if mask_bias is None and q.shape[1] == k.shape[1]:
+            from speech_distill_tpu.ops.ring_attention import (
+                zigzag_ring_attention)
+            from speech_distill_tpu.parallel.mesh import get_active_mesh
+            return zigzag_ring_attention(q, k, v, get_active_mesh())
+        return sdpa_xla(q, k, v, mask_bias)
     if impl == "xla":
         return sdpa_xla(q, k, v, mask_bias)
     if impl == "pallas" or (impl == "auto" and _on_tpu()

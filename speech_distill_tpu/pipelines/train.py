@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel size (ring attention over the "
                         "sp mesh axis; seq_len must divide by it)")
+    p.add_argument("--sp_zigzag", action="store_true",
+                   help="zig-zag chunk-pair sequence sharding: balances "
+                        "causal attention work across sp ranks and halves "
+                        "attention FLOPs vs the contiguous ring "
+                        "(seq_len must divide by 2*sp)")
     p.add_argument("--pp", type=int, default=1,
                    help="pipeline-parallel size (GPipe over the layer "
                         "stack; num layers must divide by it)")
@@ -166,7 +171,9 @@ def train(config) -> None:
     if sp > 1:
         # seq-sharded activations + ring attention over the sp axis; must
         # be applied before any forward closure captures the config
-        s_cfg = dataclasses.replace(s_cfg, attn_impl="ring")
+        s_cfg = dataclasses.replace(
+            s_cfg,
+            attn_impl="ring_zigzag" if args.sp_zigzag else "ring")
     if pp > 1:
         s_cfg = dataclasses.replace(s_cfg, pp_microbatches=pp_micro)
     mode = "precomputed" if has_topk else (
@@ -189,7 +196,9 @@ def train(config) -> None:
                 # applies when the teacher shares the student mesh
                 cv_cfg = dataclasses.replace(
                     cv_cfg, backbone=dataclasses.replace(
-                        cv_cfg.backbone, attn_impl="ring"))
+                        cv_cfg.backbone,
+                        attn_impl="ring_zigzag" if args.sp_zigzag
+                        else "ring"))
             if pp > 1 and not disagg \
                     and cv_cfg.backbone.num_hidden_layers % pp == 0:
                 cv_cfg = dataclasses.replace(
@@ -226,8 +235,10 @@ def train(config) -> None:
     meshlib.set_active_mesh(mesh)
     dp = mesh.shape["dp"]
     if sp > 1 and not disagg and teacher_cfg is not None \
-            and teacher_cfg.attn_impl != "ring":
-        teacher_cfg = dataclasses.replace(teacher_cfg, attn_impl="ring")
+            and not teacher_cfg.attn_impl.startswith("ring"):
+        teacher_cfg = dataclasses.replace(
+            teacher_cfg,
+            attn_impl="ring_zigzag" if args.sp_zigzag else "ring")
     if pp > 1 and not disagg and teacher_cfg is not None \
             and teacher_cfg.num_hidden_layers % pp == 0:
         teacher_cfg = dataclasses.replace(teacher_cfg,
