@@ -479,16 +479,26 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
             # position-local), run the stack in permuted order, invert
             # after the layer stack. Balances causal work across sp ranks
             # and halves attention FLOPs (ops/ring_attention.py).
+            # When T divides by sp but not 2*sp, degrade to the contiguous
+            # ring (ops/attention.sdpa mirrors this predicate) rather than
+            # silently materializing the full [B,1,T,T] bias.
             from speech_distill_tpu.ops.ring_attention import (
-                zigzag_available, zigzag_inverse, zigzag_order)
+                ring_available, zigzag_available, zigzag_order)
             from speech_distill_tpu.parallel.mesh import get_active_mesh
             m = get_active_mesh()
             if zigzag_available(m, T):
+                import numpy as np
                 use_ring = True
                 sp_n = int(dict(m.shape)["sp"])
-                x = x[:, jnp.asarray(zigzag_order(T, sp_n))]
-                positions = positions[:, jnp.asarray(zigzag_order(T, sp_n))]
-                zz_inv = jnp.asarray(zigzag_inverse(T, sp_n))
+                order = zigzag_order(T, sp_n)
+                inv = np.empty_like(order)
+                inv[order] = np.arange(T, dtype=order.dtype)
+                order = jnp.asarray(order)
+                x = x[:, order]
+                positions = positions[:, order]
+                zz_inv = jnp.asarray(inv)
+            elif ring_available(m, T):
+                use_ring = True
         cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
         mask_bias = None if use_ring else _causal_bias(attention_mask, B, T)
 

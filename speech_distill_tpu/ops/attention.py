@@ -73,14 +73,19 @@ def sdpa(q, k, v, mask_bias, impl: str = "auto"):
         return sdpa_xla(q, k, v, mask_bias)
     if impl == "ring_zigzag":
         # sequences arrive zig-zag-permuted (models/qwen3.forward permutes
-        # embeds + rope positions when it signals eligibility by passing
-        # mask_bias=None); ineligible calls carry a bias and the un-permuted
-        # order, so plain SDPA is correct
+        # embeds + rope positions when zigzag is eligible and signals by
+        # passing mask_bias=None); when only the contiguous ring is
+        # eligible (T divides by sp but not 2*sp) the data is un-permuted
+        # and routes to ring_attention — the same predicate forward used.
+        # Ineligible calls carry a bias: plain SDPA.
         if mask_bias is None and q.shape[1] == k.shape[1]:
             from speech_distill_tpu.ops.ring_attention import (
-                zigzag_ring_attention)
+                ring_attention, zigzag_available, zigzag_ring_attention)
             from speech_distill_tpu.parallel.mesh import get_active_mesh
-            return zigzag_ring_attention(q, k, v, get_active_mesh())
+            mesh = get_active_mesh()
+            if zigzag_available(mesh, q.shape[1]):
+                return zigzag_ring_attention(q, k, v, mesh)
+            return ring_attention(q, k, v, mesh)
         return sdpa_xla(q, k, v, mask_bias)
     if impl == "xla":
         return sdpa_xla(q, k, v, mask_bias)

@@ -83,15 +83,12 @@ def _ring_body(q, k, v, axis_name: str):
         m, l, acc, kc, vc = carry
         src = (i - s) % sp                                   # kv chunk owner
         k_pos = (src * Tc + loc)[None, :]                    # [1, Tc]
-        m_b, l_b, o_b = _attend_block(qf, kc, vc, q_pos, k_pos)
-        new_m = jnp.maximum(m, m_b)
-        c_old = jnp.exp(m - new_m)
-        c_new = jnp.exp(m_b - new_m)
-        l = l * c_old + l_b * c_new
-        acc = acc * to_tq(c_old) + o_b * to_tq(c_new)
+        m, l, acc = _merge(m, l, acc,
+                           *_attend_block(qf, kc, vc, q_pos, k_pos),
+                           to_tq=to_tq)
         kc = jax.lax.ppermute(kc, axis_name, perm)
         vc = jax.lax.ppermute(vc, axis_name, perm)
-        return (new_m, l, acc, kc, vc), None
+        return (m, l, acc, kc, vc), None
 
     vary = lambda x: jax.lax.pcast(x, (axis_name,), to="varying")
     m0 = vary(jnp.full((B, KV, G, Tc, 1), _BIG_NEG, jnp.float32))

@@ -173,7 +173,7 @@ def train(config) -> None:
         # be applied before any forward closure captures the config
         s_cfg = dataclasses.replace(
             s_cfg,
-            attn_impl="ring_zigzag" if args.sp_zigzag else "ring")
+            attn_impl="ring_zigzag" if config.sp_zigzag else "ring")
     if pp > 1:
         s_cfg = dataclasses.replace(s_cfg, pp_microbatches=pp_micro)
     mode = "precomputed" if has_topk else (
@@ -197,7 +197,7 @@ def train(config) -> None:
                 cv_cfg = dataclasses.replace(
                     cv_cfg, backbone=dataclasses.replace(
                         cv_cfg.backbone,
-                        attn_impl="ring_zigzag" if args.sp_zigzag
+                        attn_impl="ring_zigzag" if config.sp_zigzag
                         else "ring"))
             if pp > 1 and not disagg \
                     and cv_cfg.backbone.num_hidden_layers % pp == 0:
@@ -238,7 +238,7 @@ def train(config) -> None:
             and not teacher_cfg.attn_impl.startswith("ring"):
         teacher_cfg = dataclasses.replace(
             teacher_cfg,
-            attn_impl="ring_zigzag" if args.sp_zigzag else "ring")
+            attn_impl="ring_zigzag" if config.sp_zigzag else "ring")
     if pp > 1 and not disagg and teacher_cfg is not None \
             and teacher_cfg.num_hidden_layers % pp == 0:
         teacher_cfg = dataclasses.replace(teacher_cfg,

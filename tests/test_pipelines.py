@@ -200,3 +200,38 @@ def test_train_disaggregated_teacher(workspace, tmp_path):
                 "--warmup_steps", "1"])
     assert os.path.exists(os.path.join(out_model, "final_model",
                                        "model.safetensors"))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_train_cli_sequence_parallel(workspace, tmp_path, zigzag):
+    """The --sp CLI path end-to-end (ring and zig-zag): online KD over a
+    dp x sp mesh through the real argparse surface — guards the config
+    plumbing (a NameError in the sp branch once shipped untested because
+    only the library path had coverage)."""
+    processed = str(tmp_path / f"processed_sp{int(zigzag)}")
+    out_model = str(tmp_path / f"distilled_sp{int(zigzag)}")
+
+    from speech_distill_tpu.pipelines.prepare_dataset import main as prep
+    prep(["--dataset_path", workspace["raw"], "--output_path", processed,
+          "--student_model", workspace["student"],
+          "--teacher_prefix", "<|task_podcast|><|SPEAKER_0|>",
+          "--max_length", "64"])
+
+    from speech_distill_tpu.pipelines.train import main as train_main
+    train_main(["--dataset_path", processed,
+                "--student_model", workspace["student"],
+                "--teacher_model", workspace["student"],
+                "--top_k", "8", "--sp", "2",
+                "--output_dir", out_model,
+                "--use_lora", "--lora_r", "2", "--lora_alpha", "4",
+                "--init_lora_weights", "gaussian",
+                "--per_device_train_batch_size", "4",
+                "--gradient_accumulation_steps", "1",
+                "--pad_to_multiple_of", "16",
+                "--test_size", "4", "--max_steps", "2",
+                "--warmup_steps", "1"]
+               + (["--sp_zigzag"] if zigzag else []))
+    assert os.path.exists(os.path.join(out_model, "final_model",
+                                       "model.safetensors"))

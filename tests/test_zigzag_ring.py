@@ -214,3 +214,29 @@ def test_kd_step_zigzag_matches_single_device():
                     jax.tree.leaves(st_after.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_zigzag_degrades_to_contiguous_ring():
+    """T divisible by sp but not 2*sp: attn_impl='ring_zigzag' must route
+    through the CONTIGUOUS ring (no permutation, no [B,1,T,T] bias), not
+    silently fall back to full masked SDPA."""
+    mesh = meshlib.make_mesh(MeshConfig(dp=2, sp=4))      # 2*sp = 8
+    T = 36                                                 # 36 % 4 == 0
+    assert not zigzag_available(mesh, T)
+    from speech_distill_tpu.ops.ring_attention import ring_available
+    assert ring_available(mesh, T)
+
+    cfg = qwen3_tiny(128)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False,
+                       "attn_impl": "xla"})
+    cfg_zz = type(cfg)(**{**cfg.__dict__, "attn_impl": "ring_zigzag"})
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 128, (4, T)),
+                      jnp.int32)
+    ref = qwen3.forward(params, ids, cfg)
+    with meshlib.active_mesh(mesh):
+        batch = sharding.shard_batch(mesh, {"ids": ids}, microbatched=False)
+        out = jax.jit(lambda p, i: qwen3.forward(p, i, cfg_zz))(
+            params, batch["ids"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
