@@ -48,8 +48,20 @@ def sample_next_token(sp: SamplingParams, st: DecodeState, win: int,
                       eos_ids: tuple):
     """Sample one token per row from ``st.last_logits`` (RAS + repetition
     penalty + top-k/p, reference sampler.py:111-193). Shared by the static
-    decode loop and the continuous-batching engine. Returns (token, rng)."""
+    decode loop and the continuous-batching engine. Returns (token, rng).
+
+    When the state carries a ``samp`` [B, 4] array (PagedEngine with
+    per_request_sampling — columns: temperature, top_p, repetition
+    penalty, min_tokens), those override the global SamplingParams
+    per row (the vLLM per-request SamplingParams capability)."""
     raw = st.last_logits
+    samp = getattr(st, "samp", None)
+    if samp is not None:
+        temperature, top_p = samp[:, 0], samp[:, 1]
+        rep_pen, min_tok = samp[:, 2], samp[:, 3].astype(jnp.int32)
+    else:
+        temperature, top_p = sp.temperature, sp.top_p
+        rep_pen, min_tok = sp.repetition_penalty, sp.min_tokens
 
     # last `win` tokens of each row (prompt included), masked to length
     pos = st.length[:, None] - win + jnp.arange(win)[None, :]
@@ -61,17 +73,17 @@ def sample_next_token(sp: SamplingParams, st: DecodeState, win: int,
         # fused k-space sampler: avoids two full-vocab sorts per step
         tok, _used_raw = sampling.sample_token_topk(
             sub, raw, st.presence, st.num_generated[:, None], recent,
-            recent_valid, temperature=sp.temperature, top_k=sp.top_k,
-            top_p=sp.top_p, repetition_penalty=sp.repetition_penalty,
-            min_tokens=sp.min_tokens, eos_ids=eos_ids,
+            recent_valid, temperature=temperature, top_k=sp.top_k,
+            top_p=top_p, repetition_penalty=rep_pen,
+            min_tokens=min_tok, eos_ids=eos_ids,
             use_ras=sp.use_ras, win_size=win, tau_r=sp.tau_r,
             topk_method=sp.topk_method)
     else:
         processed = sampling.process_logits(
             raw, st.presence, st.num_generated[:, None],
-            temperature=sp.temperature, top_k=sp.top_k, top_p=sp.top_p,
-            repetition_penalty=sp.repetition_penalty,
-            min_tokens=sp.min_tokens, eos_ids=eos_ids)
+            temperature=temperature, top_k=sp.top_k, top_p=top_p,
+            repetition_penalty=rep_pen,
+            min_tokens=min_tok, eos_ids=eos_ids)
         res = sampling.ras_sample(sub, raw, processed, recent,
                                   recent_valid, use_ras=sp.use_ras,
                                   win_size=win, tau_r=sp.tau_r)

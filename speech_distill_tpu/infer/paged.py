@@ -96,6 +96,12 @@ class PagedState(NamedTuple):
     #                          instead of burning steps to the host boundary)
     finished: jax.Array      # [B] bool
     rng: jax.Array
+    samp: Optional[jax.Array] = None   # [B, 4] f32 per-request sampling
+    #                          params (temperature, top_p, repetition
+    #                          penalty, min_tokens) — None unless the
+    #                          engine was built with per_request_sampling
+    #                          (the vLLM per-request SamplingParams
+    #                          capability); consumed by sample_next_token
 
 
 def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
@@ -269,7 +275,7 @@ def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
         return PagedState(tokens, st.length + live.astype(jnp.int32),
                           pool, st.block_tables, logits, presence,
                           st.num_generated + live.astype(jnp.int32),
-                          st.cap, finished, rng)
+                          st.cap, finished, rng, st.samp)
 
     # donate the state: without it every chunk call copies the multi-GB KV
     # pool at program entry (~50 ms/chunk measured at a 16-slot 4 GB pool).
@@ -425,7 +431,8 @@ class PagedEngine:
                  attn_win_pages: int = 4, mesh=None,
                  native_runtime: Optional[bool] = None,
                  admit_batch_max_width: int = 1024,
-                 chunk_exit_free: Optional[int] = None):
+                 chunk_exit_free: Optional[int] = None,
+                 per_request_sampling: bool = False):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -446,6 +453,13 @@ class PagedEngine:
         # cost of more chunk dispatches.
         self.chunk_exit_free = chunk_exit_free
         self.admit_batch_max_width = admit_batch_max_width
+        # per-request sampling params (vLLM SamplingParams-per-request):
+        # the state carries a [B, 4] row of (temperature, top_p,
+        # repetition_penalty, min_tokens) that overrides the engine-global
+        # SamplingParams per slot; serve(sampling_per_request=[...]) fills
+        # them. top_k / RAS stay engine-global (structural: they fix the
+        # sampler's k-space shape and window).
+        self.per_request_sampling = per_request_sampling
         self.cache_dtype = cache_dtype
         # int8 pools (vLLM quantized KV cache): the pool stores int8 +
         # per-token scales; the CONTIGUOUS temp cache prefill runs through
@@ -533,7 +547,14 @@ class PagedEngine:
             tokens=sh("dp", None), length=sh("dp"), pool=pool,
             block_tables=sh("dp", None), last_logits=sh("dp", None),
             presence=sh("dp", None), num_generated=sh("dp"),
-            cap=sh("dp"), finished=sh("dp"), rng=sh())
+            cap=sh("dp"), finished=sh("dp"), rng=sh(),
+            samp=sh("dp", None) if self.per_request_sampling else None)
+
+    def _default_samp(self):
+        """Engine-global sampling params as a [4] row (the per-request
+        default when a request specifies nothing)."""
+        return [float(self.sp.temperature), float(self.sp.top_p),
+                float(self.sp.repetition_penalty), float(self.sp.min_tokens)]
 
     def new_state(self) -> PagedState:
         B, V = self.slots, self.cfg.vocab_size
@@ -550,7 +571,10 @@ class PagedEngine:
             num_generated=jnp.zeros((B,), jnp.int32),
             cap=jnp.zeros((B,), jnp.int32),
             finished=jnp.ones((B,), bool),     # all slots start idle
-            rng=sub)
+            rng=sub,
+            samp=(jnp.tile(jnp.asarray(self._default_samp(), jnp.float32),
+                           (B, 1))
+                  if self.per_request_sampling else None))
         shardings = self.state_shardings()
         if shardings is not None:
             state = jax.tree.map(jax.device_put, state, shardings)
@@ -603,8 +627,11 @@ class PagedEngine:
 
     @staticmethod
     def _insert_impl(state: PagedState, b, token_row, n, logits_row,
-                     presence_row, n_gen0, cap) -> PagedState:
+                     presence_row, n_gen0, cap, samp_row) -> PagedState:
         dus = jax.lax.dynamic_update_slice
+        if state.samp is not None:
+            state = state._replace(
+                samp=dus(state.samp, samp_row[None], (b, 0)))
         return state._replace(
             tokens=dus(state.tokens, token_row[None], (b, 0)),
             length=dus(state.length, jnp.reshape(n, (1,)), (b,)),
@@ -627,8 +654,8 @@ class PagedEngine:
         @functools.partial(jax.jit, static_argnames=("m", "width"),
                            donate_argnums=(1,))
         def admit(params, state: PagedState, b, arr, mask, pages, n,
-                  token_row, presence_row, n_gen0, cap, *, m: int,
-                  width: int) -> PagedState:
+                  token_row, presence_row, n_gen0, cap, samp_row, *,
+                  m: int, width: int) -> PagedState:
             pre = m * ps
             if m > 0:
                 tmp = PagedEngine._gather_impl(state.pool, pages[:m], width)
@@ -648,7 +675,7 @@ class PagedEngine:
                                        cfg)[0, 0].astype(jnp.float32)
             return PagedEngine._insert_impl(
                 state, b, token_row, n, logits_row, presence_row,
-                n_gen0, cap)
+                n_gen0, cap, samp_row)
 
         return admit
 
@@ -670,7 +697,7 @@ class PagedEngine:
         @functools.partial(jax.jit, static_argnames=("width",),
                            donate_argnums=(1,))
         def admit_batch(params, state: PagedState, bs, arrs, pages_flat,
-                        ns, caps, *, width: int) -> PagedState:
+                        ns, caps, samps, *, width: int) -> PagedState:
             n = arrs.shape[0]
             max_len = state.tokens.shape[1]
             masks = (jnp.arange(width)[None] < ns[:, None]).astype(
@@ -689,6 +716,8 @@ class PagedEngine:
             logits_rows = qwen3.unembed(params, h_rows,
                                         cfg)[:, 0].astype(jnp.float32)
             token_rows = jnp.pad(arrs, ((0, 0), (0, max_len - width)))
+            if state.samp is not None:
+                state = state._replace(samp=state.samp.at[bs].set(samps))
             return state._replace(
                 pool=pool,
                 tokens=state.tokens.at[bs].set(token_rows),
@@ -733,7 +762,8 @@ class PagedEngine:
 
     def _prefill_slot(self, state: PagedState, b: int, ids: Sequence[int],
                       pages: List[int], prev_gen: Sequence[int],
-                      shared: int = 0, cap: int = 1 << 30) -> PagedState:
+                      shared: int = 0, cap: int = 1 << 30,
+                      samp=None) -> PagedState:
         """Prefill slot ``b``. The first ``shared`` entries of ``pages``
         are prefix-cache hits already holding this prompt's KV: only the
         suffix runs through the model (attending over the gathered shared
@@ -763,6 +793,7 @@ class PagedEngine:
             jnp.asarray(presence_row),
             jnp.asarray(len(prev_gen), jnp.int32),
             jnp.asarray(min(cap, 1 << 30), jnp.int32),
+            jnp.asarray(samp or self._default_samp(), jnp.float32),
             m=shared, width=width)
 
     def _flush_admissions(self, state: PagedState, pending,
@@ -782,7 +813,8 @@ class PagedEngine:
                 # (batch size, width) compile buckets
                 state = self._prefill_slot(state, b, r["ids"],
                                            slot_pages[b], r["gen"],
-                                           0, cap=r["cap"])
+                                           0, cap=r["cap"],
+                                           samp=r.get("samp"))
                 continue
             groups.setdefault(width, []).append((b, r))
         for width, jobs in groups.items():
@@ -795,7 +827,8 @@ class PagedEngine:
                     b, r = chunk[0]
                     state = self._prefill_slot(state, b, r["ids"],
                                                slot_pages[b], r["gen"],
-                                               0, cap=r["cap"])
+                                               0, cap=r["cap"],
+                                               samp=r.get("samp"))
                     continue
                 self.n_batched_prefills += sz
                 state = self._prefill_batch(state, chunk, slot_pages,
@@ -813,6 +846,7 @@ class PagedEngine:
         bs = np.empty(n, np.int32)
         ns = np.empty(n, np.int32)
         caps = np.empty(n, np.int32)
+        samps = np.empty((n, 4), np.float32)
         pages_flat = np.empty(n * npg, np.int32)
         for i, (b, r) in enumerate(jobs):
             ids = r["ids"]
@@ -824,11 +858,12 @@ class PagedEngine:
             bs[i] = b
             ns[i] = ln
             caps[i] = min(r["cap"], 1 << 30)
+            samps[i] = r.get("samp") or self._default_samp()
             pages_flat[i * npg:(i + 1) * npg] = slot_pages[b][:npg]
         return self._admit_batch(
             self.params, state, jnp.asarray(bs), jnp.asarray(arrs),
             jnp.asarray(pages_flat), jnp.asarray(ns), jnp.asarray(caps),
-            width=width)
+            jnp.asarray(samps), width=width)
 
     # ------------------------------------------------------------------
     # Scheduler
@@ -856,7 +891,9 @@ class PagedEngine:
     def serve(self, prompts: Sequence[Sequence[int]],
               max_new: Optional[int] = None,
               max_new_per_request: Optional[Sequence[int]] = None,
-              on_tokens=None) -> List[List[int]]:
+              on_tokens=None,
+              sampling_per_request: Optional[Sequence[Optional[dict]]]
+              = None) -> List[List[int]]:
         """Run every prompt to completion through the slot pool; returns
         generated token ids per prompt (order-preserving).
 
@@ -871,13 +908,31 @@ class PagedEngine:
         StreamingTokenToWav per request for concurrent streaming TTS)
         while decode continues."""
         cap_default = max_new or self.sp.max_tokens
+        if sampling_per_request is not None \
+                and not self.per_request_sampling:
+            raise ValueError("sampling_per_request needs "
+                             "PagedEngine(per_request_sampling=True)")
         t_serve0 = time.perf_counter()
         queue = deque()
         for rid, p in enumerate(prompts):
+            samp = None
+            if sampling_per_request is not None \
+                    and sampling_per_request[rid]:
+                o = dict(sampling_per_request[rid])
+                d = self._default_samp()
+                samp = [float(o.pop("temperature", d[0])),
+                        float(o.pop("top_p", d[1])),
+                        float(o.pop("repetition_penalty", d[2])),
+                        float(o.pop("min_tokens", d[3]))]
+                if o:
+                    raise ValueError(f"unknown sampling overrides: "
+                                     f"{sorted(o)} (top_k/RAS are "
+                                     f"engine-global)")
             queue.append({"rid": rid, "ids": list(p), "plen0": len(p),
                           "cap": (max_new_per_request[rid]
                                   if max_new_per_request is not None
                                   else cap_default),
+                          "samp": samp,
                           "gen": [], "n_emitted": 0, "t_enq": t_serve0})
         outputs: List[Optional[List[int]]] = [None] * len(prompts)
         self.preemptions = 0               # serve-level metrics
@@ -1083,7 +1138,8 @@ class PagedEngine:
                 if shared:
                     state = self._prefill_slot(state, b, r["ids"],
                                                slot_pages[b], r["gen"],
-                                               len(shared), cap=r["cap"])
+                                               len(shared), cap=r["cap"],
+                                               samp=r.get("samp"))
                 else:
                     pending.append((b, r))
                 self.n_prefills += 1

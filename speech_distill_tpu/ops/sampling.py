@@ -24,22 +24,40 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _is_scalar(x) -> bool:
+    """Static (Python) sampling parameter vs a per-row [B] array (the
+    multi-tenant serving path: every request carries its own params)."""
+    return isinstance(x, (int, float))
+
+
+def _rows(x) -> jax.Array:
+    """Broadcastable [B, 1] view of a per-row parameter."""
+    return jnp.reshape(jnp.asarray(x, jnp.float32), (-1, 1))
+
+
 def apply_repetition_penalty(logits: jax.Array, presence: jax.Array,
-                             penalty: float) -> jax.Array:
+                             penalty) -> jax.Array:
     """HF RepetitionPenaltyLogitsProcessor: where a token is present in the
-    penalized set: score>0 ? score/p : score*p."""
-    if penalty == 1.0:
-        return logits
-    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    penalized set: score>0 ? score/p : score*p. ``penalty`` may be a
+    Python float or a per-row [B] array."""
+    if _is_scalar(penalty):
+        if penalty == 1.0:
+            return logits
+        pen = penalty
+    else:
+        pen = _rows(penalty)
+    penalized = jnp.where(logits > 0, logits / pen, logits * pen)
     return jnp.where(presence.astype(bool), penalized, logits)
 
 
 def suppress_eos_before_min(logits: jax.Array, eos_ids, num_generated,
-                            min_tokens: int) -> jax.Array:
-    """MinNewTokensLengthLogitsProcessor: EOS gets -inf until min_tokens."""
-    if min_tokens <= 0:
+                            min_tokens) -> jax.Array:
+    """MinNewTokensLengthLogitsProcessor: EOS gets -inf until min_tokens
+    (int, or per-row [B] int32)."""
+    if _is_scalar(min_tokens) and min_tokens <= 0:
         return logits
-    active = jnp.reshape(num_generated < min_tokens, (-1,))  # [B]
+    active = jnp.reshape(num_generated, (-1,)) < jnp.reshape(
+        jnp.asarray(min_tokens), (-1,))                      # [B]
     out = logits
     for eos in eos_ids:
         out = out.at[..., eos].set(
@@ -54,11 +72,14 @@ def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
-def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
+def top_p_filter(logits: jax.Array, p) -> jax.Array:
     """HF TopPLogitsWarper: keep the smallest set whose cumulative prob > p
-    (the first token crossing p is kept)."""
-    if p >= 1.0:
-        return logits
+    (the first token crossing p is kept). ``p``: float or per-row [B]."""
+    if _is_scalar(p):
+        if p >= 1.0:
+            return logits
+    else:
+        p = _rows(p)
     sorted_logits = jnp.sort(logits, axis=-1)            # ascending
     cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
     # HF removes tokens with cumulative prob (from the top) > p, keeping the
@@ -71,13 +92,15 @@ def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
 
 
 def process_logits(raw: jax.Array, presence: jax.Array, num_generated,
-                   *, temperature: float, top_k: int, top_p: float,
-                   repetition_penalty: float, min_tokens: int,
+                   *, temperature, top_k: int, top_p,
+                   repetition_penalty, min_tokens,
                    eos_ids) -> jax.Array:
     """Full processor chain (HF order) raw fp32 logits -> warped scores."""
     x = suppress_eos_before_min(raw, eos_ids, num_generated, min_tokens)
     x = apply_repetition_penalty(x, presence, repetition_penalty)
-    if temperature != 1.0:
+    if not _is_scalar(temperature):
+        x = x / _rows(temperature)
+    elif temperature != 1.0:
         x = x / temperature
     x = top_k_filter(x, top_k)
     x = top_p_filter(x, top_p)
@@ -86,12 +109,17 @@ def process_logits(raw: jax.Array, presence: jax.Array, num_generated,
 
 def sample_token_topk(rng: jax.Array, raw: jax.Array, presence: jax.Array,
                       num_generated: jax.Array, recent_ids: jax.Array,
-                      recent_valid: jax.Array, *, temperature: float,
-                      top_k: int, top_p: float, repetition_penalty: float,
-                      min_tokens: int, eos_ids, use_ras: bool,
+                      recent_valid: jax.Array, *, temperature,
+                      top_k: int, top_p, repetition_penalty,
+                      min_tokens, eos_ids, use_ras: bool,
                       win_size: int, tau_r: float,
                       topk_method: str = "exact"):
     """Fused decode-step sampler for top_k > 0.
+
+    ``temperature`` / ``top_p`` / ``repetition_penalty`` / ``min_tokens``
+    may each be a Python scalar (one compile-time constant for the whole
+    batch) or a per-row [B] array (per-request sampling params, the
+    multi-tenant serving path).
 
     Equivalent to process_logits + ras_sample but O(V + k log k) per step
     instead of two full-vocab sorts: the top-k candidates are extracted
@@ -108,15 +136,18 @@ def sample_token_topk(rng: jax.Array, raw: jax.Array, presence: jax.Array,
         # work — the decode sampler runs this every step over [B, 159k]
         from speech_distill_tpu.distill.losses import segmented_top_k
         vals, idx = segmented_top_k(x, top_k)      # [B, k] descending
-    if temperature != 1.0:
+    if not _is_scalar(temperature):
+        vals = vals / _rows(temperature)
+    elif temperature != 1.0:
         vals = vals / temperature
-    if top_p < 1.0:
+    if not _is_scalar(top_p) or top_p < 1.0:
         # descending order: remove tokens once cumulative prob (shifted by
         # one, so the crossing token survives) exceeds p — identical set to
         # HF TopPLogitsWarper.
         probs = jax.nn.softmax(vals, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        keep = (cum - probs) < top_p
+        tp = top_p if _is_scalar(top_p) else _rows(top_p)
+        keep = (cum - probs) < tp
         vals = jnp.where(keep, vals, NEG_INF)
 
     k1, k2 = jax.random.split(rng)

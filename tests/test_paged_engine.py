@@ -1,5 +1,6 @@
 """Paged-KV engine: block-table serving matches contiguous-cache decode,
 including under forced preemption (vLLM recompute mode)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -508,3 +509,58 @@ def test_streaming_token_callback():
     # streamed: some request produced tokens across >= 2 callbacks
     assert any(len([1 for r, t, d in events if r == rid and t]) >= 2
                for rid in range(len(prompts)))
+
+
+def test_per_request_sampling_params():
+    """serve(sampling_per_request=...): each request's temperature/top_p/
+    repetition_penalty/min_tokens override the engine globals per slot —
+    greedy rows with different penalties served TOGETHER equal each served
+    ALONE under an engine whose globals match (incl. across preemption
+    resume), and min_tokens gates EOS per row."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, _ = _setup(max_tokens=8)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 9).tolist()
+               for _ in range(4)]
+    reqs = [{"repetition_penalty": 1.0},
+            {"repetition_penalty": 8.0},
+            None,                                  # engine defaults
+            {"repetition_penalty": 8.0, "min_tokens": 2}]
+
+    def sp_for(over):
+        base = dict(temperature=1.0, top_k=1, top_p=1.0, use_ras=False,
+                    repetition_penalty=1.0, max_tokens=8, min_tokens=8,
+                    stop_token_ids=(cfg.vocab_size - 1,))
+        base.update({k: v for k, v in (over or {}).items()
+                     if k != "min_tokens"})
+        if over and "min_tokens" in over:
+            base["min_tokens"] = over["min_tokens"]
+        return SamplingParams(**base)
+
+    # reference: each request alone under matching engine-global params
+    refs = []
+    for p, over in zip(prompts, reqs):
+        e = PagedEngine(params, cfg, sp_for(over), slots=1, max_len=48,
+                        page_size=8, chunk_steps=3,
+                        cache_dtype=jnp.float32, attn_impl="xla")
+        refs.append(e.serve([p], max_new=8)[0])
+
+    # together, through a pool small enough to force preemption/resume
+    eng = PagedEngine(params, cfg, sp_for(None), slots=3, max_len=48,
+                      page_size=8, num_pages=7, chunk_steps=3,
+                      cache_dtype=jnp.float32, attn_impl="xla",
+                      per_request_sampling=True)
+    got = eng.serve(prompts, max_new=8, sampling_per_request=reqs)
+    assert eng.preemptions > 0
+    assert got == refs
+    assert got[0] != got[1]        # the penalty actually changed sampling
+
+    with pytest.raises(ValueError, match="per_request_sampling"):
+        PagedEngine(params, cfg, sp_for(None), slots=2, max_len=48,
+                    page_size=8, chunk_steps=3, cache_dtype=jnp.float32,
+                    attn_impl="xla").serve(prompts[:2],
+                                           sampling_per_request=reqs[:2])
+    with pytest.raises(ValueError, match="unknown sampling"):
+        eng.serve(prompts[:1], max_new=2,
+                  sampling_per_request=[{"top_k": 3}])
