@@ -45,10 +45,13 @@ class DecodeState(NamedTuple):
 
 
 def sample_next_token(sp: SamplingParams, st: DecodeState, win: int,
-                      eos_ids: tuple):
+                      eos_ids: tuple, want_logprob: bool = False):
     """Sample one token per row from ``st.last_logits`` (RAS + repetition
     penalty + top-k/p, reference sampler.py:111-193). Shared by the static
-    decode loop and the continuous-batching engine. Returns (token, rng).
+    decode loop and the continuous-batching engine. Returns (token, rng),
+    or (token, rng, logprob [B] f32) with ``want_logprob`` — the emitted
+    token's log-probability under the sampler's closed-form output
+    distribution (vLLM's per-token ``logprobs``; see ops/sampling).
 
     When the state carries a ``samp`` [B, 4] array (PagedEngine with
     per_request_sampling — columns: temperature, top_p, repetition
@@ -69,15 +72,19 @@ def sample_next_token(sp: SamplingParams, st: DecodeState, win: int,
     recent = jnp.take_along_axis(st.tokens, jnp.maximum(pos, 0), axis=1)
 
     rng, sub = jax.random.split(st.rng)
+    logp = None
     if sp.top_k > 0:
         # fused k-space sampler: avoids two full-vocab sorts per step
-        tok, _used_raw = sampling.sample_token_topk(
+        out = sampling.sample_token_topk(
             sub, raw, st.presence, st.num_generated[:, None], recent,
             recent_valid, temperature=temperature, top_k=sp.top_k,
             top_p=top_p, repetition_penalty=rep_pen,
             min_tokens=min_tok, eos_ids=eos_ids,
             use_ras=sp.use_ras, win_size=win, tau_r=sp.tau_r,
-            topk_method=sp.topk_method)
+            topk_method=sp.topk_method, return_logprob=want_logprob)
+        tok = out[0]
+        if want_logprob:
+            logp = out[2]
     else:
         processed = sampling.process_logits(
             raw, st.presence, st.num_generated[:, None],
@@ -86,8 +93,11 @@ def sample_next_token(sp: SamplingParams, st: DecodeState, win: int,
             min_tokens=min_tok, eos_ids=eos_ids)
         res = sampling.ras_sample(sub, raw, processed, recent,
                                   recent_valid, use_ras=sp.use_ras,
-                                  win_size=win, tau_r=sp.tau_r)
-        tok = res.token
+                                  win_size=win, tau_r=sp.tau_r,
+                                  return_logprob=want_logprob)
+        tok, logp = res.token, res.logprob
+    if want_logprob:
+        return tok, rng, logp
     return tok, rng
 
 

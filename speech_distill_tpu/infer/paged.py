@@ -102,6 +102,12 @@ class PagedState(NamedTuple):
     #                          engine was built with per_request_sampling
     #                          (the vLLM per-request SamplingParams
     #                          capability); consumed by sample_next_token
+    logps: Optional[jax.Array] = None  # [B, max_len] f32 — each generated
+    #                          token's logprob under the sampler's
+    #                          closed-form output distribution, stored at
+    #                          the token's column (vLLM SamplingParams.
+    #                          logprobs); None unless the engine was built
+    #                          with return_logprobs
 
 
 def paged_forward(params, token: jax.Array, cfg: Qwen3Config,
@@ -250,13 +256,19 @@ def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
 
     def step_body(params, st: PagedState) -> PagedState:
         B, max_len = st.tokens.shape
-        tok, rng = sample_next_token(sp, st, win, eos_ids)
+        if st.logps is not None:
+            tok, rng, logp = sample_next_token(sp, st, win, eos_ids,
+                                               want_logprob=True)
+        else:
+            tok, rng = sample_next_token(sp, st, win, eos_ids)
         live = jnp.logical_and(~st.finished, st.length < max_len)
         token = jnp.where(live, tok, pad_id)
 
         rows = jnp.arange(B)
         col = jnp.where(live, st.length, max_len + 1)
         tokens = st.tokens.at[rows, col].set(token, mode="drop")
+        logps = (None if st.logps is None
+                 else st.logps.at[rows, col].set(logp, mode="drop"))
         vcol = jnp.where(live, token, st.presence.shape[1] + 1)
         presence = st.presence.at[rows, vcol].set(True, mode="drop")
         is_eos = jnp.zeros(B, bool)
@@ -275,7 +287,7 @@ def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
         return PagedState(tokens, st.length + live.astype(jnp.int32),
                           pool, st.block_tables, logits, presence,
                           st.num_generated + live.astype(jnp.int32),
-                          st.cap, finished, rng, st.samp)
+                          st.cap, finished, rng, st.samp, logps)
 
     # donate the state: without it every chunk call copies the multi-GB KV
     # pool at program entry (~50 ms/chunk measured at a 16-slot 4 GB pool).
@@ -432,7 +444,8 @@ class PagedEngine:
                  native_runtime: Optional[bool] = None,
                  admit_batch_max_width: int = 1024,
                  chunk_exit_free: Optional[int] = None,
-                 per_request_sampling: bool = False):
+                 per_request_sampling: bool = False,
+                 return_logprobs: bool = False):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -460,6 +473,13 @@ class PagedEngine:
         # them. top_k / RAS stay engine-global (structural: they fix the
         # sampler's k-space shape and window).
         self.per_request_sampling = per_request_sampling
+        # per-token logprobs (vLLM SamplingParams.logprobs): the state
+        # carries a [B, max_len] f32 buffer filled at each generated
+        # token's column with its logprob under the sampler's closed-form
+        # output distribution; serve() exposes them per request via
+        # ``request_logprobs`` (and generate() returns "logprobs")
+        self.return_logprobs = return_logprobs
+        self.request_logprobs: List[Optional[List[float]]] = []
         self.cache_dtype = cache_dtype
         # int8 pools (vLLM quantized KV cache): the pool stores int8 +
         # per-token scales; the CONTIGUOUS temp cache prefill runs through
@@ -548,7 +568,8 @@ class PagedEngine:
             block_tables=sh("dp", None), last_logits=sh("dp", None),
             presence=sh("dp", None), num_generated=sh("dp"),
             cap=sh("dp"), finished=sh("dp"), rng=sh(),
-            samp=sh("dp", None) if self.per_request_sampling else None)
+            samp=sh("dp", None) if self.per_request_sampling else None,
+            logps=sh("dp", None) if self.return_logprobs else None)
 
     def _default_samp(self):
         """Engine-global sampling params as a [4] row (the per-request
@@ -574,7 +595,9 @@ class PagedEngine:
             rng=sub,
             samp=(jnp.tile(jnp.asarray(self._default_samp(), jnp.float32),
                            (B, 1))
-                  if self.per_request_sampling else None))
+                  if self.per_request_sampling else None),
+            logps=(jnp.zeros((B, self.max_len), jnp.float32)
+                   if self.return_logprobs else None))
         shardings = self.state_shardings()
         if shardings is not None:
             state = jax.tree.map(jax.device_put, state, shardings)
@@ -632,6 +655,13 @@ class PagedEngine:
         if state.samp is not None:
             state = state._replace(
                 samp=dus(state.samp, samp_row[None], (b, 0)))
+        if state.logps is not None:
+            # fresh residency: prompt columns carry no logprobs, and a
+            # resumed request's previous logprobs were harvested at preempt
+            state = state._replace(logps=dus(
+                state.logps,
+                jnp.zeros((1, state.logps.shape[1]), state.logps.dtype),
+                (b, 0)))
         return state._replace(
             tokens=dus(state.tokens, token_row[None], (b, 0)),
             length=dus(state.length, jnp.reshape(n, (1,)), (b,)),
@@ -718,6 +748,8 @@ class PagedEngine:
             token_rows = jnp.pad(arrs, ((0, 0), (0, max_len - width)))
             if state.samp is not None:
                 state = state._replace(samp=state.samp.at[bs].set(samps))
+            if state.logps is not None:
+                state = state._replace(logps=state.logps.at[bs].set(0.0))
             return state._replace(
                 pool=pool,
                 tokens=state.tokens.at[bs].set(token_rows),
@@ -886,7 +918,10 @@ class PagedEngine:
         + a full-prompt generate per turn). ``state`` is accepted and
         ignored for drop-in orchestrator compatibility."""
         gen = self.serve([list(ids)], max_new=max_new)[0]
-        return {"token_ids": gen, "state": None}
+        out = {"token_ids": gen, "state": None}
+        if self.return_logprobs:
+            out["logprobs"] = self.request_logprobs[0]
+        return out
 
     def serve(self, prompts: Sequence[Sequence[int]],
               max_new: Optional[int] = None,
@@ -906,7 +941,14 @@ class PagedEngine:
         concatenation of a request's callbacks equals its entry in the
         returned outputs. Use it to pipeline downstream work (e.g. one
         StreamingTokenToWav per request for concurrent streaming TTS)
-        while decode continues."""
+        while decode continues.
+
+        With ``PagedEngine(return_logprobs=True)`` each generated token's
+        log-probability under the sampler's closed-form output
+        distribution (vLLM ``SamplingParams.logprobs``) is recorded;
+        after serve() returns, ``self.request_logprobs[rid]`` holds one
+        float per token of ``outputs[rid]`` (preemption/resume exact —
+        a resumed stream keeps the logprobs it already emitted)."""
         cap_default = max_new or self.sp.max_tokens
         if sampling_per_request is not None \
                 and not self.per_request_sampling:
@@ -933,8 +975,11 @@ class PagedEngine:
                                   if max_new_per_request is not None
                                   else cap_default),
                           "samp": samp,
-                          "gen": [], "n_emitted": 0, "t_enq": t_serve0})
+                          "gen": [], "lps": [], "n_emitted": 0,
+                          "t_enq": t_serve0})
         outputs: List[Optional[List[int]]] = [None] * len(prompts)
+        # per-token logprobs, parallel to outputs (return_logprobs only)
+        self.request_logprobs = [None] * len(prompts)
         self.preemptions = 0               # serve-level metrics
         self.prefix_hits = 0
         self.prefix_hit_tokens = 0
@@ -989,6 +1034,7 @@ class PagedEngine:
         # relay round-trips — CLAUDE.md)
         lengths_h = np.zeros((self.slots,), np.int32)
         tokens_h = np.zeros((self.slots, self.max_len), np.int32)
+        lps_h = np.zeros((self.slots, self.max_len), np.float64)
 
         def preempt(b, state):
             """vLLM recompute preemption: fold generated tokens back into
@@ -998,9 +1044,13 @@ class PagedEngine:
             L = int(lengths_h[b])
             gen = tokens_h[b, r["plen"]:L].tolist()
             keep = min(len(r["gen"]) + len(gen), r["cap"]) - len(r["gen"])
+            if self.return_logprobs:
+                r["lps"] += lps_h[b, r["plen"]:L].tolist()[:keep]
             r["gen"] += gen[:keep]
             if len(r["gen"]) >= r["cap"]:
                 outputs[r["rid"]] = r["gen"]   # cap reached mid-chunk: done
+                if self.return_logprobs:
+                    self.request_logprobs[r["rid"]] = r["lps"]
                 if on_tokens is not None:
                     on_tokens(r["rid"], r["gen"][r["n_emitted"]:], True)
                     r["n_emitted"] = len(r["gen"])
@@ -1178,10 +1228,14 @@ class PagedEngine:
             # mirror — per-slot scalars AND the token rows; lengths_h /
             # tokens_h carry into the next grow pass). Caps are enforced
             # device-side (state.cap), so `finished` is exact.
-            lengths_h, ngen, fin, tokens_h, steps_h = (
-                np.array(a) for a in jax.device_get(
-                    (state.length, state.num_generated, state.finished,
-                     state.tokens, steps_dev)))
+            mirrors = [state.length, state.num_generated, state.finished,
+                       state.tokens, steps_dev]
+            if self.return_logprobs:
+                mirrors.append(state.logps)
+            got = [np.array(a) for a in jax.device_get(tuple(mirrors))]
+            lengths_h, ngen, fin, tokens_h, steps_h = got[:5]
+            if self.return_logprobs:
+                lps_h = got[5]
             self.n_decode_steps += int(steps_h)
             t_now = time.perf_counter()
             self.phase_seconds["decode_sync"] += t_now - t_phase
@@ -1217,6 +1271,9 @@ class PagedEngine:
                 total = min(int(ngen[b]), r["cap"])
                 fresh = total - len(r["gen"])
                 start = r["plen"]
+                if self.return_logprobs:
+                    r["lps"] += lps_h[b, start:start + fresh].tolist()
+                    self.request_logprobs[r["rid"]] = r["lps"]
                 r["gen"] += tokens_h[b, start:start + fresh].tolist()
                 outputs[r["rid"]] = r["gen"]
                 if on_tokens is not None:

@@ -113,7 +113,8 @@ def sample_token_topk(rng: jax.Array, raw: jax.Array, presence: jax.Array,
                       top_k: int, top_p, repetition_penalty,
                       min_tokens, eos_ids, use_ras: bool,
                       win_size: int, tau_r: float,
-                      topk_method: str = "exact"):
+                      topk_method: str = "exact",
+                      return_logprob: bool = False):
     """Fused decode-step sampler for top_k > 0.
 
     ``temperature`` / ``top_p`` / ``repetition_penalty`` / ``min_tokens``
@@ -126,6 +127,15 @@ def sample_token_topk(rng: jax.Array, raw: jax.Array, presence: jax.Array,
     once with ``lax.top_k``; temperature/top-p warping, candidate sampling,
     and the RAS window check all happen in k-space. The RAS fallback
     resamples from the raw full-vocab distribution (sampler.py:142-148).
+
+    ``return_logprob``: also return the emitted token's log-probability
+    under the sampler's *closed-form output distribution*
+    p(x) = proc(x)·[not rep(x)] + P_rep·softmax(raw)(x)
+    (the same target infer/speculative.target_probs materializes — the
+    true per-step emission distribution, RAS mixture included; with
+    use_ras=False it reduces to the processed distribution, which is what
+    vLLM reports as ``SamplingParams.logprobs``). Adds one full-vocab
+    logsumexp over ``raw`` only when use_ras is on.
     """
     x = suppress_eos_before_min(raw, eos_ids, num_generated, min_tokens)
     x = apply_repetition_penalty(x, presence, repetition_penalty)
@@ -153,39 +163,86 @@ def sample_token_topk(rng: jax.Array, raw: jax.Array, presence: jax.Array,
     k1, k2 = jax.random.split(rng)
     choice = jax.random.categorical(k1, vals, axis=-1)          # [B] in k
     candidate = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+    rows = jnp.arange(raw.shape[0])
 
     if not use_ras:
-        return candidate.astype(jnp.int32), jnp.zeros(candidate.shape, bool)
+        tok = candidate.astype(jnp.int32)
+        none_raw = jnp.zeros(candidate.shape, bool)
+        if not return_logprob:
+            return tok, none_raw
+        logp = (vals[rows, choice]
+                - jax.nn.logsumexp(vals, axis=-1)).astype(jnp.float32)
+        return tok, none_raw, logp
     matches = (recent_ids == candidate[:, None]) & recent_valid.astype(bool)
     rep_num = jnp.sum(matches, axis=-1) + 1
     use_raw = rep_num >= (win_size * tau_r)
     resampled = jax.random.categorical(k2, raw, axis=-1)
-    token = jnp.where(use_raw, resampled, candidate)
-    return token.astype(jnp.int32), use_raw
+    token = jnp.where(use_raw, resampled, candidate).astype(jnp.int32)
+    if not return_logprob:
+        return token, use_raw
+    # closed-form mixture at the emitted token (k-space): every candidate's
+    # RAS predicate, its processed mass masked by it, plus the raw tail
+    probs = jax.nn.softmax(vals, axis=-1)                       # [B, k]
+    m_all = jnp.sum((recent_ids[:, None, :] == idx[:, :, None])
+                    & recent_valid[:, None, :].astype(bool), axis=-1)
+    rep_all = (m_all + 1) >= (win_size * tau_r)                 # [B, k]
+    p_rep = jnp.sum(jnp.where(rep_all, probs, 0.0), axis=-1)    # [B]
+    proc_t = jnp.sum(jnp.where((idx == token[:, None]) & ~rep_all,
+                               probs, 0.0), axis=-1)            # [B]
+    raw_lp = (raw[rows, token]
+              - jax.nn.logsumexp(raw, axis=-1)).astype(jnp.float32)
+    p = proc_t + p_rep * jnp.exp(raw_lp)
+    logp = jnp.log(jnp.maximum(p, 1e-38)).astype(jnp.float32)
+    return token, use_raw, logp
 
 
 class RasResult(NamedTuple):
     token: jax.Array       # [B] int32
     used_raw: jax.Array    # [B] bool — RAS fallback triggered
+    logprob: Optional[jax.Array] = None  # [B] f32 — emitted-token logprob
+    #                        under the closed-form output distribution
+    #                        (only when requested via return_logprob)
 
 
 def ras_sample(rng: jax.Array, raw: jax.Array, processed: jax.Array,
                recent_ids: jax.Array, recent_valid: jax.Array,
-               *, use_ras: bool, win_size: int, tau_r: float) -> RasResult:
+               *, use_ras: bool, win_size: int, tau_r: float,
+               return_logprob: bool = False) -> RasResult:
     """Sample with Repetition-Aware Sampling (sampler.py:142-148).
 
     raw/processed: [B, V] fp32; recent_ids: [B, win] last tokens of the
     sequence (prompt included, like input_ids[:, -win:]), recent_valid
-    marks real positions.
+    marks real positions. ``return_logprob``: see sample_token_topk —
+    same closed-form mixture, computed in full-vocab space here.
     """
+    B, V = raw.shape
+    rows = jnp.arange(B)
     k1, k2 = jax.random.split(rng)
     candidate = jax.random.categorical(k1, processed, axis=-1)
     if not use_ras:
-        return RasResult(candidate.astype(jnp.int32),
-                         jnp.zeros(candidate.shape, bool))
+        tok = candidate.astype(jnp.int32)
+        logp = None
+        if return_logprob:
+            logp = (processed[rows, tok] - jax.nn.logsumexp(
+                processed, axis=-1)).astype(jnp.float32)
+        return RasResult(tok, jnp.zeros(candidate.shape, bool), logp)
     matches = (recent_ids == candidate[:, None]) & recent_valid.astype(bool)
     rep_num = jnp.sum(matches, axis=-1) + 1
     use_raw = rep_num >= (win_size * tau_r)
     resampled = jax.random.categorical(k2, raw, axis=-1)
-    token = jnp.where(use_raw, resampled, candidate)
-    return RasResult(token.astype(jnp.int32), use_raw)
+    token = jnp.where(use_raw, resampled, candidate).astype(jnp.int32)
+    if not return_logprob:
+        return RasResult(token, use_raw)
+    # RAS predicate for every vocab id: occurrence count in the recent
+    # window via one scatter-add over the (small) window
+    counts = jnp.zeros((B, V), jnp.int32).at[
+        rows[:, None], recent_ids].add(recent_valid.astype(jnp.int32))
+    rep_full = (counts + 1) >= (win_size * tau_r)               # [B, V]
+    proc_p = jax.nn.softmax(processed, axis=-1)
+    p_rep = jnp.sum(jnp.where(rep_full, proc_p, 0.0), axis=-1)
+    proc_t = jnp.where(rep_full[rows, token], 0.0, proc_p[rows, token])
+    raw_lp = (raw[rows, token]
+              - jax.nn.logsumexp(raw, axis=-1)).astype(jnp.float32)
+    p = proc_t + p_rep * jnp.exp(raw_lp)
+    logp = jnp.log(jnp.maximum(p, 1e-38)).astype(jnp.float32)
+    return RasResult(token, use_raw, logp)

@@ -564,3 +564,123 @@ def test_per_request_sampling_params():
     with pytest.raises(ValueError, match="unknown sampling"):
         eng.serve(prompts[:1], max_new=2,
                   sampling_per_request=[{"top_k": 3}])
+
+
+def test_logprobs_greedy_structural_and_preemption_invariant():
+    """return_logprobs: one logprob per generated token; under top_k=1 the
+    sampling distribution is a point mass so every logprob is exactly 0;
+    and a preemption/resume run reports the same logprobs as an
+    unconstrained run (harvest-at-preempt + re-admission zeroing exact)."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=5, max_tokens=8)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 9).tolist()
+               for _ in range(4)]
+    kw = dict(max_len=48, page_size=8, chunk_steps=4,
+              cache_dtype=jnp.float32, attn_impl="xla",
+              return_logprobs=True)
+
+    free = PagedEngine(params, cfg, sp, slots=4, **kw)
+    ref = free.serve(prompts, max_new=8)
+    ref_lps = list(free.request_logprobs)
+
+    eng = PagedEngine(params, cfg, sp, slots=3, num_pages=7, **kw)
+    got = eng.serve(prompts, max_new=8)
+    assert eng.preemptions > 0, "config failed to force preemption"
+    assert got == ref
+    for g, a, b in zip(got, eng.request_logprobs, ref_lps):
+        assert len(a) == len(g) and a == b
+        assert all(x == 0.0 for x in a)   # point-mass distribution
+
+    # engines built without the flag don't pay for (or report) logprobs
+    off = PagedEngine(params, cfg, sp, slots=2, max_len=48, page_size=8,
+                      chunk_steps=4, cache_dtype=jnp.float32,
+                      attn_impl="xla")
+    off.serve(prompts[:1], max_new=4)
+    assert off.request_logprobs == [None]
+
+
+def test_serve_logprobs_match_closed_form_target():
+    """Sampled RAS serving: every reported logprob equals the closed-form
+    per-step emission distribution (speculative.target_probs — the same
+    oracle that validates the sampler itself) evaluated at the emitted
+    token, on a teacher-forced replay of the request."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+    from speech_distill_tpu.infer import speculative
+
+    cfg, params, _ = _setup(seed=6)
+    V = cfg.vocab_size
+    win = 6
+    sp = SamplingParams(stop_token_ids=(V - 1,), max_tokens=8,
+                        min_tokens=2, top_k=8, top_p=0.9, temperature=0.8,
+                        repetition_penalty=1.2, use_ras=True,
+                        win_size=win, tau_r=0.2)
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(1, V - 2, 7).tolist() for _ in range(3)]
+    eng = PagedEngine(params, cfg, sp, slots=2, max_len=64, page_size=8,
+                      chunk_steps=3, cache_dtype=jnp.float32,
+                      attn_impl="xla", return_logprobs=True)
+    outs = eng.serve(prompts, max_new=8)
+
+    checked = 0
+    for p, gen, lps in zip(prompts, outs, eng.request_logprobs):
+        assert len(lps) == len(gen) > 0
+        ids = jnp.asarray([p + gen], jnp.int32)
+        logits = qwen3.forward(params, ids, cfg)
+        for i, (t, lp) in enumerate(zip(gen, lps)):
+            raw = logits[:, len(p) + i - 1].astype(jnp.float32)
+            seq = p + gen[:i]
+            pos = len(seq) - win + np.arange(win)
+            recent = jnp.asarray(
+                [[seq[max(j, 0)] for j in pos]], jnp.int32)
+            recent_valid = jnp.asarray([(pos >= 0).astype(np.int32)])
+            presence = jnp.zeros((1, V), bool).at[0,
+                                                  jnp.asarray(gen[:i],
+                                                              jnp.int32)
+                                                  ].set(bool(i))
+            target = np.asarray(speculative.target_probs(
+                raw, presence, jnp.asarray([i]), recent, recent_valid,
+                sp, tuple(sp.stop_token_ids), win))[0]
+            assert abs(lp - np.log(max(target[t], 1e-38))) < 5e-3, \
+                (i, t, lp, np.log(target[t]))
+            checked += 1
+    assert checked >= 10
+
+
+def test_ras_sample_logprob_matches_numpy_oracle():
+    """Full-vocab (top_k=0) path: ras_sample's reported logprob equals an
+    independent numpy evaluation of the mixture
+    p(x) = proc(x)[not rep(x)] + P_rep * softmax(raw)(x)."""
+    from speech_distill_tpu.ops import sampling
+
+    V, win, B = 40, 8, 4
+    rng = np.random.default_rng(7)
+    raw = rng.normal(size=(B, V)).astype(np.float32) * 2.0
+    processed = rng.normal(size=(B, V)).astype(np.float32)
+    recent = rng.integers(0, 10, size=(B, win)).astype(np.int32)
+    recent_valid = (rng.random((B, win)) < 0.8).astype(np.int32)
+    tau_r, = (0.25,)
+
+    res = sampling.ras_sample(
+        jax.random.PRNGKey(1), jnp.asarray(raw), jnp.asarray(processed),
+        jnp.asarray(recent), jnp.asarray(recent_valid),
+        use_ras=True, win_size=win, tau_r=tau_r, return_logprob=True)
+    tok = np.asarray(res.token)
+    lp = np.asarray(res.logprob)
+
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    proc_p, raw_p = softmax(processed), softmax(raw)
+    for b in range(B):
+        counts = np.zeros(V)
+        for j in range(win):
+            if recent_valid[b, j]:
+                counts[recent[b, j]] += 1
+        rep = (counts + 1) >= win * tau_r
+        p_rep = proc_p[b][rep].sum()
+        t = tok[b]
+        p = (0.0 if rep[t] else proc_p[b, t]) + p_rep * raw_p[b, t]
+        np.testing.assert_allclose(lp[b], np.log(p), atol=1e-5)
