@@ -15,10 +15,16 @@ from typing import Any, Dict, Optional
 
 class MetricsLogger:
     def __init__(self, output_dir: str, report_to: str = "none",
-                 run_name: str = "run"):
-        os.makedirs(output_dir, exist_ok=True)
+                 run_name: str = "run", write: bool = True):
+        """``write=False``: a silent sink (non-primary hosts of a
+        multi-process run — they must not race the primary on the shared
+        metrics.jsonl / stdout)."""
+        self._write = write
         self.path = os.path.join(output_dir, "metrics.jsonl")
-        self._f = open(self.path, "a")
+        self._f = None
+        if write:
+            os.makedirs(output_dir, exist_ok=True)
+            self._f = open(self.path, "a")
         self._wandb = None
         if report_to == "wandb":
             try:
@@ -39,6 +45,8 @@ class MetricsLogger:
         rec.update({k: float(v) for k, v in metrics.items()})
         if tokens_per_step:
             rec["tokens_per_sec"] = round(tokens_per_step / max(dt, 1e-9), 1)
+        if not self._write:
+            return
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
         if self._wandb is not None:
@@ -49,7 +57,8 @@ class MetricsLogger:
             print(f"[step {step}] {parts}", flush=True)
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._wandb is not None:
             self._wandb.finish()
 

@@ -129,10 +129,20 @@ def train_loop(step_fn: Callable, state, frozen_args: tuple,
     import os
     from speech_distill_tpu.core.metrics import ProfilerWindow
 
-    logger = MetricsLogger(cfg.output_dir, cfg.report_to)
+    # multi-host: Orbax coordinates the multi-process save itself — every
+    # process passes the ON-DEVICE state and writes only its addressable
+    # shards (jax.device_get raises on non-addressable cross-process
+    # shards). Metrics/prints come from the primary only; save/restore/eval
+    # run on every process (they contain collectives).
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
+    host_view = (lambda s: s) if multiproc else jax.device_get
+
+    logger = MetricsLogger(cfg.output_dir, cfg.report_to if primary
+                           else "none", write=primary)
     profiler = ProfilerWindow(
         os.environ.get("SDT_PROFILE", f"{cfg.output_dir}/trace"),
-        enabled=bool(os.environ.get("SDT_PROFILE")))
+        enabled=bool(os.environ.get("SDT_PROFILE")) and primary)
     if ckpt is None:
         ckpt = CheckpointManager(f"{cfg.output_dir}/ckpt", cfg.save_total_limit)
 
@@ -144,7 +154,8 @@ def train_loop(step_fn: Callable, state, frozen_args: tuple,
         if restored is not None:
             state = restored
             start_step = latest
-            print(f"resumed from step {latest}")
+            if primary:
+                print(f"resumed from step {latest}")
 
     from speech_distill_tpu.core.prefetch import prefetch
 
@@ -161,7 +172,7 @@ def train_loop(step_fn: Callable, state, frozen_args: tuple,
             best["loss"] = loss
             best["step"] = global_step
             if ckpt.latest_step() != global_step:
-                ckpt.save(global_step, jax.device_get(state))
+                ckpt.save(global_step, host_view(state))
 
     for epoch in range(cfg.num_epochs):
         if done:
@@ -175,7 +186,7 @@ def train_loop(step_fn: Callable, state, frozen_args: tuple,
                 metrics = jax.device_get(metrics)
                 logger.log(global_step, metrics, tokens_per_batch)
             if cfg.save_steps and global_step % cfg.save_steps == 0:
-                ckpt.save(global_step, jax.device_get(state))
+                ckpt.save(global_step, host_view(state))
             if cfg.eval_steps and eval_fn and global_step % cfg.eval_steps == 0:
                 run_eval()
             if cfg.max_steps and global_step >= cfg.max_steps:
@@ -185,16 +196,17 @@ def train_loop(step_fn: Callable, state, frozen_args: tuple,
             run_eval()                        # per-epoch eval (reference)
         if not cfg.save_steps and ckpt.latest_step() != global_step:
             # per-epoch save (reference default)
-            ckpt.save(global_step, jax.device_get(state))
+            ckpt.save(global_step, host_view(state))
     if ckpt.latest_step() != global_step:
-        ckpt.save(global_step, jax.device_get(state), force=True)
+        ckpt.save(global_step, host_view(state), force=True)
     ckpt.wait()
     if (cfg.load_best_at_end and eval_fn and best["step"] is not None
             and best["step"] != global_step):
-        restored = ckpt.restore(jax.device_get(state), best["step"])
+        restored = ckpt.restore(host_view(state), best["step"])
         if restored is not None:
             state = restored
-            print(f"loaded best model from step {best['step']} "
-                  f"(eval loss {best['loss']:.4f})")
+            if primary:
+                print(f"loaded best model from step {best['step']} "
+                      f"(eval loss {best['loss']:.4f})")
     logger.close()
     return state

@@ -927,6 +927,7 @@ class PagedEngine:
               max_new: Optional[int] = None,
               max_new_per_request: Optional[Sequence[int]] = None,
               on_tokens=None,
+              on_logprobs=None,
               sampling_per_request: Optional[Sequence[Optional[dict]]]
               = None) -> List[List[int]]:
         """Run every prompt to completion through the slot pool; returns
@@ -948,8 +949,21 @@ class PagedEngine:
         distribution (vLLM ``SamplingParams.logprobs``) is recorded;
         after serve() returns, ``self.request_logprobs[rid]`` holds one
         float per token of ``outputs[rid]`` (preemption/resume exact —
-        a resumed stream keeps the logprobs it already emitted)."""
+        a resumed stream keeps the logprobs it already emitted).
+
+        ``on_logprobs(rid, new_logprobs, done)``: optional streaming
+        companion to ``on_tokens`` (requires ``return_logprobs=True``) —
+        invoked at the same chunk boundaries with the logprobs aligned
+        one-to-one with that call's ``new_token_ids``, so streaming
+        consumers (e.g. per-token-confidence TTS gating) see them
+        incrementally instead of waiting for serve() to return."""
         cap_default = max_new or self.sp.max_tokens
+        if on_logprobs is not None and not self.return_logprobs:
+            raise ValueError("on_logprobs needs "
+                             "PagedEngine(return_logprobs=True)")
+        if on_logprobs is not None and on_tokens is None:
+            raise ValueError("on_logprobs is a companion callback: pass "
+                             "on_tokens too (emission is aligned to it)")
         if sampling_per_request is not None \
                 and not self.per_request_sampling:
             raise ValueError("sampling_per_request needs "
@@ -1034,7 +1048,9 @@ class PagedEngine:
         # relay round-trips — CLAUDE.md)
         lengths_h = np.zeros((self.slots,), np.int32)
         tokens_h = np.zeros((self.slots, self.max_len), np.int32)
-        lps_h = np.zeros((self.slots, self.max_len), np.float64)
+        # f32 to match the device mirror; only needed with logprobs on
+        lps_h = (np.zeros((self.slots, self.max_len), np.float32)
+                 if self.return_logprobs else None)
 
         def preempt(b, state):
             """vLLM recompute preemption: fold generated tokens back into
@@ -1053,6 +1069,9 @@ class PagedEngine:
                     self.request_logprobs[r["rid"]] = r["lps"]
                 if on_tokens is not None:
                     on_tokens(r["rid"], r["gen"][r["n_emitted"]:], True)
+                    if on_logprobs is not None:
+                        on_logprobs(r["rid"], r["lps"][r["n_emitted"]:],
+                                    True)
                     r["n_emitted"] = len(r["gen"])
                 t_done = time.perf_counter()
                 self.request_metrics[r["rid"]] = {
@@ -1261,6 +1280,14 @@ class PagedEngine:
                             s0 = r["plen"] + max(lo, g) - g
                             new += tokens_h[
                                 b, s0:r["plen"] + total_now - g].tolist()
+                        if on_logprobs is not None:
+                            nl = list(r["lps"][lo:min(total_now, g)])
+                            if total_now > g:
+                                s0 = r["plen"] + max(lo, g) - g
+                                nl += lps_h[
+                                    b, s0:r["plen"] + total_now - g
+                                ].tolist()
+                            on_logprobs(r["rid"], nl, False)
                         r["n_emitted"] = total_now
                         on_tokens(r["rid"], new, False)
             done = [b for b in range(self.slots) if meta[b] is not None
@@ -1278,6 +1305,9 @@ class PagedEngine:
                 outputs[r["rid"]] = r["gen"]
                 if on_tokens is not None:
                     on_tokens(r["rid"], r["gen"][r["n_emitted"]:], True)
+                    if on_logprobs is not None:
+                        on_logprobs(r["rid"], r["lps"][r["n_emitted"]:],
+                                    True)
                     r["n_emitted"] = len(r["gen"])
                 self.request_metrics[r["rid"]] = {
                     "ttft_s": r.get("t_first", t_now) - r["t_enq"],

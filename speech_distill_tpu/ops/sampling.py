@@ -191,8 +191,11 @@ def sample_token_topk(rng: jax.Array, raw: jax.Array, presence: jax.Array,
                                probs, 0.0), axis=-1)            # [B]
     raw_lp = (raw[rows, token]
               - jax.nn.logsumexp(raw, axis=-1)).astype(jnp.float32)
-    p = proc_t + p_rep * jnp.exp(raw_lp)
-    logp = jnp.log(jnp.maximum(p, 1e-38)).astype(jnp.float32)
+    # log-space mixture: log(proc_t + p_rep * exp(raw_lp)); log(0) = -inf
+    # is exact under logaddexp, so tiny probabilities keep their true
+    # logprob instead of a clamp constant.
+    logp = jnp.logaddexp(jnp.log(proc_t),
+                         jnp.log(p_rep) + raw_lp).astype(jnp.float32)
     return token, use_raw, logp
 
 
@@ -234,7 +237,12 @@ def ras_sample(rng: jax.Array, raw: jax.Array, processed: jax.Array,
     if not return_logprob:
         return RasResult(token, use_raw)
     # RAS predicate for every vocab id: occurrence count in the recent
-    # window via one scatter-add over the (small) window
+    # window via one scatter-add over the (small) window. NOTE: this
+    # materializes [B, V] i32 (~40 MB at B=64, V=159k) per step — fine for
+    # the engine defaults (top_k>0 routes to the k-space path above); if
+    # the full-vocab path is ever used at batch scale with logprobs,
+    # replace with a windowed count at the emitted token + a gather of
+    # proc_p at the <=win recent ids.
     counts = jnp.zeros((B, V), jnp.int32).at[
         rows[:, None], recent_ids].add(recent_valid.astype(jnp.int32))
     rep_full = (counts + 1) >= (win_size * tau_r)               # [B, V]
@@ -243,6 +251,6 @@ def ras_sample(rng: jax.Array, raw: jax.Array, processed: jax.Array,
     proc_t = jnp.where(rep_full[rows, token], 0.0, proc_p[rows, token])
     raw_lp = (raw[rows, token]
               - jax.nn.logsumexp(raw, axis=-1)).astype(jnp.float32)
-    p = proc_t + p_rep * jnp.exp(raw_lp)
-    logp = jnp.log(jnp.maximum(p, 1e-38)).astype(jnp.float32)
+    logp = jnp.logaddexp(jnp.log(proc_t),
+                         jnp.log(p_rep) + raw_lp).astype(jnp.float32)
     return RasResult(token, use_raw, logp)

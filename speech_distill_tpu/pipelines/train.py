@@ -80,6 +80,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--teacher_tp", type=int, default=1,
                    help="tensor-parallel size of the disaggregated "
                         "teacher mesh")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="multi-host: host:port of process 0's coordination "
+                        "service (jax.distributed). Every host runs this "
+                        "CLI with the same flags plus its --process_id; "
+                        "the mesh then spans all hosts' devices and dp "
+                        "gradient collectives ride DCN. Env fallback: "
+                        "SDT_COORDINATOR/SDT_NUM_PROCESSES/SDT_PROCESS_ID")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="multi-host: total process (host) count")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="multi-host: this process's rank in [0, "
+                        "num_processes)")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--shuffle_buffer_size", type=int, default=0,
                    help="0: whole-epoch shuffle (exact permutation, "
@@ -101,8 +113,14 @@ def train(config) -> None:
     from speech_distill_tpu.models.hf_loader import load_pretrained
     from speech_distill_tpu.parallel import mesh as meshlib
     from speech_distill_tpu.parallel import sharding
+    from speech_distill_tpu.parallel import multihost
     from speech_distill_tpu.pipelines.common import load_hf_dataset, load_tokenizer
     from speech_distill_tpu.pipelines.prepare_dataset import make_dual_processor
+
+    # multi-host entry: must precede the first backend touch
+    multihost.initialize(getattr(config, "coordinator_address", None),
+                         getattr(config, "num_processes", None),
+                         getattr(config, "process_id", None))
 
     tokenizer = load_tokenizer(config.student_model, config.pad_token)
     teacher_prefix = parse_prefix(config.teacher_prefix)
@@ -180,6 +198,9 @@ def train(config) -> None:
         "online_dense" if dcfg.use_dense else "online_sparse")
     n_tdev = getattr(config, "teacher_devices", 0)
     disagg = n_tdev > 0 and mode != "precomputed"
+    if disagg and jax.process_count() > 1:
+        raise ValueError("--teacher_devices (disaggregated teacher) is "
+                         "single-host; multi-host runs share the mesh")
     if disagg and mode == "online_dense":
         raise ValueError(
             "--teacher_devices streams sparse top-K artifacts; dense KD "
@@ -252,6 +273,10 @@ def train(config) -> None:
 
     n_examples = len(dataset)
     global_batch = dcfg.per_device_batch_size * dp
+    # multi-host: every host collates only ITS shard of each global batch
+    # (shuffled_stream host_index split); make_global_batch stitches the
+    # local arrays into global dp-sharded jax.Arrays
+    host_batch = multihost.local_batch_size(global_batch)
     steps_per_epoch = n_examples // (
         global_batch * dcfg.gradient_accumulation_steps)
     total_steps = config.max_steps or steps_per_epoch * dcfg.num_train_epochs
@@ -315,7 +340,7 @@ def train(config) -> None:
     def batch_iter(epoch):
         it = batches_from(
             (dataset[i] for i in range(len(dataset))), collator,
-            global_batch, dcfg.gradient_accumulation_steps,
+            host_batch, dcfg.gradient_accumulation_steps,
             shuffle_seed=dcfg.seed, epoch=epoch,
             shuffle_buffer=dcfg.shuffle_buffer_size or None,
             host_count=jax.process_count(),
@@ -341,16 +366,23 @@ def train(config) -> None:
         def eval_fn(state):
             import jax.numpy as jnp
             totals, n = None, 0
+            # every host streams the FULL eval set (identical batch count
+            # on all processes — collectives stay in lockstep) and
+            # contributes its dp rows of each batch
             it = batches_from(
                 (eval_dataset[i] for i in range(len(eval_dataset))),
                 collator, global_batch, 1, drop_last=False)
             if teacher_service is not None:
                 it = disaggregate.pipeline_batches(it, teacher_service)
             for hb in it:
+                if jax.process_count() > 1:
+                    i0 = jax.process_index() * host_batch
+                    hb = {k: v[:, i0:i0 + host_batch]
+                          for k, v in hb.items()}
                 m = eval_step(state.trainable, base_s,
                               None if teacher_service is not None
                               else teacher_params,
-                              sharding.shard_batch(mesh, hb))
+                              multihost.make_global_batch(mesh, hb))
                 m = jax.device_get(m)
                 totals = m if totals is None else \
                     {k: totals[k] + m[k] for k in m}
@@ -362,19 +394,22 @@ def train(config) -> None:
               None if teacher_service is not None else teacher_params)
     state = train_loop(
         step_fn, state, frozen, batch_iter, loop_cfg,
-        put_batch=lambda b: sharding.shard_batch(mesh, b),
+        put_batch=lambda b: multihost.make_global_batch(mesh, b),
         eval_fn=eval_fn,
         tokens_per_batch=global_batch * dcfg.gradient_accumulation_steps
         * dcfg.pad_to_multiple_of)
 
-    # export merged model for HF consumers
+    # export merged model for HF consumers (multi-host: params may be
+    # sharded across processes — fetch replicated, write on primary only)
     from speech_distill_tpu.core.checkpoint import export_hf
     from speech_distill_tpu.distill.lora import merge_and_export
-    final = merge_and_export(base_s, jax.device_get(state.trainable),
-                             dcfg.lora) if config.use_lora \
-        else jax.device_get(state.trainable)
-    export_hf(jax.device_get(final), s_cfg,
-              os.path.join(config.output_dir, "final_model"))
+    trainable_h = multihost.fetch_replicated(state.trainable)
+    if multihost.is_primary():
+        final = merge_and_export(multihost.fetch_replicated(base_s),
+                                 trainable_h, dcfg.lora) \
+            if config.use_lora else trainable_h
+        export_hf(jax.device_get(final), s_cfg,
+                  os.path.join(config.output_dir, "final_model"))
     tokenizer.save_pretrained(os.path.join(config.output_dir, "final_model"))
     print("Training complete.")
 

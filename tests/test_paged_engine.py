@@ -684,3 +684,47 @@ def test_ras_sample_logprob_matches_numpy_oracle():
         t = tok[b]
         p = (0.0 if rep[t] else proc_p[b, t]) + p_rep * raw_p[b, t]
         np.testing.assert_allclose(lp[b], np.log(p), atol=1e-5)
+
+
+def test_streaming_logprobs_callback():
+    """serve(on_logprobs=...): chunk-granularity streaming of per-token
+    logprobs aligned one-to-one with on_tokens emissions — per-request
+    concatenation equals request_logprobs, exactly once per token through
+    preemption/resume, and validation rejects misconfigured engines."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=5, max_tokens=8)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 9).tolist()
+               for _ in range(4)]
+
+    # pool too small for all slots: forces recompute preemption mid-stream
+    eng = PagedEngine(params, cfg, sp, slots=3, max_len=48, page_size=8,
+                      num_pages=7, chunk_steps=3, cache_dtype=jnp.float32,
+                      attn_impl="xla", return_logprobs=True)
+    tok_ev, lp_ev = [], []
+    outs = eng.serve(
+        prompts, max_new=8,
+        on_tokens=lambda rid, t, d: tok_ev.append((rid, list(t), d)),
+        on_logprobs=lambda rid, l, d: lp_ev.append((rid, list(l), d)))
+    assert eng.preemptions > 0
+    for rid in range(len(prompts)):
+        toks = [(t, d) for r, t, d in tok_ev if r == rid]
+        lps = [(lp, d) for r, lp, d in lp_ev if r == rid]
+        # aligned one-to-one with the token emissions (lengths + done flags)
+        assert [(len(t), d) for t, d in toks] == \
+            [(len(lp), d) for lp, d in lps]
+        flat = [x for lp, _ in lps for x in lp]
+        assert flat == eng.request_logprobs[rid]
+        assert len(flat) == len(outs[rid])
+
+    # companion-callback validation
+    with pytest.raises(ValueError, match="return_logprobs"):
+        PagedEngine(params, cfg, sp, slots=2, max_len=48, page_size=8,
+                    chunk_steps=3, cache_dtype=jnp.float32,
+                    attn_impl="xla").serve(
+                        prompts[:1], max_new=2,
+                        on_tokens=lambda *a: None,
+                        on_logprobs=lambda *a: None)
+    with pytest.raises(ValueError, match="companion"):
+        eng.serve(prompts[:1], max_new=2, on_logprobs=lambda *a: None)
