@@ -23,7 +23,7 @@ def main():
     p.add_argument("--mode", default="precomputed",
                    choices=["precomputed", "online_sparse", "online_dense",
                             "decode", "serve", "tts", "tts_streaming",
-                            "stage1", "s3", "extract", "all"])
+                            "stage1", "s3", "extract", "eval", "all"])
     # per-device batch 8: the reference's effective batch is 16
     # (bs4 x grad-accum 4, train.py:333-334); 8 feeds the MXU better than 4
     # while staying inside that envelope
@@ -193,6 +193,8 @@ def main():
         return bench_s3(args)
     if args.mode == "extract":
         return bench_extract(args)
+    if args.mode == "eval":
+        return bench_eval(args)
 
     import dataclasses
     cfg = dataclasses.replace(qwen3_student_0p6b(),
@@ -441,6 +443,7 @@ def bench_all():
                                 "--decode_streams", "16",
                                 "--decode_max_len", "1024",
                                 "--serve_prefix_len", "256"]),
+        ("eval", []),
         ("tts", []),
         ("tts_streaming", ["--mode", "tts_streaming",
                            "--quant", "int8_embed"]),
@@ -712,6 +715,65 @@ def bench_s3(args):
         "extra": {"batch": B,
                   "x_realtime": round(clips_per_sec * clip_s, 1),
                   "ms_per_batch": round(dt * 1000, 1)},
+    }))
+
+
+def bench_eval(args):
+    """Distilled-quality eval harness throughput (distill/evaluate.py):
+    exact full-vocab teacher-student agreement / KL(T=1) / CE over held-out
+    positions — the product-quality measurement the reference never takes
+    (its only signal is train-time sub-loss logging, train.py:107-114).
+    Random 0.6B student vs 1.7B teacher; metric is evaluated positions/s."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from speech_distill_tpu.core.config import (qwen3_student_0p6b,
+                                                qwen3_teacher_1p7b)
+    from speech_distill_tpu.distill import evaluate as ev
+    from speech_distill_tpu.models import qwen3
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    cfg = qwen3_student_0p6b()
+    t_cfg = qwen3_teacher_1p7b()
+    s_params = qwen3.init_params_on_device(0, cfg)
+    t_params = qwen3.init_params_on_device(2, t_cfg)
+
+    rng = np.random.default_rng(0)
+    B, T = args.batch, args.seq
+    smask = np.zeros((B, T), np.float32)
+    smask[:, T // 2:] = 1.0
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)),
+                                 jnp.int32),
+        "attention_mask": jnp.ones((B, T), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)),
+                              jnp.int32),
+        "speech_token_mask": jnp.asarray(smask),
+    }
+    step = ev.make_agreement_step(cfg, t_cfg, k=10)
+
+    for _ in range(args.warmup):
+        sums = step(s_params, t_params, batch)
+    float(sums["kl_all"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        sums = step(s_params, t_params, batch)
+    float(sums["kl_all"])
+    dt = time.perf_counter() - t0
+
+    positions_per_sec = args.steps * B * T / dt
+    flops_token = (qwen3.flops_per_token(cfg, T)
+                   + qwen3.flops_per_token(t_cfg, T))
+    mfu = positions_per_sec * flops_token / 197e12
+    metrics = ev.finalize_metrics(jax.device_get(sums), k=10)
+    print(json.dumps({
+        "metric": "eval_agreement_positions_per_sec",
+        "value": round(positions_per_sec, 1),
+        "unit": "positions/s/chip",
+        "vs_baseline": round(mfu / 0.35, 3),
+        "extra": {"mfu": round(mfu, 4),
+                  "top1_all": metrics["all"]["top1_agreement"],
+                  "kl_all": metrics["all"]["kl_t1"]},
     }))
 
 

@@ -17,6 +17,8 @@ COMMANDS = {
               "stage-2 knowledge distillation"),
     "synthesize": ("speech_distill_tpu.pipelines.synthesize",
                    "TTS synthesis from a podcast script"),
+    "evaluate": ("speech_distill_tpu.pipelines.evaluate",
+                 "distilled-model quality eval (agreement/KL + audio smoke)"),
 }
 
 

@@ -374,8 +374,12 @@ def _decode_layers(params: Params, x: jax.Array, cos, sin, mask_bias,
         q, k, v = qkv_proj(lp["attn"], y, cos, sin, cfg)
         ck = write(ck, li, k)
         cv = write(cv, li, v)
-        ckl = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
-        cvl = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
+        # read back in the compute dtype so cache_dtype (fp32/bf16) never
+        # promotes the hidden-state scan carry
+        ckl = jax.lax.dynamic_index_in_dim(
+            ck, li, 0, keepdims=False).astype(q.dtype)
+        cvl = jax.lax.dynamic_index_in_dim(
+            cv, li, 0, keepdims=False).astype(q.dtype)
         o = sdpa(q, ckl, cvl, mask_bias, impl=cfg.attn_impl)
         h = h + _proj(o.reshape(B, T, H * Dh), lp["attn"]["o"],
                       None, "o", 1.0)
