@@ -174,7 +174,10 @@ def launch(n_processes: int = 2, local_devices: int = 4,
     ckpt_dir = tempfile.mkdtemp(prefix="sdt_mh_ckpt_")
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={local_devices}")
+        f"--xla_force_host_platform_device_count={local_devices}"
+        # concurrency-optimized schedules can deadlock XLA:CPU collective
+        # rendezvous on small hosts (see tests/conftest.py)
+        " --xla_cpu_enable_concurrency_optimized_scheduler=false")
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("SDT_COORDINATOR", None)
     repo = os.path.dirname(os.path.dirname(os.path.dirname(

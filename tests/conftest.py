@@ -9,8 +9,21 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's concurrency-optimized HLO schedule lets the thunk executor run
+# INDEPENDENT collectives of one SPMD program concurrently; on a small host
+# the 8 partitions then block the worker pool at CROSSED rendezvous points
+# (partition A waits at all-gather op X while its partner waits at
+# collective-permute op Y) — a hard deadlock that XLA aborts after its 40s
+# rendezvous timeout (SIGABRT, "Termination timeout ... Exiting to ensure a
+# consistent program state"). Reproduced deterministically as any big
+# torch-oracle file followed by the dp2.sp2.tp2 ring-attention KD test;
+# raising the timeout to 600s still aborts (true deadlock, not a
+# straggler). The memory-optimized schedule serializes those collective
+# chains and fixes the full --runslow suite.
+if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
+    flags += " --xla_cpu_enable_concurrency_optimized_scheduler=false"
+os.environ["XLA_FLAGS"] = flags
 os.environ["TOKENIZERS_PARALLELISM"] = "false"
 
 import jax  # noqa: E402
