@@ -159,7 +159,9 @@ class DecodeEngine:
                  max_len: int = 8192, prefill_bucket: int = 128,
                  seed: int = 0, cache_dtype=jnp.bfloat16,
                  prefix_cache_size: int = 4, prefix_cache_min: int = 32,
-                 spec_gamma: int = 0, spec_ngram: int = 3):
+                 spec_gamma: int = 0, spec_ngram: int = 3,
+                 spec_draft: str = "ngram",
+                 spec_layers: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -167,13 +169,17 @@ class DecodeEngine:
         self.bucket = prefill_bucket
         self.cache_dtype = cache_dtype
         self._decode = make_decode_fn(cfg, sp)
-        # prompt-lookup speculative decoding (vLLM ngram method): B=1 only
+        # speculative decoding, B=1 only: prompt-lookup (vLLM ngram
+        # method) or layer-skip self-drafting (spec_draft="layer_skip",
+        # spec_layers=K — survives the RAS sampler that rejects n-gram
+        # drafts by construction)
         self._spec_gamma = spec_gamma
         self._spec = None
         if spec_gamma > 0:
             from speech_distill_tpu.infer import speculative
             self._spec = speculative.make_spec_decode_fn(
-                cfg, sp, spec_gamma, ngram_max=spec_ngram)
+                cfg, sp, spec_gamma, ngram_max=spec_ngram,
+                draft=spec_draft, draft_layers=spec_layers)
         self._prefill = jax.jit(
             lambda p, ids, mask, cache, pos: qwen3.forward(
                 p, ids, cfg, attention_mask=mask, positions=pos,

@@ -141,7 +141,9 @@ def target_probs(raw, presence, num_gen, recent, recent_valid,
 def make_spec_decode_fn(cfg: Qwen3Config, sp: SamplingParams, gamma: int,
                         ngram_max: int = 3, ngram_min: int = 1,
                         win_size: Optional[int] = None,
-                        with_stats: bool = False):
+                        with_stats: bool = False,
+                        draft: str = "ngram",
+                        draft_layers: Optional[int] = None):
     """Build a jitted ``spec_decode(params, state, max_new) -> state``.
 
     Drop-in replacement for engine.make_decode_fn's decode at B=1: same
@@ -151,6 +153,22 @@ def make_spec_decode_fn(cfg: Qwen3Config, sp: SamplingParams, gamma: int,
     ``with_stats``: return ``(state, iterations)`` instead — tokens
     committed per verify iteration = acceptance instrumentation
     (scripts/spec_anatomy.py).
+
+    ``draft``:
+      * ``"ngram"`` — prompt-lookup (free, but adversarial to RAS).
+      * ``"layer_skip"`` — LayerSkip-style self-speculation: the draft is
+        gamma sequential greedy steps through the FIRST ``draft_layers``
+        of the same model + the real lm head (no new weights; early exit
+        through the trained final norm). The draft writes its layer<K KV
+        into the MAIN cache — those values are bit-identical to what the
+        verify forward recomputes (same weights, same inputs), so no
+        separate draft cache exists. Distribution-matched to the target
+        (it sees the same context and penalties), so acceptance survives
+        the RAS sampler that rejects n-gram drafts by construction.
+    Both drafts are deterministic, so the exact delta-draft leftover
+    rejection sampling below applies unchanged — committed streams are
+    distributed exactly like non-speculative decoding regardless of how
+    bad the draft is.
     """
     from speech_distill_tpu.infer.engine import DecodeState, \
         sample_next_token
@@ -158,6 +176,14 @@ def make_spec_decode_fn(cfg: Qwen3Config, sp: SamplingParams, gamma: int,
     if sp.top_k <= 0:
         raise ValueError("speculative decode requires top_k > 0 "
                          "(the k-space verifier)")
+    if draft not in ("ngram", "layer_skip"):
+        raise ValueError(f"unknown draft method {draft!r}")
+    if draft == "layer_skip":
+        if not draft_layers or not (0 < draft_layers
+                                    < cfg.num_hidden_layers):
+            raise ValueError(
+                f"layer_skip needs 0 < draft_layers < "
+                f"{cfg.num_hidden_layers}, got {draft_layers}")
     win = win_size or sp.win_size
     eos_ids = tuple(sp.stop_token_ids)
     G = gamma
@@ -175,26 +201,63 @@ def make_spec_decode_fn(cfg: Qwen3Config, sp: SamplingParams, gamma: int,
         def body(s: DecodeState) -> DecodeState:
             Lb = s.length[0]                   # buffer len (incl pending)
             row = s.tokens[0]
-
-            drafts = ngram_draft(row, Lb, G, ngram_max, ngram_min)  # [G]
             pending = row[Lb - 1]
-            chunk = jnp.concatenate([pending[None], drafts])     # [G+1]
-            # buffer with drafts speculatively visible (RAS windows only;
-            # the real buffer is updated after verification)
-            tview = row.at[Lb + jnp.arange(G)].set(drafts)
-            cols = jnp.arange(max_len)
-            amask = jnp.logical_or(
-                s.valid[0], jnp.logical_and(cols >= Lb, cols < Lb + G))
-
             # RoPE positions count real tokens, not buffer slots (left-
             # padded states: pads are masked keys, not positions) — the
             # pending token sits at position (#real tokens) - 1
             real = jnp.sum(s.valid[0]).astype(jnp.int32)
+            cols = jnp.arange(max_len)
+
+            if draft == "ngram":
+                drafts = ngram_draft(row, Lb, G, ngram_max,
+                                     ngram_min)               # [G]
+                cache_in = s.cache
+            else:
+                # layer-skip self-draft: G sequential greedy early-exit
+                # steps. Step j feeds the previous token, writes its
+                # layer<K KV at cache column Lb-1+j (the SAME values the
+                # verify forward recomputes there), and proposes the
+                # argmax of the penalty-warped K-layer logits (aligned
+                # with the target's proc component; RAS resampling is
+                # what the verifier prices in exactly).
+                def dstep(carry, j):
+                    tok, dc, pres = carry
+                    am = jnp.logical_or(
+                        s.valid[0],
+                        jnp.logical_and(cols >= Lb, cols < Lb + j))
+                    lg, dc = qwen3.forward(
+                        params, tok[None, None], cfg,
+                        attention_mask=am[None].astype(jnp.int32),
+                        positions=(real - 1 + j)[None, None],
+                        cache=dc, num_layers=draft_layers)
+                    raw_d = lg[:, -1].astype(jnp.float32)     # [1, V]
+                    xd = sampling.suppress_eos_before_min(
+                        raw_d, eos_ids, s.num_generated[0] + j,
+                        sp.min_tokens)
+                    xd = sampling.apply_repetition_penalty(
+                        xd, pres[None], sp.repetition_penalty)
+                    nxt = jnp.argmax(xd[0]).astype(jnp.int32)
+                    return (nxt, dc, pres.at[nxt].set(True)), nxt
+
+                (_, dcache, _), drafts = jax.lax.scan(
+                    dstep, (pending, s.cache, s.presence[0]),
+                    jnp.arange(G, dtype=jnp.int32))
+                # rewind the write pointer for the verify pass (the
+                # draft's layer<K columns get overwritten bit-identically)
+                cache_in = dcache._replace(length=s.cache.length)
+
+            chunk = jnp.concatenate([pending[None], drafts])     # [G+1]
+            # buffer with drafts speculatively visible (RAS windows only;
+            # the real buffer is updated after verification)
+            tview = row.at[Lb + jnp.arange(G)].set(drafts)
+            amask = jnp.logical_or(
+                s.valid[0], jnp.logical_and(cols >= Lb, cols < Lb + G))
+
             positions = real - 1 + jnp.arange(G + 1, dtype=jnp.int32)
             logits, cache = qwen3.forward(
                 params, chunk[None, :], cfg,
                 attention_mask=amask[None].astype(jnp.int32),
-                positions=positions[None], cache=s.cache)
+                positions=positions[None], cache=cache_in)
             raw_all = logits[0].astype(jnp.float32)              # [G+1, V]
 
             rng, k_u, k_c, k_p, k_r = jax.random.split(s.rng, 5)

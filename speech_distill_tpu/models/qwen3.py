@@ -352,7 +352,8 @@ def _layer(lp: Params, x: jax.Array, cos, sin, mask_bias, cfg: Qwen3Config,
 
 
 def _decode_layers(params: Params, x: jax.Array, cos, sin, mask_bias,
-                   cfg: Qwen3Config, cache: "KVCache", write):
+                   cfg: Qwen3Config, cache: "KVCache", write,
+                   num_layers: Optional[int] = None):
     """Decode layer stack with the KV cache as a scan CARRY.
 
     The cache must never flow through scan xs/ys: that dynamic-slices and
@@ -363,6 +364,13 @@ def _decode_layers(params: Params, x: jax.Array, cos, sin, mask_bias,
 
     ``write(ck, li, k)`` installs fresh k [B, T, KV, Dh] for layer ``li``.
     Returns (hidden, new_k, new_v).
+
+    ``num_layers`` (static): run only the FIRST K layers — the layer-skip
+    self-speculation draft (infer/speculative.py). Layers < K compute
+    exactly what the full model computes (same weights, same inputs), so
+    the fresh KV written for them is bit-identical to a full forward's;
+    the cache stays shared between draft and verify passes. Layers >= K
+    keep their previous cache contents.
     """
     H, Dh = cfg.num_attention_heads, cfg.head_dim
     B, T, _ = x.shape
@@ -387,6 +395,15 @@ def _decode_layers(params: Params, x: jax.Array, cos, sin, mask_bias,
         return (h + mlp_block(lp["mlp"], y2), ck, cv), None
 
     n_layers = cache.k.shape[0]
+    if num_layers is not None and num_layers < n_layers:
+        K = num_layers
+        layers = jax.tree.map(lambda a: a[:K], params["layers"])
+        (x, nk_s, nv_s), _ = jax.lax.scan(
+            body, (x, cache.k[:K], cache.v[:K]),
+            (layers, jnp.arange(K, dtype=jnp.int32)))
+        # static-prefix update: XLA aliases this in place inside decode
+        # loops (the sliced read above is consumed before the write)
+        return x, cache.k.at[:K].set(nk_s), cache.v.at[:K].set(nv_s)
     (x, nk, nv), _ = jax.lax.scan(
         body, (x, cache.k, cache.v),
         (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)))
@@ -438,7 +455,8 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
             inputs_embeds: Optional[jax.Array] = None,
             return_hidden: bool = False,
             adapters: Optional[Params] = None,
-            adapter_scale: float = 1.0):
+            adapter_scale: float = 1.0,
+            num_layers: Optional[int] = None):
     """Run the decoder.
 
     Training/prefill: ``cache=None`` — full causal attention over [B, T].
@@ -454,6 +472,11 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
     "b": [L,r,out]}}}); applied as ``x@W + adapter_scale*(x@A)@B`` per
     target (see :func:`_proj`). Training-only (``cache=None``).
 
+    ``num_layers`` (static, decode-only): early-exit after the first K
+    layers + final norm + lm head — the LayerSkip-style self-speculation
+    draft (infer/speculative.py). Cache layers < K receive the exact
+    values a full forward would write; layers >= K are untouched.
+
     Returns logits [B, T, V] (in cfg.logits_dtype), or hidden states if
     ``return_hidden`` (for fused lm-head losses), plus the new cache when one
     was given.
@@ -466,6 +489,9 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
         x = embed_tokens(params, input_ids, cfg)
 
     if cache is None:
+        if num_layers is not None:
+            raise NotImplementedError(
+                "num_layers (layer-skip draft) is a decode-path feature")
         if positions is None:
             positions = jnp.arange(T)[None, :].repeat(B, axis=0)
         use_ring = False
@@ -626,7 +652,8 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
                     k[:, 0].astype(ck.dtype))
 
             x, nk, nv = _decode_layers(params, x, cos, sin, mask_bias,
-                                       cfg, cache, write)
+                                       cfg, cache, write,
+                                       num_layers=num_layers)
             new_cache = KVCache(nk, nv, cache.length + T)
             x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
             if return_hidden:
@@ -649,7 +676,7 @@ def forward(params: Params, input_ids: jax.Array, cfg: Qwen3Config, *,
                 ck, k[None].astype(ck.dtype), (li, 0, start, 0, 0))
 
         x, nk, nv = _decode_layers(params, x, cos, sin, mask_bias, cfg,
-                                   cache, write)
+                                   cache, write, num_layers=num_layers)
         new_cache = KVCache(nk, nv, cache.length + T)
 
     x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)

@@ -210,3 +210,106 @@ def test_spec_eos_and_budget_semantics():
             assert len(toks) == 11
         out2 = eng.generate([7, 8], state=out["state"])
         assert len(out2["token_ids"]) <= 11
+
+
+def _tiny4(vocab=64, seed=0):
+    cfg = qwen3_tiny(vocab, num_hidden_layers=4)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32", "remat": False})
+    return cfg, qwen3.init_params(jax.random.PRNGKey(seed), cfg)
+
+
+@pytest.mark.parametrize("penalty", [1.15, 1.5])
+def test_spec_layer_skip_greedy_matches_regular(penalty):
+    """Layer-skip self-drafting (K=2 of 4 layers) under top_k=1: the
+    speculative engine reproduces the regular engine token-for-token —
+    the shared-cache draft (layer<K KV written by the draft, overwritten
+    bit-identically by the verify) never corrupts the stream."""
+    cfg, params = _tiny4()
+    sp = SamplingParams(temperature=0.7, repetition_penalty=penalty,
+                        top_k=1, top_p=1.0, min_tokens=3, max_tokens=30,
+                        stop_token_ids=(63,), use_ras=False)
+    for prompt in ([1, 2, 3, 1, 2, 3, 1, 2], [5, 9, 11], list(range(20))):
+        outs = {}
+        for g, kw in ((0, {}), (3, {"spec_draft": "layer_skip",
+                                    "spec_layers": 2})):
+            eng = DecodeEngine(params, cfg, sp, max_len=128,
+                               prefill_bucket=16, cache_dtype=jnp.float32,
+                               spec_gamma=g, seed=7, **kw)
+            outs[g] = eng.generate(prompt)["token_ids"]
+        assert outs[0] == outs[3], (prompt, outs)
+
+
+@pytest.mark.parametrize("use_ras", [False, True])
+def test_spec_layer_skip_verified_token_matches_target(use_ras):
+    """Marginal distribution of the first verified token under layer-skip
+    drafting equals the closed-form production-sampler target — the same
+    TV-distance harness that proved the n-gram draft exact (a
+    distribution-MATCHED draft must be just as invisible)."""
+    V, win = 64, 6
+    cfg, params = _tiny4(V, seed=1)
+    sp = SamplingParams(temperature=0.9, repetition_penalty=1.2, top_k=12,
+                        top_p=0.9, min_tokens=0, max_tokens=8,
+                        stop_token_ids=(V - 1,), use_ras=use_ras,
+                        win_size=win, tau_r=0.4)
+    eng = DecodeEngine(params, cfg, sp, max_len=64, prefill_bucket=16,
+                       cache_dtype=jnp.float32, spec_gamma=2,
+                       spec_draft="layer_skip", spec_layers=2)
+    prompt = [1, 2, 3, 4, 1, 2, 3]
+    A = 4
+    base = eng.new_state(1)
+    base = eng.prefill(base, prompt)
+    base = base._replace(
+        presence=jnp.zeros_like(base.presence),
+        num_generated=jnp.zeros_like(base.num_generated),
+        finished=jnp.zeros_like(base.finished),
+        last_logits=jnp.full_like(base.last_logits, -100.0).at[0, A].set(
+            100.0))
+
+    spec = eng._spec
+    n = 3000
+    run = jax.jit(lambda st: spec(params, st, jnp.asarray(2, jnp.int32)))
+    toks = np.zeros(n, np.int32)
+    for i in range(n):
+        st = run(base._replace(rng=jax.random.PRNGKey(i)))
+        out = np.asarray(st.tokens[0])
+        L0 = len(prompt)
+        assert out[L0] == A
+        toks[i] = out[L0 + 1]
+    emp = np.bincount(toks, minlength=V) / n
+
+    st1 = eng.prefill(eng.new_state(1), prompt + [A])
+    raw2 = st1.last_logits
+    presence = jnp.zeros((1, V), bool).at[0, A].set(True)
+    seq = prompt + [A]
+    recent = jnp.asarray([seq[-win:]], jnp.int32)
+    target = np.asarray(speculative.target_probs(
+        raw2, presence, jnp.asarray([1]), recent,
+        jnp.ones((1, win), jnp.int32), sp, (V - 1,), win))[0]
+    tv = 0.5 * np.abs(emp - target).sum()
+    assert tv < 0.08, (tv, use_ras)
+
+
+def test_layer_skip_draft_partial_cache_matches_full_prefix():
+    """qwen3.forward(num_layers=K) writes cache layers < K bit-identically
+    to the full forward and leaves layers >= K untouched."""
+    cfg, params = _tiny4()
+    from speech_distill_tpu.models.qwen3 import KVCache
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 60, (1, 6)), jnp.int32)
+    c0 = KVCache.create(cfg, 1, 16, jnp.float32)
+    _, c_full = qwen3.forward(params, ids, cfg, cache=c0,
+                              attention_mask=jnp.ones((1, 16), jnp.int32))
+    c1 = KVCache.create(cfg, 1, 16, jnp.float32)
+    sentinel_k = c1.k + 7.0
+    c1 = c1._replace(k=sentinel_k, v=c1.v + 7.0)
+    lg, c_part = qwen3.forward(params, ids, cfg, cache=c1,
+                               attention_mask=jnp.ones((1, 16), jnp.int32),
+                               num_layers=2)
+    np.testing.assert_array_equal(np.asarray(c_part.k[:2, :, :6]),
+                                  np.asarray(c_full.k[:2, :, :6]))
+    np.testing.assert_array_equal(np.asarray(c_part.v[:2, :, :6]),
+                                  np.asarray(c_full.v[:2, :, :6]))
+    # untouched layers keep the sentinel
+    np.testing.assert_array_equal(np.asarray(c_part.k[2:]),
+                                  np.asarray(sentinel_k[2:]))
+    assert lg.shape[-1] == cfg.vocab_size
