@@ -322,6 +322,59 @@ def make_paged_decode_fn(cfg: Qwen3Config, sp: SamplingParams,
     return decode_chunk
 
 
+class _AdmissionQueue:
+    """Admission-ordered request queue (PagedEngine.admission_policy).
+
+    fifo preserves deque semantics exactly (appendleft = front of queue,
+    the recompute-preemption fast path). Priority policies keep the queue
+    sorted by key with a stable arrival tiebreak; preempted requests
+    re-insert by their CURRENT key (a shortest_job request's remaining
+    budget shrinks while resident, so it re-queues ahead of equal-length
+    fresh work)."""
+
+    def __init__(self, policy: str):
+        self.policy = policy
+        self._items = deque()
+        self._seq = 0
+
+    def _key(self, r) -> int:
+        if self.policy == "shortest_job":
+            return r["cap"] - len(r["gen"])
+        return len(r["ids"])
+
+    def append(self, r) -> None:
+        if "_seq" not in r:
+            r["_seq"] = self._seq
+            self._seq += 1
+        if self.policy == "fifo":
+            self._items.append(r)
+            return
+        k = (self._key(r), r["_seq"])
+        for i, q in enumerate(self._items):
+            if (self._key(q), q["_seq"]) > k:
+                self._items.insert(i, r)
+                return
+        self._items.append(r)
+
+    def appendleft(self, r) -> None:
+        if self.policy == "fifo":
+            self._items.appendleft(r)
+        else:
+            self.append(r)
+
+    def popleft(self):
+        return self._items.popleft()
+
+    def __getitem__(self, i):
+        return self._items[i]
+
+    def __len__(self) -> int:
+        return len(self._items)
+
+    def __iter__(self):
+        return iter(self._items)
+
+
 class PagePool:
     """Host-side ref-counted page allocator (the vLLM block manager,
     minus GPU-specific swap: preemption here is recompute-mode)."""
@@ -445,7 +498,8 @@ class PagedEngine:
                  admit_batch_max_width: int = 1024,
                  chunk_exit_free: Optional[int] = None,
                  per_request_sampling: bool = False,
-                 return_logprobs: bool = False):
+                 return_logprobs: bool = False,
+                 admission_policy: str = "fifo"):
         self.params = params
         self.cfg = cfg
         self.sp = sp
@@ -480,6 +534,23 @@ class PagedEngine:
         # ``request_logprobs`` (and generate() returns "logprobs")
         self.return_logprobs = return_logprobs
         self.request_logprobs: List[Optional[List[float]]] = []
+        # admission order under contention (vLLM scheduling policy):
+        #   fifo           arrival order (default; fair, max-wait optimal)
+        #   shortest_job   ascending remaining generation budget (the
+        #                  declared per-request cap) — short turns stop
+        #                  queueing behind long ones, cutting TTFT
+        #                  percentiles under sustained load at unchanged
+        #                  device throughput
+        #   shortest_prompt ascending prompt length (prefill-cost proxy
+        #                  when caps are uniform/unknown)
+        # Preempted requests re-queue by the same key (their shrunken
+        # remaining budget under shortest_job), never behind fresh work of
+        # equal key (stable seq tiebreak).
+        if admission_policy not in ("fifo", "shortest_job",
+                                    "shortest_prompt"):
+            raise ValueError(f"unknown admission_policy "
+                             f"{admission_policy!r}")
+        self.admission_policy = admission_policy
         self.cache_dtype = cache_dtype
         # int8 pools (vLLM quantized KV cache): the pool stores int8 +
         # per-token scales; the CONTIGUOUS temp cache prefill runs through
@@ -928,6 +999,7 @@ class PagedEngine:
               max_new_per_request: Optional[Sequence[int]] = None,
               on_tokens=None,
               on_logprobs=None,
+              on_chunk=None,
               sampling_per_request: Optional[Sequence[Optional[dict]]]
               = None) -> List[List[int]]:
         """Run every prompt to completion through the slot pool; returns
@@ -956,7 +1028,16 @@ class PagedEngine:
         invoked at the same chunk boundaries with the logprobs aligned
         one-to-one with that call's ``new_token_ids``, so streaming
         consumers (e.g. per-token-confidence TTS gating) see them
-        incrementally instead of waiting for serve() to return."""
+        incrementally instead of waiting for serve() to return.
+
+        ``on_chunk()``: invoked once per scheduler pass AFTER every
+        per-request callback of that chunk, i.e. the barrier at which a
+        downstream consumer has seen all fresh tokens of the chunk — the
+        hook a multi-session coordinator uses to run one BATCHED
+        downstream tick (e.g. batched flow+vocoder synthesis across all
+        dirty TTS sessions, infer/tts_serve.py) instead of per-request
+        work inside ``on_tokens``. Host time spent inside is recorded in
+        ``phase_seconds['downstream']``."""
         cap_default = max_new or self.sp.max_tokens
         if on_logprobs is not None and not self.return_logprobs:
             raise ValueError("on_logprobs needs "
@@ -969,7 +1050,7 @@ class PagedEngine:
             raise ValueError("sampling_per_request needs "
                              "PagedEngine(per_request_sampling=True)")
         t_serve0 = time.perf_counter()
-        queue = deque()
+        queue = _AdmissionQueue(self.admission_policy)
         for rid, p in enumerate(prompts):
             samp = None
             if sampling_per_request is not None \
@@ -1001,7 +1082,8 @@ class PagedEngine:
         # device chunk; everything else is host/dispatch time the device
         # spends idle or pipelined)
         self.phase_seconds = {"grow": 0.0, "admit": 0.0,
-                              "decode_sync": 0.0, "retire": 0.0}
+                              "decode_sync": 0.0, "retire": 0.0,
+                              "downstream": 0.0}
         self.n_chunks = 0
         # device-side decode steps actually executed (early chunk exits
         # make this < n_chunks * chunk_steps); tokens/step over live slots
@@ -1323,5 +1405,10 @@ class PagedEngine:
                                       slot_pages[b], self.ps, pool)
                 release(b)
             self.phase_seconds["retire"] += time.perf_counter() - t_phase
+            if on_chunk is not None:
+                t_phase = time.perf_counter()
+                on_chunk()
+                self.phase_seconds["downstream"] += (time.perf_counter()
+                                                     - t_phase)
         self._state = state
         return outputs  # type: ignore[return-value]

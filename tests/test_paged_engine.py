@@ -728,3 +728,66 @@ def test_streaming_logprobs_callback():
                         on_logprobs=lambda *a: None)
     with pytest.raises(ValueError, match="companion"):
         eng.serve(prompts[:1], max_new=2, on_logprobs=lambda *a: None)
+
+
+def test_admission_policy_shortest_job():
+    """shortest_job admission: outputs still match the per-stream oracle
+    (order-preserving, policy only reorders WHO gets a slot first), and
+    short-budget requests reach their first token before long ones."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(max_tokens=12)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 6).tolist()
+               for _ in range(4)]
+    caps = [12, 2, 12, 2]
+    ref = _ref_outputs(params, cfg, sp, prompts, 12)
+
+    first_seen = []
+
+    def on_tokens(rid, new, done):
+        if rid not in first_seen and new:
+            first_seen.append(rid)
+
+    eng = PagedEngine(params, cfg, sp, slots=1, max_len=64, page_size=8,
+                      chunk_steps=2, cache_dtype=jnp.float32,
+                      attn_impl="xla", admission_policy="shortest_job")
+    got = eng.serve(prompts, max_new_per_request=caps,
+                    on_tokens=on_tokens)
+    assert got == [r[:c] for r, c in zip(ref, caps)]
+    # the two 2-token turns got the single slot before either 12-token one
+    assert set(first_seen[:2]) == {1, 3}
+
+    # fifo on the same workload starts rid 0 first (arrival order)
+    eng2 = PagedEngine(params, cfg, sp, slots=1, max_len=64, page_size=8,
+                       chunk_steps=2, cache_dtype=jnp.float32,
+                       attn_impl="xla", admission_policy="fifo")
+    first2 = []
+    eng2.serve(prompts, max_new_per_request=caps,
+               on_tokens=lambda rid, new, done:
+               first2.append(rid) if rid not in first2 and new else None)
+    assert first2[0] == 0
+
+
+def test_admission_policy_shortest_prompt():
+    """shortest_prompt admission orders by prompt length; outputs match
+    the oracle."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup()
+    rng = np.random.default_rng(5)
+    lens = [10, 3, 7, 4]
+    prompts = [rng.integers(1, cfg.vocab_size - 2, n).tolist()
+               for n in lens]
+    ref = _ref_outputs(params, cfg, sp, prompts, 6)
+    first_seen = []
+    eng = PagedEngine(params, cfg, sp, slots=1, max_len=64, page_size=8,
+                      chunk_steps=2, cache_dtype=jnp.float32,
+                      attn_impl="xla",
+                      admission_policy="shortest_prompt")
+    got = eng.serve(prompts, max_new=6,
+                    on_tokens=lambda rid, new, done:
+                    first_seen.append(rid)
+                    if rid not in first_seen and new else None)
+    assert got == ref
+    assert first_seen == [1, 3, 2, 0]    # ascending prompt length
