@@ -23,7 +23,8 @@ def main():
     p.add_argument("--mode", default="precomputed",
                    choices=["precomputed", "online_sparse", "online_dense",
                             "decode", "serve", "tts", "tts_streaming",
-                            "stage1", "s3", "extract", "eval", "all"])
+                            "tts_serve", "stage1", "s3", "extract", "eval",
+                            "all"])
     # per-device batch 8: the reference's effective batch is 16
     # (bs4 x grad-accum 4, train.py:333-334); 8 feeds the MXU better than 4
     # while staying inside that envelope
@@ -55,6 +56,13 @@ def main():
                         "(0 = off; vLLM ngram speculative equivalent)")
     p.add_argument("--spec_ngram", type=int, default=3,
                    help="max n-gram length for the prompt-lookup draft")
+    p.add_argument("--spec_draft", default="ngram",
+                   choices=["ngram", "layer_skip"],
+                   help="speculative draft: prompt lookup, or layer-skip "
+                        "self-drafting (first --spec_layers layers + lm "
+                        "head; survives the RAS sampler)")
+    p.add_argument("--spec_layers", type=int, default=None,
+                   help="layer_skip draft depth K (e.g. 7 of 28)")
     p.add_argument("--decode_prompt", default="random",
                    choices=["random", "repetitive"],
                    help="decode mode B=1 prompt/workload shape: random "
@@ -82,6 +90,12 @@ def main():
                         "static batches / paged-KV slots), 'both' "
                         "(continuous vs static) or 'compare' (all three) "
                         "via subprocesses")
+    p.add_argument("--serve_admission", default="fifo",
+                   choices=["fifo", "shortest_job", "shortest_prompt"],
+                   help="paged serve: admission order under contention "
+                        "(shortest_job = ascending declared generation "
+                        "budget, cuts TTFT percentiles under sustained "
+                        "load)")
     p.add_argument("--paged_pool_frac", type=float, default=1.0,
                    help="paged serve: KV pool size as a fraction of "
                         "slots*max_len (paged attention reads resident "
@@ -144,6 +158,12 @@ def main():
                         "old materialized + chunked exact top-k")
     p.add_argument("--tts_batch", type=int, default=1,
                    help="tts mode: concurrent turns through flow+vocoder")
+    p.add_argument("--tts_serve_sessions", default="4,8,16",
+                   help="tts_serve mode: comma list of concurrent-session "
+                        "counts to sweep (headline = the largest)")
+    p.add_argument("--tts_serve_chunk_steps", type=int, default=16,
+                   help="tts_serve mode: LLM decode-chunk steps between "
+                        "synthesis ticks")
     p.add_argument("--opt8bit", action="store_true",
                    help="int8-quantized AdamW moments (bnb adamw_8bit "
                         "equivalent) — frees ~1GB of opt-state HBM at the "
@@ -187,6 +207,8 @@ def main():
         return bench_tts(args)
     if args.mode == "tts_streaming":
         return bench_tts_streaming(args)
+    if args.mode == "tts_serve":
+        return bench_tts_serve(args)
     if args.mode == "stage1":
         return bench_stage1(args)
     if args.mode == "s3":
@@ -318,7 +340,9 @@ def bench_decode(args):
                         topk_method="approx", **sp_kw)
     eng = DecodeEngine(params, cfg, sp, max_len=args.decode_max_len,
                        spec_gamma=args.spec_gamma,
-                       spec_ngram=args.spec_ngram)
+                       spec_ngram=args.spec_ngram,
+                       spec_draft=args.spec_draft,
+                       spec_layers=args.spec_layers)
     rng = np.random.default_rng(0)
     B = args.decode_streams
     if B == 1:
@@ -447,6 +471,7 @@ def bench_all():
         ("tts", []),
         ("tts_streaming", ["--mode", "tts_streaming",
                            "--quant", "int8_embed"]),
+        ("tts_serve", ["--mode", "tts_serve", "--quant", "int8_embed"]),
         ("s3", []),
     ]
     results = []
@@ -618,7 +643,8 @@ def bench_serve(args):
                                           or None),
                            attn_win_pages=args.serve_win_pages,
                            chunk_exit_free=(args.serve_chunk_exit_free
-                                            or None))
+                                            or None),
+                           admission_policy=args.serve_admission)
         peng.serve(prompts[:S], max_new=8)    # warmup/compile
         t0 = time.perf_counter()
         outs = peng.serve(prompts, max_new_per_request=caps)
@@ -651,6 +677,7 @@ def bench_serve(args):
                           "chunks": peng.n_chunks,
                           "decode_steps": peng.n_decode_steps,
                           "chunk_exit_free": args.serve_chunk_exit_free,
+                          "admission": args.serve_admission,
                           "prefills": peng.n_prefills,
                           "prefill_chunks": peng.n_prefill_chunks}))
         return
@@ -1012,6 +1039,104 @@ def bench_tts_streaming(args):
         "extra": {"total_s": round(total, 3), "audio_s": round(audio_s, 2),
                   "rtf": round(audio_s / total, 2), "chunks": n_chunks,
                   "offline_turn_s": round(offline_s, 3),
+                  "gen_tokens": n_gen, "quant": args.quant},
+    }))
+
+
+def bench_tts_serve(args):
+    """Concurrent multi-session TTS serving (infer/tts_serve.py): N podcast
+    turns decode through ONE PagedEngine slot pool while flow+HiFT run as
+    BATCHED per-chunk ticks — the capability the reference cannot express
+    (its flow/vocoder are strictly per-turn B=1 after generation,
+    soulxpodcast.py:252-432). Headline: aggregate x-realtime at the largest
+    N; extras carry the N sweep and per-session TTFA percentiles.
+    vs_baseline = aggregate audio throughput at N_max over the N=1
+    single-session rate through the same stack (the reference's serial
+    ceiling)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from speech_distill_tpu.core.config import (SamplingParams,
+                                                qwen3_student_0p6b)
+    from speech_distill_tpu.infer.paged import PagedEngine
+    from speech_distill_tpu.infer import streaming_tts
+    from speech_distill_tpu.infer.tts_serve import (MultiSessionTTS,
+                                                    TTSSession)
+    from speech_distill_tpu.models import flow as flow_lib
+    from speech_distill_tpu.models import hift as hift_lib
+    from speech_distill_tpu.models import qwen3
+
+    cfg = qwen3_student_0p6b()
+    params = qwen3.init_params_on_device(0, cfg)
+    if args.quant != "none":
+        from speech_distill_tpu.ops.quant import quantize_params
+        method = {"int8": "int8", "int8_embed": "int8",
+                  "int4": "int4", "int4_embed": "int4",
+                  "nf4": "nf4"}[args.quant]
+        bits = 8 if method == "int8" else 4
+        params = jax.jit(lambda p: quantize_params(
+            p, bits=bits, quantize_embed=args.quant.endswith("_embed"),
+            method=method))(params)
+    n_gen = args.tts_gen_tokens
+    sp = SamplingParams(max_tokens=n_gen + 1, min_tokens=n_gen + 1,
+                        stop_token_ids=(cfg.eos_token_id,),
+                        topk_method="approx")
+    ns = [int(x) for x in args.tts_serve_sessions.split(",")]
+    n_max = max(ns)
+    eng = PagedEngine(params, cfg, sp, slots=n_max,
+                      max_len=max(512, 128 + 8 * (n_gen // 8 + 2)),
+                      chunk_steps=args.tts_serve_chunk_steps)
+
+    fcfg = flow_lib.FlowConfig()
+    hcfg = hift_lib.HiFTConfig()
+    fparams = flow_lib.init_params(jax.random.PRNGKey(0), fcfg)
+    hparams = hift_lib.init_params(jax.random.PRNGKey(1), hcfg)
+    programs = streaming_tts.make_stream_programs(fcfg, hcfg)
+    coord = MultiSessionTTS(eng, fparams, fcfg, hparams, hcfg,
+                            cfg.speech_token_offset, programs=programs,
+                            mel_pad_to=160)
+
+    rng = np.random.default_rng(0)
+    n_prompt = 75
+
+    def make_sessions(n, seed):
+        r = np.random.default_rng(seed)
+        return [TTSSession(
+            llm_ids=r.integers(0, cfg.vocab_size, 128).tolist(),
+            flow_prompt_tokens=r.integers(0, 6561, n_prompt).tolist(),
+            prompt_mel=(r.normal(size=(n_prompt * 2, 80))
+                        .astype(np.float32) * .1),
+            prompt_mel_len=n_prompt * 2,
+            spk_emb=r.normal(size=(192,)).astype(np.float32),
+            rng=jax.random.PRNGKey(seed * 100 + i)) for i in range(n)]
+
+    def run(n, seed):
+        t0 = time.perf_counter()
+        results = coord.serve(make_sessions(n, seed))
+        wall = time.perf_counter() - t0
+        audio = sum(r["wav"].shape[0] for r in results) / hcfg.sampling_rate
+        ttfas = sorted(r["ttfa_s"] for r in results)
+        return {"n": n, "wall_s": round(wall, 3),
+                "audio_s": round(audio, 2),
+                "xrt": round(audio / wall, 2),
+                "ttfa_p50_ms": round(ttfas[len(ttfas) // 2] * 1e3, 1),
+                "ttfa_max_ms": round(ttfas[-1] * 1e3, 1)}
+
+    run(1, seed=1)                       # compile N=1 shapes + warmup
+    single = run(1, seed=2)
+    sweep = []
+    for n in ns:
+        run(n, seed=n + 10)              # compile this N's row shapes
+        sweep.append(run(n, seed=n + 50))
+
+    head = sweep[-1]
+    print(json.dumps({
+        "metric": "tts_serve_aggregate_x_realtime",
+        "value": head["xrt"],
+        "unit": f"x realtime ({head['n']} sessions)",
+        "vs_baseline": round(head["xrt"] / max(single["xrt"], 1e-9), 2),
+        "extra": {"single": single, "sweep": sweep,
                   "gen_tokens": n_gen, "quant": args.quant},
     }))
 

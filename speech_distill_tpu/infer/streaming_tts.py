@@ -89,7 +89,8 @@ class StreamingTokenToWav:
                  rng: jax.Array, chunk_tokens: Optional[int] = None,
                  token_bucket: int = 64,
                  mel_cache_frames: Optional[int] = None,
-                 max_tokens: int = 4096, programs: Optional[dict] = None):
+                 max_tokens: int = 4096, programs: Optional[dict] = None,
+                 mel_pad_to: Optional[int] = None):
         self.fp, self.fc = flow_params, flow_cfg
         self.hp, self.hc = hift_params, hift_cfg
         self.prompt_tokens = [int(t) for t in prompt_tokens]
@@ -97,6 +98,19 @@ class StreamingTokenToWav:
             if np.asarray(prompt_mel).ndim == 2 else np.asarray(
                 prompt_mel, np.float32)
         self.prompt_mel_len = int(prompt_mel_len)
+        # pad the (length-masked) prompt mel to a fixed frame bucket so
+        # sessions with different prompt lengths share one flow-program
+        # shape and can be stacked into batched multi-session calls
+        # (infer/tts_serve.py) — the batched rows then match the
+        # single-session computation (same shapes, identical masked math)
+        if mel_pad_to is not None:
+            if mel_pad_to < self.prompt_mel.shape[1]:
+                raise ValueError(f"mel_pad_to={mel_pad_to} < prompt mel "
+                                 f"frames {self.prompt_mel.shape[1]}")
+            self.prompt_mel = np.pad(
+                self.prompt_mel,
+                [(0, 0), (0, mel_pad_to - self.prompt_mel.shape[1]),
+                 (0, 0)])
         self.spk_emb = np.asarray(spk_emb, np.float32)
         if self.spk_emb.ndim == 1:
             self.spk_emb = self.spk_emb[None]
@@ -149,47 +163,105 @@ class StreamingTokenToWav:
         self._hift = programs["hift"]
         self._finished = False
 
-    # -- flow ---------------------------------------------------------------
+    # -- flow (plan / execute / apply) ---------------------------------------
+    #
+    # The staged form lets a multi-session coordinator (infer/tts_serve.py)
+    # collect every session's job for one tick and run ONE batched device
+    # call per shape group; push() composes the same stages for the
+    # single-session path, so both paths share all synthesis logic.
 
-    def _flow_call(self, tokens: List[int], n_enc: int) -> np.ndarray:
-        """Run the chunk-causal flow over ``tokens`` (prompt+generated,
-        length n) encoding the first ``n_enc``; returns mel [1, 2*n_enc, 80]
-        (frames beyond previously emitted ones are the new payload)."""
-        n = len(tokens)
-        W = -(-max(n, 1) // self.bucket) * self.bucket
+    def flow_job(self, gen_tokens: Sequence[int],
+                 final: bool = False) -> Optional[dict]:
+        """Plan the flow call advancing the stream to ``gen_tokens`` (the
+        full generated-token list so far). Returns None when no new chunk
+        boundary completed (the final flush may still need vocoding — call
+        ``vocode_job`` regardless)."""
+        if self._finished:
+            raise RuntimeError("push() after final=True")
+        total = self.prompt_tokens + [int(t) for t in gen_tokens]
+        n = len(total)
+        if final:
+            self._finished = True
+            n_enc = n
+        else:
+            # encode up to the last chunk boundary with `la` lookahead
+            # tokens beyond it
+            n_enc = ((n - self.la) // self.chunk) * self.chunk
+        if n_enc <= self._enc_done:
+            return None
+        tokens = total[:min(n, n_enc + self.la)]
+        W = -(-max(len(tokens), 1) // self.bucket) * self.bucket
+        return {"tokens": tokens, "n_enc": n_enc, "W": W}
+
+    def flow_args(self, job: dict):
+        """The per-row device arguments of ``job`` for the shared flow
+        program: (tokens [1, W], n [1], prompt_mel, prompt_mel_len [1],
+        spk_emb, noise [1, ratio*W, D], enc_len [1]). Rows of one shape
+        group stack along axis 0 into a batched call."""
+        n, W = len(job["tokens"]), job["W"]
         arr = np.zeros((1, W), np.int32)
-        arr[0, :n] = tokens
+        arr[0, :n] = job["tokens"]
+        return (arr, np.asarray([n], np.int32), self.prompt_mel,
+                np.asarray([self.prompt_mel_len], np.int32), self.spk_emb,
+                jax.lax.dynamic_slice_in_dim(self._noise, 0,
+                                             self.ratio * W, axis=1),
+                np.asarray([job["n_enc"]], np.int32))
+
+    def apply_flow(self, mel: np.ndarray, job: dict) -> None:
+        """Fold the flow result (mel [1, ratio*n_enc, 80] — slice a
+        batched call's row to the job's encoded region first) back into
+        the stream state."""
+        self._pending_mel = np.concatenate(
+            [self._pending_mel, mel[:, self._mel_done:]], axis=1)
+        self._enc_done = job["n_enc"]
+        self._mel_done = mel.shape[1]
+
+    def _flow_call(self, job: dict) -> np.ndarray:
+        """Single-session execution of a flow job."""
+        a = self.flow_args(job)
         mels, _ = self._flow(
-            self.fp, jnp.asarray(arr), jnp.asarray([n], jnp.int32),
-            jnp.asarray(self.prompt_mel),
-            jnp.asarray([self.prompt_mel_len], jnp.int32),
-            jnp.asarray(self.spk_emb),
-            noise=jax.lax.dynamic_slice_in_dim(
-                self._noise, 0, self.ratio * W, axis=1),
-            enc_len=jnp.asarray([n_enc], jnp.int32))
-        return np.asarray(mels[:, :self.ratio * n_enc])
+            self.fp, jnp.asarray(a[0]), jnp.asarray(a[1]),
+            jnp.asarray(a[2]), jnp.asarray(a[3]), jnp.asarray(a[4]),
+            noise=a[5], enc_len=jnp.asarray(a[6]))
+        return np.asarray(mels[:, :self.ratio * job["n_enc"]])
 
-    # -- vocoder ------------------------------------------------------------
+    # -- vocoder (plan / execute / apply) -------------------------------------
 
-    def _vocode(self, new_mel: np.ndarray, final: bool) -> np.ndarray:
-        """Windowed HiFT synthesis of ``new_mel`` [1, Tm, 80] with source
-        splice + cross-fade against the previous chunk's tail."""
-        mel_in = np.concatenate([self._mel_cache, new_mel], axis=1)
+    def vocode_job(self, final: bool = False) -> Optional[dict]:
+        """Plan the windowed HiFT call over the pending mel: vocode when
+        the window can refill the hold cache AND emit >= 1 frame (always
+        on final). Consumes the pending mel; apply_vocode folds the result
+        back."""
+        have = self._pending_mel.shape[1] + self._mel_cache.shape[1]
+        if final:
+            if have == 0:
+                return None
+        elif have <= self.cache_frames or self._pending_mel.shape[1] == 0:
+            return None
+        mel_in = np.concatenate([self._mel_cache, self._pending_mel],
+                                axis=1)
+        self._pending_mel = self._pending_mel[:, :0]
         self._hift_rng, sub = jax.random.split(self._hift_rng)
-        wav, source = self._hift(self.hp, jnp.asarray(mel_in), rng=sub,
-                                 cache_source=self._source_cache)
+        return {"mel_in": mel_in, "source": self._source_cache,
+                "rng": sub, "final": final}
+
+    def apply_vocode(self, wav: np.ndarray, source,
+                     job: dict) -> np.ndarray:
+        """Cross-fade + cache update for one executed vocode job; returns
+        the emitted wav chunk [T]."""
         wav = np.asarray(wav)
+        mel_in, final = job["mel_in"], job["final"]
         if self._speech_tail is not None:
             wav = fade_in_out(wav, self._speech_tail, self._window)
         hold = self.cache_frames * self.scale
         if final:
             self._mel_cache = mel_in[:, mel_in.shape[1]:]
             self._speech_tail = None
-            return wav
+            return wav[0]
         self._mel_cache = mel_in[:, -self.cache_frames:]
         self._source_cache = source[:, -hold:]
         self._speech_tail = wav[:, -hold:]
-        return wav[:, :-hold]
+        return wav[0, :-hold]
 
     # -- public -------------------------------------------------------------
 
@@ -197,44 +269,17 @@ class StreamingTokenToWav:
              final: bool = False) -> List[np.ndarray]:
         """Advance the stream to ``gen_tokens`` (the full generated-token
         list so far, flow-vocabulary ids). Returns 0+ wav chunks [T]."""
-        if self._finished:
-            raise RuntimeError("push() after final=True")
-        total = self.prompt_tokens + [int(t) for t in gen_tokens]
-        n = len(total)
-        if final:
-            n_enc = n
-        else:
-            # encode up to the last chunk boundary with `la` lookahead
-            # tokens beyond it
-            n_enc = ((n - self.la) // self.chunk) * self.chunk
+        fj = self.flow_job(gen_tokens, final)
+        if fj is not None:
+            self.apply_flow(self._flow_call(fj), fj)
         out: List[np.ndarray] = []
-        if final:
-            self._finished = True
-            if n_enc <= self._enc_done:
-                # no new tokens: flush the pending mel + vocoder window
-                self._drain(out, final=True)
-                return out
-        elif n_enc <= self._enc_done:
-            return out
-        mel = self._flow_call(total[:min(n, n_enc + self.la)], n_enc)
-        self._pending_mel = np.concatenate(
-            [self._pending_mel, mel[:, self._mel_done:]], axis=1)
-        self._enc_done = n_enc
-        self._mel_done = mel.shape[1]
-        self._drain(out, final)
+        vj = self.vocode_job(final)
+        if vj is not None:
+            wav, source = self._hift(self.hp, jnp.asarray(vj["mel_in"]),
+                                     rng=vj["rng"],
+                                     cache_source=vj["source"])
+            out.append(self.apply_vocode(wav, source, vj))
         return out
-
-    def _drain(self, out: List[np.ndarray], final: bool) -> None:
-        """Vocode the pending mel when the window can refill the hold
-        cache AND emit >= 1 frame (always on final)."""
-        have = self._pending_mel.shape[1] + self._mel_cache.shape[1]
-        if final:
-            if have == 0:
-                return
-        elif have <= self.cache_frames or self._pending_mel.shape[1] == 0:
-            return
-        out.append(np.asarray(self._vocode(self._pending_mel, final))[0])
-        self._pending_mel = self._pending_mel[:, :0]
 
 
 def stream_tts(llm_engine, flow_params, flow_cfg, hift_params, hift_cfg,

@@ -155,18 +155,33 @@ def _interp_linear(x: jax.Array, out_len: int) -> jax.Array:
 
 
 def nsf_source(p: Params, f0_up: jax.Array, cfg: HiFTConfig,
-               rng: jax.Array) -> jax.Array:
+               rng: jax.Array,
+               per_row_rngs: Optional[jax.Array] = None) -> jax.Array:
     """SineGen2 + SourceModuleHnNSF2 (layers.py:270-433).
 
     f0_up [B, T_audio, 1] (already upsampled x480) -> source s [B, T_audio].
+
+    ``per_row_rngs`` [B] of PRNG keys: draw each row's phase offset and
+    noise exactly as a B=1 call with that row's key would — rows of a
+    batched multi-session synthesis call then match their single-session
+    computation bit-for-bit (infer/tts_serve.py).
     """
     B, T, _ = f0_up.shape
     H = cfg.nb_harmonics + 1
-    k_rand, k_noise = jax.random.split(rng)
+
+    if per_row_rngs is not None:
+        ks = [jax.random.split(per_row_rngs[b]) for b in range(B)]
+        rand_ini = jnp.concatenate(
+            [jax.random.uniform(k[0], (1, H)) for k in ks], axis=0)
+        noise_u = jnp.concatenate(
+            [jax.random.normal(k[1], (1, T, H)) for k in ks], axis=0)
+    else:
+        k_rand, k_noise = jax.random.split(rng)
+        rand_ini = jax.random.uniform(k_rand, (B, H))
+        noise_u = jax.random.normal(k_noise, (B, T, H))
 
     fn = f0_up * jnp.arange(1, H + 1, dtype=jnp.float32)[None, None, :]
     rad = (fn / cfg.sampling_rate) % 1.0
-    rand_ini = jax.random.uniform(k_rand, (B, H))
     rand_ini = rand_ini.at[:, 0].set(0.0)
     rad = rad.at[:, 0, :].add(rand_ini)
 
@@ -178,7 +193,7 @@ def nsf_source(p: Params, f0_up: jax.Array, cfg: HiFTConfig,
 
     uv = (f0_up > cfg.nsf_voiced_threshold).astype(jnp.float32)
     noise_amp = uv * cfg.nsf_sigma + (1 - uv) * cfg.nsf_alpha / 3
-    noise = noise_amp * jax.random.normal(k_noise, sines.shape)
+    noise = noise_amp * noise_u
     sine_waves = sines * uv + noise
 
     merged = jnp.tanh(sine_waves @ p["linear"]["w"] + p["linear"]["b"])
@@ -244,15 +259,19 @@ def decode(params: Params, mel: jax.Array, source: jax.Array,
 
 def forward(params: Params, mel: jax.Array, cfg: HiFTConfig,
             rng: Optional[jax.Array] = None,
-            cache_source: Optional[jax.Array] = None):
+            cache_source: Optional[jax.Array] = None,
+            per_row_rngs: Optional[jax.Array] = None):
     """mel [B, T, 80] -> (wav [B, T*480], source). Matches
     HiFTGenerator.forward (hifigan.py:237-249); pass ``cache_source`` from
-    the previous call to avoid glitches in streaming synthesis."""
+    the previous call to avoid glitches in streaming synthesis.
+    ``per_row_rngs`` [B] keys make each row's NSF noise bit-match the B=1
+    call with that key (batched multi-session synthesis)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     f0 = f0_predict(params["f0_predictor"], mel)          # [B, T]
     # torch.nn.Upsample(scale_factor=480) is nearest-neighbour repeat
     f0_up = jnp.repeat(f0, cfg.upsample_scale, axis=1)[..., None]
-    s = nsf_source(params["m_source"], f0_up, cfg, rng)   # [B, T*480]
+    s = nsf_source(params["m_source"], f0_up, cfg, rng,
+                   per_row_rngs=per_row_rngs)             # [B, T*480]
     if cache_source is not None and cache_source.shape[-1] > 0:
         n = cache_source.shape[-1]
         s = jnp.concatenate([cache_source, s[:, n:]], axis=1)
