@@ -130,6 +130,11 @@ def make_agreement_step(student_cfg: Qwen3Config,
         t_ids = batch.get("teacher_input_ids", batch["input_ids"])
         t_mask = batch.get("teacher_attention_mask",
                            batch["attention_mask"])
+        # CPU test meshes: teacher chain strictly after the student
+        # forward (independent collective chains can deadlock the XLA:CPU
+        # executor — parallel/mesh.py). No-op on TPU.
+        from speech_distill_tpu.parallel import mesh as meshlib
+        t_ids = meshlib.serialize_collective_chains(s_logits, t_ids)
         t_logits = teacher_forward(teacher_params, t_ids, t_mask)
         t_logits = t_logits[..., :student_cfg.vocab_size]
 

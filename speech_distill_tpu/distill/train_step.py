@@ -26,6 +26,7 @@ from speech_distill_tpu.core.config import DistillConfig, LoraConfig, Qwen3Confi
 from speech_distill_tpu.distill import losses
 from speech_distill_tpu.distill.lora import lora_scaling, merge_lora
 from speech_distill_tpu.models import qwen3
+from speech_distill_tpu.parallel import mesh as meshlib
 
 Params = Dict[str, Any]
 
@@ -299,6 +300,10 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
         else:
             t_ids = mb.get("teacher_input_ids", mb["input_ids"])
             t_mask = mb.get("teacher_attention_mask", mb["attention_mask"])
+            # CPU test meshes: run the teacher chain strictly after the
+            # student forward (independent collective chains can deadlock
+            # the XLA:CPU executor — parallel/mesh.py). No-op on TPU.
+            t_ids = meshlib.serialize_collective_chains(acts, t_ids)
             if mode == "online_sparse":
                 if teacher_extract is not None:
                     v, i = jax.lax.stop_gradient(
@@ -410,6 +415,8 @@ def make_kd_eval_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
         else:
             t_ids = mb.get("teacher_input_ids", mb["input_ids"])
             t_mask = mb.get("teacher_attention_mask", mb["attention_mask"])
+            # CPU: teacher chain after the student forward (parallel/mesh)
+            t_ids = meshlib.serialize_collective_chains(logits, t_ids)
             t_logits = teacher_forward(teacher_params, t_ids, t_mask)
             if mode == "online_sparse":
                 v, i = losses.extract_top_k(

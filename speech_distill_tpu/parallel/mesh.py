@@ -51,6 +51,28 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     return Mesh(arr, (DP_AXIS, PP_AXIS, SP_AXIS, TP_AXIS))
 
 
+def serialize_collective_chains(dep, x):
+    """On XLA:CPU, order the consumer of ``x`` after ``dep`` completes.
+
+    A program with two data-INDEPENDENT collective chains (e.g. the online
+    KD step's teacher forward and student forward over one mesh) can
+    cross-deadlock XLA:CPU's thunk executor on a small host: each
+    partition's workers block inside a different chain's rendezvous until
+    the pool is exhausted, and XLA aborts the process after its rendezvous
+    timeout ("Termination timeout ... Exiting to ensure a consistent
+    program state"; see tests/conftest.py). Tying the chains with an
+    optimization barrier (every output of the barrier depends on every
+    input) makes the second chain start only after the first finishes —
+    free on a 1-core host, where the chains could never actually overlap.
+
+    On TPU this returns ``x`` untouched: collectives are hardware-ordered
+    per program there, and teacher/student overlap is profitable.
+    """
+    if jax.default_backend() != "cpu":
+        return x
+    return jax.lax.optimization_barrier((dep, x))[1]
+
+
 def single_device_mesh() -> Mesh:
     return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1, 1),
                 (DP_AXIS, PP_AXIS, SP_AXIS, TP_AXIS))

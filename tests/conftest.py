@@ -30,6 +30,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Second half of the deadlock fix (see the XLA_FLAGS comment above): async
+# dispatch lets TWO dispatched programs execute concurrently (e.g. a train
+# step still in flight when the eval step's device_get blocks —
+# test_pipelines.py::test_train_cli_sequence_parallel crashed exactly
+# there), so their collectives can interleave on the worker pool even with
+# per-program chains serialized. Synchronous dispatch removes cross-program
+# crossing; measured test-suite cost ~nil (compile-bound).
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 
 def pytest_addoption(parser):
