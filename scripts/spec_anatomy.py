@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--gammas", default="2,4,7")
     ap.add_argument("--max_new", type=int, default=256)
     ap.add_argument("--max_len", type=int, default=1024)
+    ap.add_argument("--draft", default="ngram",
+                    choices=["ngram", "layer_skip"])
+    ap.add_argument("--layers", default="7",
+                    help="comma list of layer-skip draft depths K")
     args = ap.parse_args()
     gammas = [int(g) for g in args.gammas.split(",")]
 
@@ -82,7 +86,11 @@ def main():
                   f"({dt0/args.max_new*1e3:.2f} ms/tok)")
 
             for g in gammas:
-                spec = make_spec_decode_fn(cfg, sp, g, with_stats=True)
+              for K in ([None] if args.draft == "ngram"
+                        else [int(x) for x in args.layers.split(",")]):
+                spec = make_spec_decode_fn(cfg, sp, g, with_stats=True,
+                                           draft=args.draft,
+                                           draft_layers=K)
                 st, it = spec(params, fresh_state(eng, prompt), mn)
                 float(st.num_generated[0])           # compile
                 st, it = spec(params, fresh_state(eng, prompt), mn)
@@ -90,7 +98,8 @@ def main():
                 n = float(st.num_generated[0])
                 iters = int(it) + 1                  # + init sample
                 dt = time.perf_counter() - t0
-                print(f"  gamma={g}: {n/dt:7.1f} tok/s  "
+                tag = f"gamma={g}" + (f" K={K}" if K else "")
+                print(f"  {tag}: {n/dt:7.1f} tok/s  "
                       f"{n/iters:5.2f} tok/iter  "
                       f"{dt/iters*1e3:5.2f} ms/iter  ({iters} iters)")
 

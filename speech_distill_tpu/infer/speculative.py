@@ -38,6 +38,21 @@ K/V columns are masked by ``valid`` and overwritten by the next chunk).
 B=1 only: rows would commit different token counts per iteration, which
 the shared-column KV cache layout cannot express (batch serving uses the
 paged engine instead).
+
+**Layer-skip self-drafting (draft="layer_skip"): CLOSED NEGATIVE on this
+hardware regime.** Measured on v5e (scripts/spec_anatomy.py, 0.6B/28L,
+baseline 2.45-2.67 ms/step): a K-layer greedy draft step costs ~0.8 ms
+(K=4), ~1.3 ms (K=7), ~2.7 ms (K=14) — the B=1 decode loop is
+dispatch/loop-bound, so a draft step costs far more than K/28 of a full
+step. Break-even acceptance: gamma=2 K=4 needs 1.82 committed
+tokens/iter (~82% per-draft acceptance); gamma=2 K=14 needs 3.2 > the
+theoretical max 3. Even a perfect draft cannot reach 1.5x at any
+measured (K, gamma). With random-init weights acceptance is ~0 (partial
+residual streams decorrelate from the final argmax over 159k classes —
+a trained checkpoint would do better, but the cost side alone rules it
+out here). The implementation is kept (exact, opt-in, useful on
+hardware where B=1 steps are weight-bound and a K-layer step really
+costs K/L) — do NOT re-benchmark on the axon relay.
 """
 from __future__ import annotations
 
