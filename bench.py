@@ -156,6 +156,12 @@ def main():
                    help="extract mode: fused chunked scan; materialized "
                         "logits + segmented exact top-k (default); or the "
                         "old materialized + chunked exact top-k")
+    p.add_argument("--tts_incremental", action="store_true",
+                   help="tts_streaming mode: per-Euler-step cached flow "
+                        "(O(n) total) instead of the prefix recompute "
+                        "(O(n^2/chunk)) — per-chunk latency stays flat "
+                        "in turn length; extras report first-vs-last "
+                        "chunk-gap medians as the evidence")
     p.add_argument("--tts_batch", type=int, default=1,
                    help="tts mode: concurrent turns through flow+vocoder")
     p.add_argument("--tts_serve_sessions", default="4,8,16",
@@ -983,22 +989,36 @@ def bench_tts_streaming(args):
 
     programs = streaming_tts.make_stream_programs(fcfg, hcfg)
 
+    inc_kw = {}
+    if args.tts_incremental:
+        inc_kw = dict(incremental=True,
+                      inc_max_frames=2 * (n_prompt + n_gen) + 512)
+
     def run():
         t0 = time.perf_counter()
-        ttfa, samples, n_chunks = None, 0, 0
+        ttfa, samples, marks = None, 0, []
         for wav in streaming_tts.stream_tts(
                 eng, fparams, fcfg, hparams, hcfg, llm_prompt,
                 cfg.speech_token_offset, prompt_speech, prompt_mel,
                 n_prompt * 2, spk, jax.random.PRNGKey(2),
-                programs=programs):
+                programs=programs, **inc_kw):
             if ttfa is None:
                 ttfa = time.perf_counter() - t0
             samples += wav.shape[0]
-            n_chunks += 1
-        return ttfa, time.perf_counter() - t0, samples, n_chunks
+            marks.append(time.perf_counter())
+        return ttfa, time.perf_counter() - t0, samples, marks
 
     run()                                   # compile every bucket + warmup
-    ttfa, total, samples, n_chunks = run()
+    ttfa, total, samples, marks = run()
+    n_chunks = len(marks)
+    # chunk-gap medians early vs late in the turn: the flatness evidence
+    # for the incremental flow (the recompute form grows linearly as the
+    # re-encoded prefix lengthens). Gaps include the interleaved LLM
+    # decode chunk (~constant), so growth isolates to synthesis.
+    gaps = np.diff(np.asarray(marks)) * 1e3
+    k = min(10, max(1, len(gaps) // 3))
+    gap_first = float(np.median(gaps[:k])) if len(gaps) else 0.0
+    gap_last = float(np.median(gaps[-k:])) if len(gaps) else 0.0
 
     # offline comparison on the same turn: full decode, then one-shot
     # flow+vocoder (bucketed widths like _token_to_wav)
@@ -1039,6 +1059,9 @@ def bench_tts_streaming(args):
         "extra": {"total_s": round(total, 3), "audio_s": round(audio_s, 2),
                   "rtf": round(audio_s / total, 2), "chunks": n_chunks,
                   "offline_turn_s": round(offline_s, 3),
+                  "chunk_gap_ms_first": round(gap_first, 1),
+                  "chunk_gap_ms_last": round(gap_last, 1),
+                  "incremental": bool(args.tts_incremental),
                   "gen_tokens": n_gen, "quant": args.quant},
     }))
 

@@ -58,6 +58,17 @@ def make_stream_programs(flow_cfg: flow_lib.FlowConfig,
     return {
         "flow": jax.jit(partial(flow_lib.forward_flow, cfg=flow_cfg,
                                 streaming=True)),
+        # incremental variant (StreamingTokenToWav(incremental=True)),
+        # split so token widths W and frame buckets F compile
+        # independently (~W/bucket cheap encoder compiles + ~log F big
+        # solver compiles instead of their product); donate the per-step
+        # caches or the multi-GB tree is copied at every program entry
+        # (same lesson as the paged-KV pool)
+        "flow_enc_inc": jax.jit(partial(flow_lib.encode_flow_tokens,
+                                        cfg=flow_cfg)),
+        "flow_solve_inc": jax.jit(partial(flow_lib.solve_flow_incremental,
+                                          cfg=flow_cfg),
+                                  donate_argnames=("caches",)),
         "hift": jax.jit(partial(hift_lib.forward, cfg=hift_cfg)),
     }
 
@@ -90,7 +101,9 @@ class StreamingTokenToWav:
                  token_bucket: int = 64,
                  mel_cache_frames: Optional[int] = None,
                  max_tokens: int = 4096, programs: Optional[dict] = None,
-                 mel_pad_to: Optional[int] = None):
+                 mel_pad_to: Optional[int] = None,
+                 incremental: bool = False, inc_max_frames: int = 2048,
+                 inc_kv_dtype=jnp.bfloat16):
         self.fp, self.fc = flow_params, flow_cfg
         self.hp, self.hc = hift_params, hift_cfg
         self.prompt_tokens = [int(t) for t in prompt_tokens]
@@ -161,6 +174,21 @@ class StreamingTokenToWav:
         programs = programs or make_stream_programs(flow_cfg, hift_cfg)
         self._flow = programs["flow"]
         self._hift = programs["hift"]
+        # incremental flow (models/flow.py per-Euler-step caches): O(n)
+        # total flow work instead of the O(n^2/chunk) prefix recompute —
+        # per-chunk latency stays flat in turn length. Single-stream only
+        # (the batched tts_serve path keeps the recompute form). The bf16
+        # KV default drifts the mel ~1e-3 vs the fp32 recompute
+        # (inaudible); pass inc_kv_dtype=jnp.float32 for tight parity at
+        # 2x cache memory (~6.9 MB/frame at the production config).
+        self.incremental = incremental
+        if incremental:
+            self._inc_max_frames = inc_max_frames
+            self._t_past = 0
+            self._inc_caches = flow_lib.init_incremental_cache(
+                flow_cfg, 1, inc_max_frames, kv_dtype=inc_kv_dtype)
+            self._flow_enc_inc = programs["flow_enc_inc"]
+            self._flow_solve_inc = programs["flow_solve_inc"]
         self._finished = False
 
     # -- flow (plan / execute / apply) ---------------------------------------
@@ -215,6 +243,49 @@ class StreamingTokenToWav:
             [self._pending_mel, mel[:, self._mel_done:]], axis=1)
         self._enc_done = job["n_enc"]
         self._mel_done = mel.shape[1]
+
+    def _flow_call_inc(self, job: dict) -> None:
+        """Incremental execution of a flow job: encode the (bucketed)
+        token prefix, then Euler-solve ONLY the new frames against the
+        per-step caches (forward_flow_incremental). Folds the new mel into
+        the stream state directly (the offline plan/apply contract hands
+        over mel from frame 0; here mel starts at the old write front)."""
+        n, W = len(job["tokens"]), job["W"]
+        arr = np.zeros((1, W), np.int32)
+        arr[0, :n] = job["tokens"]
+        f_new = self.ratio * job["n_enc"] - self._t_past
+        base = self.ratio * self.chunk
+        F = base
+        while F < f_new:
+            F *= 2
+        if self._t_past + F > self._inc_max_frames:
+            raise ValueError(
+                f"incremental stream over {self._inc_max_frames} frames "
+                f"(need {self._t_past + F}); raise inc_max_frames")
+        noise_new = jax.lax.dynamic_slice_in_dim(
+            self._noise, self._t_past, F, axis=1)
+        h = np.asarray(self._flow_enc_inc(
+            self.fp, jnp.asarray(arr), jnp.asarray([n], jnp.int32),
+            enc_len=jnp.asarray([job["n_enc"]], jnp.int32)))
+        need = self._t_past + F
+        if h.shape[1] < need:     # final partial chunk: padded rows are
+            h = np.pad(h, [(0, 0), (0, need - h.shape[1]), (0, 0)])
+        mu_new = h[:, self._t_past:need]
+        mel_new, self._inc_caches = self._flow_solve_inc(
+            self.fp, jnp.asarray(mu_new),
+            jnp.asarray(self.prompt_mel),
+            jnp.asarray([self.prompt_mel_len], jnp.int32),
+            jnp.asarray(self.spk_emb), caches=self._inc_caches,
+            t_past=jnp.asarray(self._t_past, jnp.int32),
+            noise_new=noise_new,
+            enc_len=jnp.asarray([job["n_enc"]], jnp.int32))
+        mel_new = np.asarray(mel_new[:, :f_new])
+        start = max(self._mel_done - self._t_past, 0)
+        self._t_past += f_new
+        self._pending_mel = np.concatenate(
+            [self._pending_mel, mel_new[:, start:]], axis=1)
+        self._enc_done = job["n_enc"]
+        self._mel_done = self._t_past
 
     def _flow_call(self, job: dict) -> np.ndarray:
         """Single-session execution of a flow job."""
@@ -271,7 +342,10 @@ class StreamingTokenToWav:
         list so far, flow-vocabulary ids). Returns 0+ wav chunks [T]."""
         fj = self.flow_job(gen_tokens, final)
         if fj is not None:
-            self.apply_flow(self._flow_call(fj), fj)
+            if self.incremental:
+                self._flow_call_inc(fj)
+            else:
+                self.apply_flow(self._flow_call(fj), fj)
         out: List[np.ndarray] = []
         vj = self.vocode_job(final)
         if vj is not None:

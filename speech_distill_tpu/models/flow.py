@@ -298,6 +298,288 @@ def forward_flow(params: Params, token: jax.Array, token_len: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# incremental streaming: per-Euler-step caches
+# ---------------------------------------------------------------------------
+#
+# The chunk-causal estimator guarantees a completed frame's velocity never
+# changes as more frames append, so the ODE trajectory of old frames is
+# FINAL — an incremental call only needs to compute the new frames'
+# trajectory, attending to the old frames' keys/values at every Euler step.
+# Caching those (plus the 2-frame input tail of every causal conv) turns
+# the streaming recompute (O(n^2/chunk) total, infer/streaming_tts.py) into
+# O(n) total work: per chunk, only new-frame queries against cached keys.
+#
+# Cache anatomy (leading axis = Euler step, because each step's trajectory
+# is a distinct sequence): n_timesteps x [2B CFG-doubled rows] x
+#   * K/V [nb, 2B, Tm, inner] per transformer stack (down, 12 mid, up)
+#   * conv input tails [2B, k-1, Cin] per causal conv
+# At the production config (15 steps, 14 stacks x 4 blocks, inner 512)
+# the K/V caches are ~3.4 MB/frame in bf16 — ~8.8 GB at Tm=2560 frames
+# (1,280 tokens), the practical ceiling on one v5e chip.
+
+
+def init_incremental_cache(cfg: FlowConfig, batch: int, max_frames: int,
+                           kv_dtype=jnp.bfloat16,
+                           param_dtype=jnp.float32) -> Params:
+    """Zero-initialised incremental-stream cache for ``batch`` utterances
+    of up to ``max_frames`` mel frames. ``kv_dtype`` trades exactness for
+    memory (bf16 halves the cache; mel drift ~1e-3, inaudible — tests use
+    the compute dtype for tight parity)."""
+    S, B2, C = cfg.n_timesteps, 2 * batch, cfg.est_channels
+    nb = cfg.est_n_blocks
+    inner = cfg.est_num_heads * cfg.est_head_dim
+    M = cfg.est_num_mid_blocks
+
+    def kv(*lead):
+        return {t: jnp.zeros((S, *lead, nb, B2, max_frames, inner),
+                             kv_dtype) for t in ("k", "v")}
+
+    def tail(cin, *lead):
+        return jnp.zeros((S, *lead, B2, 2, cin), param_dtype)
+
+    return {
+        "down": {"b1": tail(cfg.est_in_channels), "b2": tail(C),
+                 "attn": kv(), "conv": tail(C)},
+        "mid": {"b1": tail(C, M), "b2": tail(C, M), "attn": kv(M)},
+        "up": {"b1": tail(2 * C), "b2": tail(C), "attn": kv(),
+               "conv": tail(C)},
+        "final": tail(C),
+    }
+
+
+def _causal_conv_inc(x, tail, p, k, f_val):
+    """Causal conv over ``x`` [B, F, C] given the previous ``k-1`` input
+    frames; returns (out [B, F, Cout], new tail at the valid end)."""
+    cat = jnp.concatenate([tail.astype(x.dtype), x], axis=1)
+    out = jax.lax.conv_general_dilated(
+        cat, p["w"], window_strides=(1,), padding=((0, 0),),
+        dimension_numbers=("NTC", "TIO", "NTC")) + p["b"]
+    new_tail = jax.lax.dynamic_slice_in_dim(cat, f_val, k - 1, axis=1)
+    return out, new_tail
+
+
+def _causal_block_inc(p, x, m, tail, f_val):
+    h, tail = _causal_conv_inc(x * m, tail, p["conv"], 3, f_val)
+    return _mish(_ln(h, p["ln"])) * m, tail
+
+
+def _causal_resnet_inc(p, x, m, t_emb, t1, t2, f_val):
+    h, t1 = _causal_block_inc(p["block1"], x, m, t1, f_val)
+    h = h + (_mish(t_emb) @ p["mlp"]["w"] + p["mlp"]["b"])[:, None, :]
+    h, t2 = _causal_block_inc(p["block2"], h, m, t2, f_val)
+    res = (x * m) @ p["res"]["w"][0] + p["res"]["b"]
+    return h + res, t1, t2
+
+
+def _attention_block_inc(p, x, kc, vc, bias, t_past, heads, head_dim):
+    """New-frame queries against the cached keys/values. ``kc``/``vc``
+    [B, Tm, inner]; fresh K/V for the F new frames are written at
+    ``t_past`` first (so the new frames see themselves + the past)."""
+    B, F, _ = x.shape
+    inner = heads * head_dim
+    kc = jax.lax.dynamic_update_slice_in_dim(
+        kc, (x @ p["k"]["w"]).astype(kc.dtype), t_past, axis=1)
+    vc = jax.lax.dynamic_update_slice_in_dim(
+        vc, (x @ p["v"]["w"]).astype(vc.dtype), t_past, axis=1)
+    Tm = kc.shape[1]
+    q = (x @ p["q"]["w"]).reshape(B, F, heads, head_dim)
+    k = kc.astype(x.dtype).reshape(B, Tm, heads, head_dim)
+    v = vc.astype(x.dtype).reshape(B, Tm, heads, head_dim)
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q, k,
+        preferred_element_type=jnp.float32) * head_dim ** -0.5
+    scores = scores + bias
+    attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, F, inner)
+    return out @ p["out"]["w"] + p["out"]["b"], kc, vc
+
+
+def _transformer_block_inc(p, x, kc, vc, bias, t_past, heads, head_dim):
+    h = _ln(x, p["norm1"])
+    a, kc, vc = _attention_block_inc(p["attn"], h, kc, vc, bias, t_past,
+                                     heads, head_dim)
+    x = x + a
+    h = _ln(x, p["norm3"])
+    h = jax.nn.gelu(h @ p["ff1"]["w"] + p["ff1"]["b"], approximate=False)
+    return x + h @ p["ff2"]["w"] + p["ff2"]["b"], kc, vc
+
+
+def _tf_stack_inc(p, h, kv, bias, t_past, heads, head_dim):
+    def body(hh, xs):
+        lp, kc, vc = xs
+        hh, kc, vc = _transformer_block_inc(lp, hh, kc, vc, bias, t_past,
+                                            heads, head_dim)
+        return hh, (kc, vc)
+    h, (ks, vs) = jax.lax.scan(body, h, (p, kv["k"], kv["v"]))
+    return h, {"k": ks, "v": vs}
+
+
+def estimator_incremental(params: Params, x: jax.Array, mask: jax.Array,
+                          mu: jax.Array, t: jax.Array, spks: jax.Array,
+                          cond: jax.Array, cfg: FlowConfig, cs: Params,
+                          t_past, f_val) -> Tuple[jax.Array, Params]:
+    """One-Euler-step estimator over F NEW frames [t_past, t_past+F).
+
+    x/mu/cond [B2, F, 80] (CFG-doubled rows), mask [B2, F, 1] marking the
+    ``f_val`` valid new frames, ``cs`` = this step's cache slice (leaves
+    without the leading step axis). Chunk-causal bias is built from GLOBAL
+    positions, so the result equals the matching rows of
+    :func:`estimator_forward` with ``streaming=True`` over the full
+    prefix. Returns (velocity [B2, F, 80], updated cache slice)."""
+    B, F, _ = x.shape
+    heads, hd = cfg.est_num_heads, cfg.est_head_dim
+    t_emb = _time_embedding(params["time_mlp"], t, cfg.est_in_channels)
+
+    spks_t = jnp.broadcast_to(spks[:, None, :], (B, F, spks.shape[-1]))
+    h = jnp.concatenate([x, mu, spks_t, cond], axis=-1)
+    m = mask
+
+    Tm = cs["down"]["attn"]["k"].shape[-2]
+    qpos = t_past + jnp.arange(F)
+    kpos = jnp.arange(Tm)
+    blk = (qpos // cfg.static_chunk_size + 1) * cfg.static_chunk_size
+    keep = jnp.logical_and(kpos[None, :] < blk[:, None],
+                           kpos[None, :] < t_past + f_val)
+    bias = jnp.where(keep, 0.0, -1e10).astype(jnp.float32)[None, None]
+
+    h, d1, d2 = _causal_resnet_inc(params["down"]["resnet"], h, m, t_emb,
+                                   cs["down"]["b1"], cs["down"]["b2"],
+                                   f_val)
+    h, dkv = _tf_stack_inc(params["down"]["blocks"], h,
+                           cs["down"]["attn"], bias, t_past, heads, hd)
+    skip = h
+    h, dconv = _causal_conv_inc(h * m, cs["down"]["conv"],
+                                params["down"]["conv"], 3, f_val)
+
+    def mid(hh, xs):
+        lp, b1, b2, kv = xs
+        hh, b1, b2 = _causal_resnet_inc(lp["resnet"], hh, m, t_emb, b1,
+                                        b2, f_val)
+        hh, kv = _tf_stack_inc(lp["blocks"], hh, kv, bias, t_past, heads,
+                               hd)
+        return hh, (b1, b2, kv)
+    h, (m1, m2, mkv) = jax.lax.scan(
+        mid, h, (params["mid"], cs["mid"]["b1"], cs["mid"]["b2"],
+                 cs["mid"]["attn"]))
+
+    h = jnp.concatenate([h, skip], axis=-1)
+    h, u1, u2 = _causal_resnet_inc(params["up"]["resnet"], h, m, t_emb,
+                                   cs["up"]["b1"], cs["up"]["b2"], f_val)
+    h, ukv = _tf_stack_inc(params["up"]["blocks"], h, cs["up"]["attn"],
+                           bias, t_past, heads, hd)
+    h, uconv = _causal_conv_inc(h * m, cs["up"]["conv"],
+                                params["up"]["conv"], 3, f_val)
+
+    h, ftail = _causal_block_inc(params["final_block"], h, m,
+                                 cs["final"], f_val)
+    out = (h * m) @ params["final_proj"]["w"][0] + params["final_proj"]["b"]
+    new_cs = {
+        "down": {"b1": d1, "b2": d2, "attn": dkv, "conv": dconv},
+        "mid": {"b1": m1, "b2": m2, "attn": mkv},
+        "up": {"b1": u1, "b2": u2, "attn": ukv, "conv": uconv},
+        "final": ftail,
+    }
+    return out * m, new_cs
+
+
+def solve_euler_incremental(params: Params, z: jax.Array, mu: jax.Array,
+                            mask: jax.Array, spks: jax.Array,
+                            cond: jax.Array, cfg: FlowConfig,
+                            caches: Params, t_past,
+                            f_val) -> Tuple[jax.Array, Params]:
+    """Euler solve of the F new frames only (solve_euler semantics
+    restricted to [t_past, t_past+F)), advancing the per-step caches."""
+    n = cfg.n_timesteps
+    t_span = np.linspace(0, 1, n + 1, dtype=np.float32)
+    if cfg.t_scheduler == "cosine":
+        t_span = 1 - np.cos(t_span * 0.5 * np.pi)
+    ts = jnp.asarray(t_span[:-1])
+    dts = jnp.asarray(np.diff(t_span))
+    B = z.shape[0]
+    g = cfg.inference_cfg_rate
+
+    mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+    spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+    cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+    mask2 = jnp.concatenate([mask, mask], axis=0)
+
+    def step(carry, xs):
+        x, cache = carry
+        i, tt, dt = xs
+        cs = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
+                                                   keepdims=False), cache)
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.full((2 * B,), tt, x.dtype)
+        v, cs = estimator_incremental(params, x2, mask2, mu2, t2, spks2,
+                                      cond2, cfg, cs, t_past, f_val)
+        cache = jax.tree.map(
+            lambda a, u: jax.lax.dynamic_update_index_in_dim(a, u, i, 0),
+            cache, cs)
+        dphi = (1.0 + g) * v[:B] - g * v[B:]
+        return (x + dt * dphi, cache), None
+
+    (x, caches), _ = jax.lax.scan(
+        step, (z, caches), (jnp.arange(n, dtype=jnp.int32), ts, dts))
+    return x, caches
+
+
+def encode_flow_tokens(params: Params, token: jax.Array,
+                       token_len: jax.Array, cfg: FlowConfig,
+                       enc_len: jax.Array) -> jax.Array:
+    """Encoder stage of the incremental stream (the forward_flow
+    streaming=True/enc_len encoder section): token prefix -> projected
+    features h [B, ratio*W, 80]. Kept a SEPARATE program from the solver
+    so widths compile independently: ~W/bucket cheap encoder compiles +
+    ~log(F) expensive solver compiles, instead of their product."""
+    B, T = token.shape
+    tok_mask = (jnp.arange(T)[None, :] < token_len[:, None])[..., None]
+    x = jnp.take(params["input_embedding"], jnp.maximum(token, 0), axis=0)
+    x = x * tok_mask
+    h, _ = flow_encoder.forward(params["encoder"], x, enc_len,
+                                cfg.encoder, streaming=True)
+    return h @ params["encoder_proj"]["w"] + params["encoder_proj"]["b"]
+
+
+def solve_flow_incremental(params: Params, mu_new: jax.Array,
+                           prompt_feat: jax.Array,
+                           prompt_feat_len: jax.Array,
+                           embedding: jax.Array, cfg: FlowConfig,
+                           caches: Params, t_past,
+                           noise_new: jax.Array,
+                           enc_len: jax.Array
+                           ) -> Tuple[jax.Array, Params]:
+    """Solver stage of the incremental stream: Euler-solve ONLY the new
+    mel frames [t_past, t_past+F) against the per-step caches.
+
+    ``mu_new`` [B, F, 80] = the encoder features at the new frames (from
+    :func:`encode_flow_tokens`, sliced at ``t_past``); ``noise_new``
+    [B, F, 80] = the utterance noise buffer sliced likewise; ``t_past`` =
+    first new frame (traced scalar == ratio * previously encoded tokens).
+    Valid new frames = ratio*enc_len - t_past; rows beyond are masked out
+    of the caches and overwritten by the next call. Returns
+    (mel_new [B, F, 80] fp32, caches)."""
+    emb = embedding / jnp.linalg.norm(embedding, axis=1, keepdims=True)
+    emb = emb @ params["spk_affine"]["w"] + params["spk_affine"]["b"]
+
+    F = noise_new.shape[1]
+    pos = t_past + jnp.arange(F)                        # global frame pos
+    pmask = (pos[None, :] < prompt_feat_len[:, None])[..., None]
+    Tp = prompt_feat.shape[1]
+    pf_rows = jnp.take(prompt_feat, jnp.clip(pos, 0, Tp - 1), axis=1)
+    cond_new = jnp.where(pmask, pf_rows, 0.0)
+
+    f_val = cfg.token_mel_ratio * enc_len[0] - t_past
+    h_lens = cfg.encoder.up_stride * enc_len
+    mask_new = ((pos[None, :] < h_lens[:, None])[..., None]
+                .astype(mu_new.dtype) * 1.0)
+    feat, caches = solve_euler_incremental(
+        params["estimator"], noise_new, mu_new, mask_new, emb, cond_new,
+        cfg, caches, t_past, f_val)
+    return feat.astype(jnp.float32), caches
+
+
+# ---------------------------------------------------------------------------
 # init / conversion
 # ---------------------------------------------------------------------------
 

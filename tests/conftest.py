@@ -23,6 +23,15 @@ if "xla_force_host_platform_device_count" not in flags:
 # chains and fixes the full --runslow suite.
 if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
     flags += " --xla_cpu_enable_concurrency_optimized_scheduler=false"
+# Starvation insurance: this box has ONE host core, so 8-partition
+# rendezvous progress depends on the thunk executor getting scheduled;
+# any concurrent CPU load (another test, a torch oracle, a background
+# build) can hold a collective past XLA's default terminate timeout and
+# the process is SIGABRTed even though nothing is deadlocked. With the
+# deadlock classes above fixed, a slow rendezvous should wait, not die.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
 os.environ["XLA_FLAGS"] = flags
 os.environ["TOKENIZERS_PARALLELISM"] = "false"
 

@@ -361,3 +361,53 @@ def test_concurrent_streaming_tts_over_paged_engine():
         assert np.isfinite(wav).all()
         # every (prompt + generated) token became ratio*upsample samples
         assert wav.shape[0] == (2 * (2 + 12) - pml) * hc.upsample_scale
+
+
+def test_incremental_flow_matches_recompute():
+    """StreamingTokenToWav(incremental=True) — the per-Euler-step cached
+    flow (models/flow.py forward_flow_incremental) — emits the same wav
+    chunks as the O(n^2/chunk) prefix-recompute streamer on the same token
+    stream (fp32 caches here for tight parity; bf16 is the memory default
+    on TPU). Exercises multiple F buckets: the first call covers
+    prompt+chunk frames, the flush is a partial chunk."""
+    fp, fc = _tiny_flow()
+    hp, hc = _tiny_hift()
+    rng = np.random.default_rng(6)
+    prompt_toks = rng.integers(0, fc.vocab_size, 3).tolist()
+    pmel = rng.normal(size=(6, 8)).astype(np.float32)
+    spk = rng.normal(size=(6,)).astype(np.float32)
+    gen = rng.integers(0, fc.vocab_size, 27).tolist()
+    key = jax.random.PRNGKey(5)
+
+    def mk(inc):
+        return StreamingTokenToWav(
+            fp, fc, hp, hc, prompt_toks, pmel, 6, spk, key,
+            token_bucket=8, mel_cache_frames=2, max_tokens=64,
+            incremental=inc, inc_max_frames=128,
+            inc_kv_dtype=jnp.float32)
+
+    ref, inc = mk(False), mk(True)
+    got_ref, got_inc = [], []
+    for i in range(1, len(gen) + 1):     # token-by-token arrival
+        got_ref += ref.push(gen[:i])
+        got_inc += inc.push(gen[:i])
+    got_ref += ref.push(gen, final=True)
+    got_inc += inc.push(gen, final=True)
+    assert len(got_inc) == len(got_ref) and len(got_ref) >= 3
+    for a, b in zip(got_ref, got_inc):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, atol=2e-4, rtol=1e-4)
+
+
+def test_incremental_flow_capacity_error():
+    fp, fc = _tiny_flow()
+    hp, hc = _tiny_hift()
+    rng = np.random.default_rng(7)
+    synth = StreamingTokenToWav(
+        fp, fc, hp, hc, [1, 2, 3],
+        rng.normal(size=(6, 8)).astype(np.float32), 6,
+        rng.normal(size=(6,)).astype(np.float32), jax.random.PRNGKey(0),
+        token_bucket=8, mel_cache_frames=2, max_tokens=64,
+        incremental=True, inc_max_frames=16)
+    with pytest.raises(ValueError, match="inc_max_frames"):
+        synth.push(rng.integers(0, fc.vocab_size, 24).tolist())
