@@ -1109,7 +1109,8 @@ def bench_tts_serve(args):
     n_max = max(ns)
     eng = PagedEngine(params, cfg, sp, slots=n_max,
                       max_len=max(512, 128 + 8 * (n_gen // 8 + 2)),
-                      chunk_steps=args.tts_serve_chunk_steps)
+                      chunk_steps=args.tts_serve_chunk_steps,
+                      prefix_sharing=False)
 
     fcfg = flow_lib.FlowConfig()
     hcfg = hift_lib.HiFTConfig()
@@ -1146,11 +1147,19 @@ def bench_tts_serve(args):
                 "ttfa_p50_ms": round(ttfas[len(ttfas) // 2] * 1e3, 1),
                 "ttfa_max_ms": round(ttfas[-1] * 1e3, 1)}
 
-    run(1, seed=1)                       # compile N=1 shapes + warmup
+    # warm up each phase with the SAME seed it is then timed on: shape
+    # groups (flow W buckets, vocode (frames, source-len) keys, pow2
+    # sub-batch row counts) depend on session token-arrival alignment,
+    # so a different-seed warmup can miss a shape and a ~30s relay
+    # compile lands inside the timed run (measured: N=16 collapsed to
+    # 2.4x realtime / 31.7s TTFA on a cold shape; 10.4x warm). Identical
+    # re-serves are timing-safe here: prefix_sharing is off and the
+    # per-session PRNG keys make the two runs bit-identical workloads.
+    run(1, seed=2)
     single = run(1, seed=2)
     sweep = []
     for n in ns:
-        run(n, seed=n + 10)              # compile this N's row shapes
+        run(n, seed=n + 50)              # compile this N's row shapes
         sweep.append(run(n, seed=n + 50))
 
     head = sweep[-1]
