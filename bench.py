@@ -452,6 +452,15 @@ def bench_all():
                              "--decode_streams", "64",
                              "--paged_pool_frac", "0.5",
                              "--serve_request_factor", "10"]),
+        # shortest-job admission: halves TTFT p50 at equal throughput
+        # (p95 is admission-capacity-bound at this all-at-t0 load)
+        ("serve_sustained_sjf", ["--mode", "serve",
+                                 "--serve_phase", "paged",
+                                 "--quant", "int8_embed",
+                                 "--decode_streams", "64",
+                                 "--paged_pool_frac", "0.5",
+                                 "--serve_request_factor", "10",
+                                 "--serve_admission", "shortest_job"]),
         # long distinct contexts at equal pool HBM: bf16 vs int8 KV pool
         ("serve_long_bf16", ["--mode", "serve", "--serve_phase", "paged",
                              "--quant", "int8_embed",
@@ -477,6 +486,12 @@ def bench_all():
         ("tts", []),
         ("tts_streaming", ["--mode", "tts_streaming",
                            "--quant", "int8_embed"]),
+        # long-turn streaming with the O(n) per-Euler-step cached flow;
+        # flatness evidence = chunk_gap_ms_first vs _last in extras
+        ("tts_streaming_inc", ["--mode", "tts_streaming",
+                               "--quant", "int8_embed",
+                               "--tts_gen_tokens", "1200",
+                               "--tts_incremental"]),
         ("tts_serve", ["--mode", "tts_serve", "--quant", "int8_embed"]),
         ("s3", []),
     ]
