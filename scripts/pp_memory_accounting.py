@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--seq", type=int, default=256)
     ap.add_argument("--micro", default="2,4,8")
     ap.add_argument("--pp", type=int, default=2)
+    ap.add_argument("--schedule", choices=["slope", "both"], default="slope",
+                    help="slope: d(peak)/dM of the GPipe-by-autodiff step; "
+                         "both: compile GPipe-by-autodiff AND the "
+                         "hand-scheduled 1F1B (pipelined_grads_1f1b) on the "
+                         "same stack and print both compiled peaks per M")
     args = ap.parse_args()
 
     from speech_distill_tpu.core.config import MeshConfig, qwen3_tiny
@@ -83,11 +88,14 @@ def main():
             "out": int(mem.output_size_in_bytes),
         }
 
+    if args.schedule == "both":
+        return direct_both(args, mesh, base_cfg)
+
     rows = []
     for m in [int(x) for x in args.micro.split(",")]:
         cfg = type(base_cfg)(**{
             **base_cfg.__dict__, "dtype": "float32", "remat": True,
-            "hidden_size": args.hidden, "num_layers": args.layers,
+            "hidden_size": args.hidden, "num_hidden_layers": args.layers,
             "intermediate_size": 2 * args.hidden,
             "pp_microbatches": m})
         params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
@@ -114,6 +122,68 @@ def main():
               f"{rows[-1]['temp']/2**20:.2f} MiB -> 1F1B would save "
               f"{(gpipe_stash - f1b1_stash)/max(rows[-1]['temp'],1)*100:.1f}%"
               f" of peak")
+
+
+def direct_both(args, mesh, base_cfg):
+    """Compile GPipe-by-autodiff and the hand-scheduled 1F1B on the SAME
+    layer stack + microbatched head loss and print XLA's compiled peak temp
+    for each — the direct form of the stash accounting (1F1B's cross-tick
+    stash is min(M, 2S-1) microbatch activations vs GPipe's M + S - 1;
+    see parallel/pipeline.py:_1f1b_body)."""
+    from speech_distill_tpu.models import qwen3
+    from speech_distill_tpu.parallel.pipeline import (
+        pipelined_layers, pipelined_grads_1f1b)
+
+    cfg = type(base_cfg)(**{
+        **base_cfg.__dict__, "dtype": "float32", "remat": True,
+        "hidden_size": args.hidden, "num_hidden_layers": args.layers,
+        "intermediate_size": 2 * args.hidden})
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    layers = params["layers"]
+    D = cfg.hidden_size
+    B, T, V = args.batch, args.seq, 64
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (B, T, D)).astype(np.float32))
+    W = jnp.asarray(rng.normal(0, 0.05, (D, V)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, V, (B, T)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    cos, sin = qwen3.rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+    bias = qwen3._causal_bias(jnp.ones((B, T), jnp.int32), B, T)
+
+    def layer_fn(lp, h, la, c, s_, m_):
+        return qwen3._layer(lp, h, c, s_, m_, cfg, la=la)[0]
+
+    def head_fn(h, hp, aux):
+        logp = jax.nn.log_softmax((h @ hp).astype(jnp.float32))
+        nll = -jnp.take_along_axis(logp, aux["labels"][..., None], -1)
+        return nll.mean()
+
+    def peak(fn, *a):
+        compiled = jax.jit(fn).lower(*a).compile()
+        mem = compiled.memory_analysis()
+        if mem is None:
+            raise SystemExit("memory_analysis unavailable on this backend")
+        return int(mem.temp_size_in_bytes)
+
+    print("\ncompiled peak temp, same stack + microbatched head loss "
+          f"(S={args.pp}):")
+    for m in [int(s) for s in args.micro.split(",")]:
+        def gpipe_loss(lyrs, x_, hp, m=m):
+            h = pipelined_layers(layer_fn, lyrs, None, x_, cos, sin,
+                                 bias, mesh, m)
+            hm = h.reshape(m, B // m, T, D)
+            lm = labels.reshape(m, B // m, T)
+            return sum(head_fn(hm[i], hp, {"labels": lm[i]})
+                       for i in range(m))
+
+        g = peak(jax.value_and_grad(gpipe_loss, argnums=(0, 1, 2)),
+                 layers, x, W)
+        f = peak(lambda lyrs, x_, hp, lab, m=m: pipelined_grads_1f1b(
+            layer_fn, lyrs, None, x_, cos, sin, bias, head_fn, hp,
+            {"labels": lab}, mesh, m), layers, x, W, labels)
+        print(f"M={m:>3}  gpipe-autodiff {g/2**20:9.2f} MiB   "
+              f"1f1b {f/2**20:9.2f} MiB   ratio {g/max(f,1):.2f}x",
+              flush=True)
 
 
 if __name__ == "__main__":
