@@ -148,6 +148,51 @@ def distillation_loss(student_logits: jax.Array,
     raise ValueError("Either teacher_logits or top_k values must be provided")
 
 
+def sparse_distill_sums(student_logits_shifted: jax.Array,
+                        shift_labels: jax.Array,
+                        valid: jax.Array,
+                        teacher_v_shifted: jax.Array,
+                        teacher_i_shifted: jax.Array,
+                        denom: jax.Array,
+                        n_hits: jax.Array,
+                        temperature: float = 2.0,
+                        alpha: float = 0.5) -> DistillLossOutput:
+    """Sum-form :func:`sparse_distill_loss` over a SLICE of the batch,
+    normalized by GLOBAL denominators: summing the outputs over disjoint
+    row slices reproduces the full-batch masked means exactly. This is the
+    per-microbatch head of the 1F1B pipeline schedule
+    (parallel/pipeline.pipelined_grads_1f1b), where each microbatch's loss
+    is computed on a different tick and the totals are accumulated.
+
+    All inputs are pre-shifted ([B_mb, T-1, ...]); ``valid`` is the fp32
+    validity mask for this slice; ``denom`` = max(global sum of valid, 1)
+    and ``n_hits`` = max(global top-K gold-hit count, 1) are computed from
+    the FULL batch by the caller (data-only — no gradient flows through
+    them). Zero-valid batches come out 0 automatically (all masked sums
+    vanish).
+    """
+    T = temperature
+    s = student_logits_shifted.astype(jnp.float32)
+    v = jax.lax.stop_gradient(teacher_v_shifted.astype(jnp.float32))
+    idx = teacher_i_shifted.astype(jnp.int32)
+
+    log_p = jax.nn.log_softmax(v / T, axis=-1)
+    p = jnp.exp(log_p)
+    lseT = jax.nn.logsumexp(s / T, axis=-1)
+    log_q = jnp.take_along_axis(s, idx, axis=-1) / T - lseT[..., None]
+    kl_per_pos = jnp.sum(p * (log_p - log_q), axis=-1)
+    distill = jnp.sum(kl_per_pos * valid) / denom * (T * T)
+
+    task = jnp.sum(_ce_per_pos(s, shift_labels) * valid) / denom
+
+    hits = (idx == shift_labels[..., None]).astype(jnp.float32)
+    hits = hits * valid[..., None]
+    teacher = -jnp.sum(v * hits) / n_hits
+
+    total = alpha * task + (1.0 - alpha) * distill
+    return DistillLossOutput(total, task, distill, teacher)
+
+
 def chunked_top_k(x: jax.Array, k: int, n_chunks: int = 16):
     """Exact top-k over a large last dim via two stages: top-k per vocab
     chunk, then top-k over the k*n_chunks candidates. Every global top-k

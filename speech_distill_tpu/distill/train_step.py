@@ -187,6 +187,136 @@ def _accumulate(loss_and_grad_fn, trainable, batch, accum_args):
 # ---------------------------------------------------------------------------
 
 
+def _make_1f1b_grad_fn(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
+                       lcfg: LoraConfig, use_lora: bool,
+                       merge_weights: bool):
+    """Value-and-grad of the precomputed sparse-KD loss under the 1F1B
+    pipeline schedule (parallel/pipeline.pipelined_grads_1f1b).
+
+    Unlike the GPipe path (qwen3.forward pipelines the stack, autodiff
+    linearizes the whole tick scan and stashes every microbatch's carry),
+    the backward here is hand-scheduled: peak activation memory is bounded
+    by the pipeline depth, and per-microbatch [mb, T, V] logits replace
+    the full-batch [B, T, V] materialization. Loss/metrics/grads match the
+    unpipelined step exactly: the per-microbatch head uses sum-form losses
+    over GLOBAL denominators (losses.sparse_distill_sums), so the summed
+    microbatch contributions reproduce the full-batch masked means.
+
+    Embedding and lm-head/final-norm gradients (full finetune or
+    modules_to_save) chain through ``g_x`` / ``g_head``; the frozen base
+    stack never gets an f32 gradient accumulator (grad_layers off).
+    """
+    from speech_distill_tpu.parallel.pipeline import (mesh_pp,
+                                                      pipelined_grads_1f1b)
+    mesh = meshlib.get_active_mesh()
+    if mesh is None or mesh_pp(mesh) <= 1:
+        raise ValueError("pp_schedule='1f1b' needs an active mesh with "
+                         "pp > 1 (meshlib.set_active_mesh)")
+    if merge_weights:
+        raise ValueError("pp_schedule='1f1b' differentiates the adapter "
+                         "stack directly; merge_weights is unsupported")
+    n_micro = student_cfg.pp_microbatches
+    if n_micro <= 0:
+        raise ValueError("pp_schedule='1f1b' requires pp_microbatches > 0")
+    cfg = student_cfg
+
+    def grad_fn(trainable, mb, base_params, teacher_params):
+        del teacher_params      # precomputed: top-K artifacts ride the batch
+        eff, adapters, ascale = _effective_student(
+            trainable, base_params, lcfg, use_lora, False)
+        ids = mb["input_ids"]
+        labels = mb["labels"]
+        smask = mb.get("speech_token_mask")
+        B, T = ids.shape
+        tied = "lm_head" not in eff
+        full_ft = not use_lora
+        embed_grad = full_ft or "embed" in trainable
+        head_grad = full_ft or "lm_head" in trainable \
+            or (tied and embed_grad)
+
+        if embed_grad:
+            x, embed_vjp = jax.vjp(
+                lambda et: qwen3.embed_tokens({"embed": et}, ids, cfg),
+                eff["embed"])
+        else:
+            x = qwen3.embed_tokens(eff, ids, cfg)
+        positions = jnp.arange(T)[None, :].repeat(B, axis=0)
+        cos, sin = qwen3.rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+        bias = qwen3._causal_bias(mb["attention_mask"], B, T)
+
+        def pl_fn(lp, h, la, c, s_, m_):
+            return qwen3._layer(lp, h, c, s_, m_, cfg,
+                                la=la, lora_scale=ascale)[0]
+        if cfg.remat:
+            policy = {
+                "dots": jax.checkpoint_policies.checkpoint_dots,
+                "everything": jax.checkpoint_policies.everything_saveable,
+            }.get(cfg.remat_policy)
+            pl_fn = jax.checkpoint(pl_fn, policy=policy)
+
+        # global denominators for the sum-form per-microbatch head
+        # (data-only — no gradients flow through them)
+        shift_labels = labels[:, 1:]
+        valid = shift_labels != losses.IGNORE_INDEX
+        if smask is not None:
+            valid = jnp.logical_and(valid, smask[:, 1:] != 0)
+        valid = valid.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+        idx_s = mb["teacher_top_k_i"][:, :-1].astype(jnp.int32)
+        hit = (idx_s == shift_labels[..., None]).astype(jnp.float32)
+        n_hits = jnp.maximum(jnp.sum(hit * valid[..., None]), 1.0)
+
+        head_params = {"w": qwen3.lm_head_weight(eff),
+                       "ln": eff["final_ln"]["scale"]}
+        head_aux = {"sl": shift_labels, "valid": valid,
+                    "v": mb["teacher_top_k_v"][:, :-1], "i": idx_s}
+
+        def head_fn(h, hp, aux):
+            hn = qwen3.rms_norm(h, hp["ln"], cfg.rms_norm_eps)
+            s = jax.lax.dot_general(
+                hn[:, :-1], hp["w"], (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out = losses.sparse_distill_sums(
+                s, aux["sl"], aux["valid"], aux["v"], aux["i"],
+                denom, n_hits, distill_cfg.temperature, distill_cfg.alpha)
+            return out.total, {"student_loss": out.task,
+                               "distill_loss": out.distill,
+                               "teacher_loss": out.teacher}
+
+        loss, metrics, g_layers, g_adapters, g_x, g_head = \
+            pipelined_grads_1f1b(
+                pl_fn, eff["layers"], adapters, x, cos, sin, bias,
+                head_fn, head_params, head_aux, mesh, n_micro,
+                grad_layers=full_ft, grad_head=head_grad,
+                grad_x=embed_grad, head_has_aux=True)
+
+        def with_head_in_embed(g_emb):
+            if tied and head_grad:
+                return jax.tree.map(jnp.add, g_emb,
+                                    {"weight": g_head["w"]})
+            return g_emb
+
+        if full_ft:
+            grads = {"layers": g_layers,
+                     "embed": with_head_in_embed(
+                         embed_vjp(g_x.astype(x.dtype))[0]),
+                     "final_ln": {"scale": g_head["ln"]}}
+            if not tied:
+                grads["lm_head"] = {"weight": g_head["w"]}
+        else:
+            grads = {"layers": g_adapters}
+            if "embed" in trainable:
+                grads["embed"] = with_head_in_embed(
+                    embed_vjp(g_x.astype(x.dtype))[0])
+            if "lm_head" in trainable:
+                grads["lm_head"] = {"weight": g_head["w"]}
+
+        metrics = dict(metrics, loss=loss)
+        return (loss, metrics), grads
+
+    return grad_fn
+
+
 def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                  optimizer, *, mode: str,
                  teacher_cfg: Optional[Qwen3Config] = None,
@@ -199,7 +329,8 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                  fused_backend: str = "xla",
                  loss_chunk_size: int = 16384,
                  head_loss: str = "fused",
-                 split_apply: bool = False):
+                 split_apply: bool = False,
+                 pp_schedule: str = "gpipe"):
     """Build the jitted KD step.
 
     mode:
@@ -223,6 +354,13 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
 
     ``teacher_forward(teacher_params, ids, mask) -> logits`` defaults to the
     Qwen3 forward; inject the CosyVoice2 split-embedding policy here.
+
+    ``pp_schedule`` (with an active pp>1 mesh and
+    ``student_cfg.pp_microbatches > 0``): 'gpipe' (default) pipelines the
+    stack inside qwen3.forward and lets autodiff linearize the schedule;
+    '1f1b' uses the hand-scheduled backward (_make_1f1b_grad_fn) whose
+    activation stash is bounded by the pipeline depth — precomputed mode
+    only.
 
     Batch arrays carry a leading microbatch axis [A, B, T].
     Returns ``step(state, base_params, teacher_params, batch) -> (state, metrics)``.
@@ -337,6 +475,19 @@ def make_kd_step(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
         return out.total, metrics
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    if pp_schedule == "1f1b":
+        # hand-scheduled 1F1B over the pp mesh axis: O(depth) activation
+        # stash + per-microbatch logits instead of GPipe-by-autodiff's
+        # O(microbatches) stash and [B, T, V] head materialization
+        if mode != "precomputed":
+            raise ValueError(
+                "pp_schedule='1f1b' supports mode='precomputed'; for "
+                "online KD disaggregate the teacher (--teacher_devices), "
+                "which streams precomputed-style artifacts")
+        grad_fn = _make_1f1b_grad_fn(student_cfg, distill_cfg, lcfg,
+                                     use_lora, merge_weights)
+    elif pp_schedule != "gpipe":
+        raise ValueError(f"unknown pp_schedule {pp_schedule!r}")
 
     if split_apply:
         # Two programs instead of one: donate_argnums on the FULL KD step

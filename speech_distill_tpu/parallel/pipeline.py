@@ -136,7 +136,9 @@ def _f32_psum(v, axis_name):
 
 def _1f1b_body(layers, adapters, x, cos, sin, mask_bias, head_params,
                head_aux, *, layer_fn: Callable, head_fn: Callable,
-               n_micro: int, axis_name: str):
+               n_micro: int, axis_name: str, grad_layers: bool = True,
+               grad_head: bool = True, grad_x: bool = True,
+               head_has_aux: bool = False):
     """shard_map body for the hand-scheduled 1F1B pipeline (see
     ``pipelined_grads_1f1b``). One ``lax.scan`` over global ticks; each
     tick holds one forward slot and one backward slot per stage:
@@ -205,11 +207,18 @@ def _1f1b_body(layers, adapters, x, cos, sin, mask_bias, head_params,
     # the cotangent — which would fold every stage's lockstep-garbage head
     # gradient into the last stage's BEFORE the valid_h mask. pcast to
     # varying OUTSIDE the vjp so the cotangent stays per-shard.
-    head_params_v = vary(head_params)
+    head_params_v = vary(head_params) if grad_head else None
+
+    if head_has_aux:
+        # structure of head_fn's metrics pytree (scalars, accumulated like
+        # the loss)
+        aux_struct = jax.eval_shape(
+            lambda: head_fn(jnp.zeros((mb, T, D), x.dtype), head_params,
+                            pick(aux_m, jnp.zeros((), jnp.int32)))[1])
 
     def tick(carry, t):
         (fwd_msg, bwd_msg, stash, g_layers, g_adapters, g_head, g_x,
-         loss) = carry
+         loss, aux_acc) = carry
 
         # ---- forward slot -------------------------------------------
         m_f = t - stage
@@ -229,15 +238,26 @@ def _1f1b_body(layers, adapters, x, cos, sin, mask_bias, head_params,
         valid_h = jnp.logical_and(stage == S - 1,
                                   jnp.logical_and(m_h >= 0, m_h < M))
         i_h = jnp.clip(m_h, 0, M - 1)
-        loss_mb, head_vjp = jax.vjp(
-            lambda h, hp: head_fn(h, hp, pick(aux_m, i_h)),
-            h_out, head_params_v)
-        g_seed, g_hp = head_vjp(vary(jnp.ones((), loss_mb.dtype)))
+        aux_h = pick(aux_m, i_h)
+        if grad_head:
+            vjp_out = jax.vjp(lambda h, hp: head_fn(h, hp, aux_h),
+                              h_out, head_params_v, has_aux=head_has_aux)
+        else:
+            # head params stay closed over: no cotangent is requested for
+            # them, so the unvarying-primal psum trap does not apply
+            vjp_out = jax.vjp(lambda h: head_fn(h, head_params, aux_h),
+                              h_out, has_aux=head_has_aux)
+        loss_mb, head_vjp = vjp_out[0], vjp_out[1]
+        aux_mb = vjp_out[2] if head_has_aux else None
+        cots = head_vjp(vary(jnp.ones((), loss_mb.dtype)))
+        g_seed = cots[0]
+        mask_h = lambda acc, g: acc + jnp.where(valid_h,
+                                                g.astype(jnp.float32), 0.0)
+        if grad_head:
+            g_head = jax.tree.map(mask_h, g_head, cots[1])
         loss = loss + jnp.where(valid_h, loss_mb.astype(jnp.float32), 0.0)
-        g_head = jax.tree.map(
-            lambda acc, g: acc + jnp.where(valid_h,
-                                           g.astype(jnp.float32), 0.0),
-            g_head, g_hp)
+        if head_has_aux:
+            aux_acc = jax.tree.map(mask_h, aux_acc, aux_mb)
 
         # ---- backward slot ------------------------------------------
         m_b = t - 2 * (S - 1) + stage
@@ -247,62 +267,83 @@ def _1f1b_body(layers, adapters, x, cos, sin, mask_bias, head_params,
                          bwd_msg)
         h_saved = jax.lax.dynamic_index_in_dim(
             stash, i_b % K, 0, keepdims=False)
-        if has_ad:
+        # differentiate only w.r.t. what the caller wants gradients for —
+        # frozen layer stacks (unmerged LoRA) skip the full-stack f32
+        # accumulator entirely. layers/adapters are pp-sharded (varying),
+        # so closing over them when un-differentiated is psum-safe.
+        gl = ga = None
+        if grad_layers and has_ad:
             _, vjp_fn = jax.vjp(
                 lambda lp, la, h: stage_fwd(lp, la, h, i_b),
                 layers, adapters, h_saved)
             gl, ga, gh = vjp_fn(g_in)
-        else:
+        elif grad_layers:
             _, vjp_fn = jax.vjp(
                 lambda lp, h: stage_fwd(lp, None, h, i_b),
                 layers, h_saved)
             gl, gh = vjp_fn(g_in)
-            ga = None
+        elif has_ad:
+            _, vjp_fn = jax.vjp(
+                lambda la, h: stage_fwd(layers, la, h, i_b),
+                adapters, h_saved)
+            ga, gh = vjp_fn(g_in)
+        else:
+            _, vjp_fn = jax.vjp(lambda h: stage_fwd(layers, None, h, i_b),
+                                h_saved)
+            (gh,) = vjp_fn(g_in)
         acc = lambda a, g: a + jnp.where(valid_b, g.astype(jnp.float32), 0.0)
-        g_layers = jax.tree.map(acc, g_layers, gl)
+        if grad_layers:
+            g_layers = jax.tree.map(acc, g_layers, gl)
         if has_ad:
             g_adapters = jax.tree.map(acc, g_adapters, ga)
-        write_x = jnp.logical_and(stage == 0, valid_b)
-        cur = jax.lax.dynamic_index_in_dim(g_x, i_b, 0, keepdims=False)
-        g_x = jax.lax.dynamic_update_index_in_dim(
-            g_x, jnp.where(write_x, gh.astype(g_x.dtype), cur), i_b, 0)
+        if grad_x:
+            write_x = jnp.logical_and(stage == 0, valid_b)
+            cur = jax.lax.dynamic_index_in_dim(g_x, i_b, 0, keepdims=False)
+            g_x = jax.lax.dynamic_update_index_in_dim(
+                g_x, jnp.where(write_x, gh.astype(g_x.dtype), cur), i_b, 0)
 
         fwd_msg = jax.lax.ppermute(h_out, axis_name, perm_f)
         bwd_msg = jax.lax.ppermute(gh.astype(bwd_msg.dtype), axis_name,
                                    perm_b)
         return (fwd_msg, bwd_msg, stash, g_layers, g_adapters, g_head,
-                g_x, loss), None
+                g_x, loss, aux_acc), None
 
     carry0 = vary((
         jnp.zeros((mb, T, D), x.dtype),              # fwd_msg
         jnp.zeros((mb, T, D), x.dtype),              # bwd_msg
         jnp.zeros((K, mb, T, D), x.dtype),           # stash ring
-        zeros_f32(layers),                           # g_layers (local slice)
+        zeros_f32(layers) if grad_layers else None,  # g_layers (local slice)
         zeros_f32(adapters) if has_ad else None,     # g_adapters
-        zeros_f32(head_params),                      # g_head
-        jnp.zeros((M, mb, T, D), jnp.float32),       # g_x
+        zeros_f32(head_params) if grad_head else None,   # g_head
+        jnp.zeros((M, mb, T, D), jnp.float32) if grad_x else None,  # g_x
         jnp.zeros((), jnp.float32),                  # loss
+        zeros_f32(aux_struct) if head_has_aux else None,  # metrics aux
     ))
     carry, _ = jax.lax.scan(tick, carry0, jnp.arange(M + 2 * S - 2))
-    (_, _, _, g_layers, g_adapters, g_head, g_x, loss) = carry
+    (_, _, _, g_layers, g_adapters, g_head, g_x, loss, aux_acc) = carry
 
-    # loss / g_head are real only on the last stage, g_x only on stage 0;
-    # broadcast over the pp ring. g_layers/g_adapters stay local slices
-    # (out_specs reassemble the [L, ...] leading axis).
+    # loss / aux / g_head are real only on the last stage, g_x only on
+    # stage 0; broadcast over the pp ring. g_layers/g_adapters stay local
+    # slices (out_specs reassemble the [L, ...] leading axis).
     last = stage == S - 1
-    loss = _f32_psum(jnp.where(last, loss, 0.0), axis_name)
-    g_head = jax.tree.map(
-        lambda g: _f32_psum(jnp.where(last, g, jnp.zeros_like(g)),
-                            axis_name), g_head)
-    g_x = _f32_psum(jnp.where(stage == 0, g_x, jnp.zeros_like(g_x)),
-                    axis_name).reshape(B, T, D)
-    return loss, g_layers, g_adapters, g_x, g_head
+    psum_last = lambda g: _f32_psum(jnp.where(last, g, jnp.zeros_like(g)),
+                                    axis_name)
+    loss = psum_last(loss)
+    aux_acc = jax.tree.map(psum_last, aux_acc) if head_has_aux else None
+    if grad_head:
+        g_head = jax.tree.map(psum_last, g_head)
+    if grad_x:
+        g_x = _f32_psum(jnp.where(stage == 0, g_x, jnp.zeros_like(g_x)),
+                        axis_name).reshape(B, T, D)
+    return loss, aux_acc, g_layers, g_adapters, g_x, g_head
 
 
 def pipelined_grads_1f1b(layer_fn: Callable, layers: Any, adapters: Any,
                          x: jax.Array, cos, sin, mask_bias,
                          head_fn: Callable, head_params: Any, head_aux: Any,
-                         mesh: Mesh, n_micro: int, axis_name: str = "pp"):
+                         mesh: Mesh, n_micro: int, axis_name: str = "pp",
+                         *, grad_layers: bool = True, grad_head: bool = True,
+                         grad_x: bool = True, head_has_aux: bool = False):
     """1F1B pipeline schedule: loss + gradients of the pipelined layer
     stack with activation memory bounded by the pipeline depth instead of
     the microbatch count (VERDICT-r3 #8; the reference has no pipeline
@@ -310,16 +351,24 @@ def pipelined_grads_1f1b(layer_fn: Callable, layers: Any, adapters: Any,
 
     ``layer_fn(lp, h, la, cos, sin, mask_bias) -> h`` as in
     ``pipelined_layers``; ``head_fn(h_mb, head_params, aux_mb) -> scalar``
-    is the per-microbatch loss at the top of the stack (lm head + CE/KD;
-    fold any 1/M normalization in — microbatch losses are summed).
+    (or ``-> (scalar, metrics_pytree)`` with ``head_has_aux=True``; metric
+    leaves must be scalars and are summed across microbatches like the
+    loss) is the per-microbatch loss at the top of the stack (lm head +
+    CE/KD; fold any 1/M normalization in — microbatch losses are summed).
     ``head_aux`` is a pytree of [B, ...] arrays (labels, masks) split into
     microbatches alongside ``x``.
 
-    Returns ``(loss, g_layers, g_adapters, g_x, g_head)`` — gradients in
-    f32 (the accumulation dtype), ``g_x`` [B, T, D] ready to continue
-    backprop into the embedding outside the pipeline. Exactness vs
-    GPipe-by-autodiff and vs the unpipelined stack:
-    tests/test_pipeline_parallel.py.
+    ``grad_layers`` / ``grad_head`` / ``grad_x`` turn off the cotangent
+    (and its f32 accumulator) for frozen inputs — the unmerged-LoRA KD
+    step wants only ``g_adapters``, not a full f32 copy of the frozen
+    base stack.
+
+    Returns ``(loss, metrics, g_layers, g_adapters, g_x, g_head)`` —
+    ``metrics`` is the summed head aux (None unless ``head_has_aux``);
+    gradients are f32 (the accumulation dtype, None when switched off),
+    ``g_x`` [B, T, D] ready to continue backprop into the embedding
+    outside the pipeline. Exactness vs GPipe-by-autodiff and vs the
+    unpipelined stack: tests/test_pipeline_parallel.py.
 
     Schedule + memory bound: see ``_1f1b_body``. Peak cross-tick stash is
     min(M, 2S-1) microbatch activations per stage vs GPipe-by-autodiff's
@@ -336,10 +385,12 @@ def pipelined_grads_1f1b(layer_fn: Callable, layers: Any, adapters: Any,
 
     fn = jax.shard_map(
         partial(_1f1b_body, layer_fn=layer_fn, head_fn=head_fn,
-                n_micro=n_micro, axis_name=axis_name),
+                n_micro=n_micro, axis_name=axis_name,
+                grad_layers=grad_layers, grad_head=grad_head, grad_x=grad_x,
+                head_has_aux=head_has_aux),
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(axis_name), P(axis_name), P(), P()),
+        out_specs=(P(), P(), P(axis_name), P(axis_name), P(), P()),
         axis_names={axis_name})
     return fn(layers, adapters, x, cos, sin, mask_bias, head_params,
               head_aux)

@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "stack; num layers must divide by it)")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="microbatches per pipeline step (default 2*pp)")
+    p.add_argument("--pp_schedule", choices=["gpipe", "1f1b"],
+                   default="gpipe",
+                   help="pipeline schedule: gpipe (autodiff through the "
+                        "pipelined forward) or 1f1b (hand-scheduled "
+                        "backward, activation stash bounded by pp depth "
+                        "instead of microbatch count; precomputed-KD "
+                        "student step only — the teacher side, if any, "
+                        "stays gpipe)")
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard optimizer moments additionally "
                         "over dp (GSPMD reduce-scatters grads into the "
@@ -329,7 +337,9 @@ def train(config) -> None:
     step_fn = train_step.make_kd_step(
         s_cfg, dcfg, opt, mode=step_mode, teacher_cfg=teacher_cfg,
         teacher_forward=teacher_forward, teacher_extract=teacher_extract,
-        use_lora=config.use_lora)
+        use_lora=config.use_lora,
+        pp_schedule=getattr(config, "pp_schedule", "gpipe")
+        if pp > 1 else "gpipe")
 
     collator = DistillCollator(
         pad_token_id=tokenizer.pad_token_id,

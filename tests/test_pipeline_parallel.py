@@ -219,7 +219,8 @@ def test_1f1b_grads_match_unpipelined_and_gpipe():
         run = jax.jit(lambda lyrs, x_, hp, lab: pipelined_grads_1f1b(
             layer_fn, lyrs, None, x_, cos, sin, bias, head_fn, hp,
             {"labels": lab}, mesh, M))
-        loss, g_lyr, g_ad, g_x, g_w = run(layers, x, W, labels)
+        loss, metrics, g_lyr, g_ad, g_x, g_w = run(layers, x, W, labels)
+        assert metrics is None
 
         # GPipe-by-autodiff over the same mesh, same microbatched loss
         def gpipe_loss(lyrs, x_, hp):
@@ -243,3 +244,75 @@ def test_1f1b_grads_match_unpipelined_and_gpipe():
         np.testing.assert_allclose(np.asarray(got),
                                    np.asarray(got_gp, np.float32),
                                    atol=2e-4, rtol=2e-3)
+
+
+def test_kd_step_1f1b_matches_single_device():
+    """Precomputed sparse-KD step under pp_schedule='1f1b' (dp2 x pp2 x tp2,
+    4 microbatches) equals the single-device unfused step: loss, metrics,
+    and every trainable leaf after one optimizer update. Exercises the
+    embed/lm_head gradient chaining (default modules_to_save) and the
+    sum-form global-denominator head (losses.sparse_distill_sums) against
+    padding + ignored labels + a speech-token mask."""
+    from speech_distill_tpu.distill import train_step
+    from speech_distill_tpu.distill.lora import init_lora
+
+    cfg = _cfg(layers=4)
+    cfg = type(cfg)(**{**cfg.__dict__, "remat": True})
+    cfg_pp = type(cfg)(**{**cfg.__dict__, "pp_microbatches": 4})
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    dcfg = DistillConfig(top_k=8,
+                         lora=LoraConfig(r=4, alpha=8,
+                                         init_weights="gaussian"))
+    lora, base = init_lora(jax.random.PRNGKey(2), params, cfg, dcfg.lora)
+    assert "embed" in lora           # modules_to_save default: embed path on
+    opt = train_step.make_optimizer(1e-3, 1, 20)
+
+    rng = np.random.default_rng(0)
+    B, T, K = 8, 16, 8
+    labels = rng.integers(0, 128, (1, B, T))
+    labels[0, 1, :4] = -100                          # ignored prefix
+    mask = np.ones((1, B, T), np.int32)
+    mask[0, 3, 12:] = 0                              # right padding
+    smask = np.ones((1, B, T), np.int32)
+    smask[0, 5, :8] = 0                              # text positions
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 128, (1, B, T)), jnp.int32),
+        "attention_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(labels, jnp.int32),
+        "speech_token_mask": jnp.asarray(smask),
+        "teacher_top_k_v": jnp.asarray(
+            rng.normal(-2, 1, (1, B, T, K)).astype(np.float32)),
+        "teacher_top_k_i": jnp.asarray(
+            rng.integers(0, 128, (1, B, T, K)), jnp.int32),
+    }
+
+    step = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
+                                   donate=False, head_loss="unfused")
+    s0 = train_step.init_state(lora, opt)
+    s0_after, m0 = step(s0, base, None, batch)
+
+    mesh = meshlib.make_mesh(MeshConfig(dp=2, pp=2, tp=2))
+    with meshlib.active_mesh(mesh):
+        step_p = train_step.make_kd_step(cfg_pp, dcfg, opt,
+                                         mode="precomputed", donate=False,
+                                         pp_schedule="1f1b")
+        base_s = sharding.shard_params(mesh, base, cfg)
+        lora_s = sharding.shard_lora(mesh, lora)
+        st = train_step.init_state(lora_s, opt)
+        st = train_step.TrainState(
+            lora_s,
+            sharding.shard_opt_state(
+                mesh, st.opt_state, sharding.lora_pspecs(lora, pp=True)),
+            jax.device_put(st.step, meshlib.replicated(mesh)))
+        batch_s = sharding.shard_batch(mesh, batch)
+        st_after, m1 = step_p(st, base_s, None, batch_s)
+
+    for k in ("loss", "student_loss", "distill_loss", "teacher_loss"):
+        np.testing.assert_allclose(float(m0[k]), float(m1[k]), rtol=1e-5,
+                                   err_msg=k)
+    for (ka, a), (kb, b) in zip(
+            jax.tree.leaves_with_path(s0_after.trainable),
+            jax.tree.leaves_with_path(st_after.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg=jax.tree_util.keystr(ka))
