@@ -316,3 +316,60 @@ def test_kd_step_1f1b_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4,
                                    err_msg=jax.tree_util.keystr(ka))
+
+
+def test_kd_step_1f1b_full_finetune_matches_single_device():
+    """use_lora=False under pp_schedule='1f1b': the full-finetune branch
+    (grad_layers on, final_ln/embed/head grads assembled from
+    g_head/g_x) matches the single-device full-finetune step."""
+    from speech_distill_tpu.distill import train_step
+
+    cfg = _cfg(layers=4)
+    cfg = type(cfg)(**{**cfg.__dict__, "remat": True})
+    cfg_pp = type(cfg)(**{**cfg.__dict__, "pp_microbatches": 2})
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    dcfg = DistillConfig(top_k=8)
+    opt = train_step.make_optimizer(1e-3, 1, 20)
+
+    rng = np.random.default_rng(1)
+    B, T, K = 8, 16, 8
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 128, (1, B, T)), jnp.int32),
+        "attention_mask": jnp.ones((1, B, T), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 128, (1, B, T)), jnp.int32),
+        "teacher_top_k_v": jnp.asarray(
+            rng.normal(-2, 1, (1, B, T, K)).astype(np.float32)),
+        "teacher_top_k_i": jnp.asarray(
+            rng.integers(0, 128, (1, B, T, K)), jnp.int32),
+    }
+
+    step = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
+                                   use_lora=False, donate=False,
+                                   head_loss="unfused")
+    s0 = train_step.init_state(params, opt)
+    s0_after, m0 = step(s0, params, None, batch)
+
+    mesh = meshlib.make_mesh(MeshConfig(dp=2, pp=2, tp=2))
+    with meshlib.active_mesh(mesh):
+        step_p = train_step.make_kd_step(cfg_pp, dcfg, opt,
+                                         mode="precomputed", use_lora=False,
+                                         donate=False, pp_schedule="1f1b")
+        params_s = sharding.shard_params(mesh, params, cfg)
+        st = train_step.init_state(params_s, opt)
+        st = train_step.TrainState(
+            params_s,
+            sharding.shard_opt_state(
+                mesh, st.opt_state,
+                qwen3.param_pspecs(cfg, pp=True)),
+            jax.device_put(st.step, meshlib.replicated(mesh)))
+        batch_s = sharding.shard_batch(mesh, batch)
+        st_after, m1 = step_p(st, params_s, None, batch_s)
+
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree.leaves_with_path(s0_after.trainable),
+            jax.tree.leaves_with_path(st_after.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg=jax.tree_util.keystr(ka))
