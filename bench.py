@@ -25,6 +25,10 @@ def main():
                             "decode", "serve", "tts", "tts_streaming",
                             "tts_serve", "stage1", "s3", "extract", "eval",
                             "all"])
+    p.add_argument("--bench_only", default="",
+                   help="--mode all: comma-separated bench names to "
+                        "(re)run; other entries are carried over from the "
+                        "existing BENCH_ALL.json (selective refresh)")
     # per-device batch 8: the reference's effective batch is 16
     # (bs4 x grad-accum 4, train.py:333-334); 8 feeds the MXU better than 4
     # while staying inside that envelope
@@ -204,7 +208,8 @@ def main():
     from speech_distill_tpu.models import qwen3
 
     if args.mode == "all":
-        return bench_all()
+        return bench_all(only=(set(args.bench_only.split(","))
+                               if args.bench_only else None))
     if args.mode == "decode":
         return bench_decode(args)
     if args.mode == "serve":
@@ -409,11 +414,18 @@ def bench_decode(args):
     }))
 
 
-def bench_all():
+def bench_all(only=None):
     """Every benchmark surface as one reproducible artifact: runs each
     mode in its own subprocess (sequential — the TPU claim is exclusive,
     and per-process isolation keeps one OOM from poisoning the rest),
-    streams one JSON line per result, and writes BENCH_ALL.json."""
+    streams one JSON line per result, and writes BENCH_ALL.json.
+
+    ``only`` (set of bench names) selectively re-runs those benches and
+    carries every other entry over from the existing BENCH_ALL.json, so
+    new surfaces can be appended without re-measuring the world. The
+    artifact is rewritten after every bench so a partial run still
+    persists its progress.
+    """
     import subprocess
     import sys
     runs = [
@@ -495,8 +507,27 @@ def bench_all():
         ("tts_serve", ["--mode", "tts_serve", "--quant", "int8_embed"]),
         ("s3", []),
     ]
-    results = []
+    prior = {}
+    if only:
+        unknown = set(only) - {n for n, _ in runs}
+        if unknown:
+            raise SystemExit(f"--bench_only: unknown benches "
+                             f"{sorted(unknown)}")
+        try:
+            with open("BENCH_ALL.json") as f:
+                prior = {e.get("bench"): e for e in json.load(f)}
+        except (OSError, ValueError):
+            pass
+    merged = {name: prior.get(name) for name, _ in runs}
+
+    def persist():
+        with open("BENCH_ALL.json", "w") as f:
+            json.dump([merged[n] for n, _ in runs if merged[n] is not None],
+                      f, indent=1)
+
     for name, extra in runs:
+        if only is not None and name not in only:
+            continue
         cmd = [sys.executable, __file__] + (extra or ["--mode", name])
         r = subprocess.run(cmd, capture_output=True, text=True)
         if r.returncode != 0:
@@ -504,10 +535,9 @@ def bench_all():
         else:
             entry = {"bench": name,
                      **json.loads(r.stdout.strip().splitlines()[-1])}
-        results.append(entry)
+        merged[name] = entry
         print(json.dumps(entry), flush=True)
-    with open("BENCH_ALL.json", "w") as f:
-        json.dump(results, f, indent=1)
+        persist()
 
 
 def _serve_workload(vocab: int, S: int, prefix_len: int = 0,
