@@ -208,8 +208,8 @@ def main():
     from speech_distill_tpu.models import qwen3
 
     if args.mode == "all":
-        return bench_all(only=(set(args.bench_only.split(","))
-                               if args.bench_only else None))
+        only = {s.strip() for s in args.bench_only.split(",") if s.strip()}
+        return bench_all(only=(only or None))
     if args.mode == "decode":
         return bench_decode(args)
     if args.mode == "serve":
@@ -507,23 +507,31 @@ def bench_all(only=None):
         ("tts_serve", ["--mode", "tts_serve", "--quant", "int8_embed"]),
         ("s3", []),
     ]
-    prior = {}
     if only:
         unknown = set(only) - {n for n, _ in runs}
         if unknown:
             raise SystemExit(f"--bench_only: unknown benches "
                              f"{sorted(unknown)}")
-        try:
-            with open("BENCH_ALL.json") as f:
-                prior = {e.get("bench"): e for e in json.load(f)}
-        except (OSError, ValueError):
-            pass
+    # Always seed from the prior artifact: full runs progressively
+    # replace entries (an interrupted run keeps not-yet-remeasured
+    # results), selective runs refresh only the named benches.
+    prior = {}
+    try:
+        with open("BENCH_ALL.json") as f:
+            prior = {e.get("bench"): e for e in json.load(f)}
+    except (OSError, ValueError):
+        pass
     merged = {name: prior.get(name) for name, _ in runs}
+    orphans = [e for n, e in prior.items() if n not in merged]
+    for e in orphans:
+        print(f"bench_all: retaining prior entry "
+              f"{e.get('bench')!r} (no matching run name)",
+              file=sys.stderr)
 
     def persist():
         with open("BENCH_ALL.json", "w") as f:
-            json.dump([merged[n] for n, _ in runs if merged[n] is not None],
-                      f, indent=1)
+            json.dump([merged[n] for n, _ in runs if merged[n] is not None]
+                      + orphans, f, indent=1)
 
     for name, extra in runs:
         if only is not None and name not in only:

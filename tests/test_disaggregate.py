@@ -76,6 +76,73 @@ def test_pipeline_batches_ordering_and_alignment():
 
 
 @pytest.mark.slow
+def test_disaggregated_teacher_feeds_1f1b_student():
+    """Online KD with the teacher disaggregated onto its own 4-device mesh
+    and the student running the hand-scheduled 1F1B pipeline (dp2 x pp2,
+    4 microbatches) equals monolithic online-sparse KD on one device, step
+    for step — the CLI wiring ``--teacher_devices N --pp 2 --pp_schedule
+    1f1b`` (pipelines/train.py:336 turns the student step precomputed, the
+    only mode 1F1B supports; reference train.py:60-94 has neither a
+    pipeline nor a disaggregation story)."""
+    cfg = _f32(qwen3_tiny(128))
+    cfg_pp = type(cfg)(**{**cfg.__dict__, "pp_microbatches": 4})
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    teacher = qwen3.init_params(jax.random.PRNGKey(1), cfg)
+    dcfg = DistillConfig(top_k=8, online_topk_method="exact",
+                         lora=LoraConfig(r=4, alpha=8,
+                                         init_weights="gaussian"))
+    lora, base = init_lora(jax.random.PRNGKey(2), params, cfg, dcfg.lora)
+    opt = train_step.make_optimizer(1e-3, 1, 20)
+    rng = np.random.default_rng(0)
+    batches = _batches(rng, 3)
+
+    # --- monolithic online (single device); unfused head = the same
+    # composable-loss numerics the 1F1B sum-form head reassociates
+    step_on = train_step.make_kd_step(cfg, dcfg, opt, mode="online_sparse",
+                                      teacher_cfg=cfg, donate=False,
+                                      head_loss="unfused")
+    s_on = train_step.init_state(lora, opt)
+    losses_on = []
+    for hb in batches:
+        s_on, m = step_on(s_on, base, teacher, hb)
+        losses_on.append(float(m["loss"]))
+
+    # --- disaggregated teacher (last 4 devices) + 1F1B student (first 4)
+    s_devs, t_devs = disaggregate.split_devices(4)
+    s_mesh = meshlib.make_mesh(MeshConfig(dp=2, pp=2), devices=s_devs)
+    t_mesh = meshlib.make_mesh(MeshConfig(dp=4), devices=t_devs)
+    svc = disaggregate.make_teacher_service(
+        teacher, cfg, t_mesh, top_k=8, student_vocab_size=128,
+        method="exact", depth=2)
+
+    with meshlib.active_mesh(s_mesh):
+        step_pre = train_step.make_kd_step(cfg_pp, dcfg, opt,
+                                           mode="precomputed", donate=False,
+                                           pp_schedule="1f1b")
+        base_s = sharding.shard_params(s_mesh, base, cfg)
+        lora_s = sharding.shard_lora(s_mesh, lora)
+        st = train_step.init_state(lora_s, opt)
+        st = train_step.TrainState(
+            lora_s,
+            sharding.shard_opt_state(s_mesh, st.opt_state,
+                                     sharding.lora_pspecs(lora, pp=True)),
+            jax.device_put(st.step, meshlib.replicated(s_mesh)))
+
+        losses_dis = []
+        for hb in disaggregate.pipeline_batches(iter(batches), svc):
+            st, m = step_pre(st, base_s, None,
+                             sharding.shard_batch(s_mesh, hb))
+            losses_dis.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses_dis, losses_on, rtol=1e-5)
+    for (ka, a), (kb, b) in zip(jax.tree.leaves_with_path(s_on.trainable),
+                                jax.tree.leaves_with_path(st.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+
+@pytest.mark.slow
 def test_disaggregated_matches_monolithic_online():
     """3 KD steps with the teacher disaggregated onto its own 4-device mesh
     (student on the other 4, dp2 x tp2) equal monolithic online-sparse KD
