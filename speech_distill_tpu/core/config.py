@@ -91,6 +91,10 @@ class Qwen3Config(_JsonOverlayMixin):
     #                                    over the mesh's pp axis, splitting
     #                                    the batch into this many
     #                                    microbatches (training fwd only)
+    pp_interleave: int = 1             # >1: virtual pipeline stages per
+    #                                    device (Megatron-style interleaved
+    #                                    1F1B; pp_schedule='1f1b' only) —
+    #                                    pipeline bubble / interleave
     logits_dtype: str = "float32"
     head_bwd_dtype: str = "float32"    # lm-head cotangent dtype for the
     #                                    UNFUSED unembed path (stage-1

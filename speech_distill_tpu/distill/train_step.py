@@ -191,7 +191,8 @@ def _make_1f1b_grad_fn(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                        lcfg: LoraConfig, use_lora: bool,
                        merge_weights: bool):
     """Value-and-grad of the precomputed sparse-KD loss under the 1F1B
-    pipeline schedule (parallel/pipeline.pipelined_grads_1f1b).
+    pipeline schedule (parallel/pipeline.pipelined_grads_interleaved;
+    ``student_cfg.pp_interleave > 1`` adds Megatron-style virtual stages).
 
     Unlike the GPipe path (qwen3.forward pipelines the stack, autodiff
     linearizes the whole tick scan and stashes every microbatch's carry),
@@ -206,12 +207,13 @@ def _make_1f1b_grad_fn(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
     modules_to_save) chain through ``g_x`` / ``g_head``; the frozen base
     stack never gets an f32 gradient accumulator (grad_layers off).
     """
-    from speech_distill_tpu.parallel.pipeline import (mesh_pp,
-                                                      pipelined_grads_1f1b)
+    from speech_distill_tpu.parallel.pipeline import (
+        mesh_pp, pipelined_grads_interleaved)
     mesh = meshlib.get_active_mesh()
     if mesh is None or mesh_pp(mesh) <= 1:
         raise ValueError("pp_schedule='1f1b' needs an active mesh with "
                          "pp > 1 (meshlib.set_active_mesh)")
+    n_virtual = max(getattr(student_cfg, "pp_interleave", 1), 1)
     if merge_weights:
         raise ValueError("pp_schedule='1f1b' differentiates the adapter "
                          "stack directly; merge_weights is unsupported")
@@ -284,9 +286,9 @@ def _make_1f1b_grad_fn(student_cfg: Qwen3Config, distill_cfg: DistillConfig,
                                "teacher_loss": out.teacher}
 
         loss, metrics, g_layers, g_adapters, g_x, g_head = \
-            pipelined_grads_1f1b(
+            pipelined_grads_interleaved(
                 pl_fn, eff["layers"], adapters, x, cos, sin, bias,
-                head_fn, head_params, head_aux, mesh, n_micro,
+                head_fn, head_params, head_aux, mesh, n_micro, n_virtual,
                 grad_layers=full_ft, grad_head=head_grad,
                 grad_x=embed_grad, head_has_aux=True)
 

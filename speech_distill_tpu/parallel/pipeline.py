@@ -28,6 +28,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -134,39 +135,182 @@ def _f32_psum(v, axis_name):
     return jax.lax.psum(v, axis_name)
 
 
+def _interleaved_schedule(S: int, V: int, M: int):
+    """Static schedule tables for the (optionally interleaved) 1F1B
+    pipeline on a lockstep pp ring of S devices with V virtual stages
+    ("model chunks") per device — Megatron-style interleaving, re-derived
+    for the SPMD tick-scan formulation.
+
+    Logical stage q = v*S + s (chunk v living on device s) holds
+    L/(S*V) consecutive layers. With microbatches processed in groups of
+    S (Megatron's ordering; arbitrary M is handled, partial groups just
+    leave masked holes):
+
+      fwd  of (m, v) on device s at tick  F = s + sig(m, v)
+      bwd  of (m, v) on device s at tick  B = (Q-1) + (S-1-s) + sigb(m, v)
+      sig(m, v)  = (m % S) + v*S         + (m // S) * S * V
+      sigb(m, v) = (m % S) + (V-1-v)*S   + (m // S) * S * V
+
+    Every producer->consumer dependency lands exactly one tick apart
+    (asserted below), so a single ``ppermute`` per direction per tick
+    carries all activations and cotangents:
+
+      fwd ring  s -> s+1: (m,v,s) feeds (m,v,s+1); the wrap S-1 -> 0
+                 feeds (m, v+1, 0) — the chunk hop.
+      bwd ring  s -> s-1: (m,v,s) feeds (m,v,s-1); the wrap 0 -> S-1
+                 feeds (m, v-1, S-1).
+
+    The first backward of a microbatch (v=V-1 on the last device) lands
+    on the SAME tick as its last forward (B == F when q == Q-1) — seeded
+    in-tick by the head vjp, exactly like the V=1 schedule.
+
+    A stash slot holds a chunk input from F to B — lifetime
+    2*(Q-1-q) ticks; slots are assigned by linear-scan (first-fit over
+    sorted starts — optimal for interval coloring), giving the exact
+    peak cross-tick activation footprint K (== min(M, 2S-1) at V=1).
+
+    Bubble accounting (lockstep SPMD: a masked slot still costs its
+    compute): ticks split into three phases — warmup [0, Q-1) has no
+    valid backward anywhere and pays only the fwd slot; steady
+    [Q-1, maxF+1) pays fwd+bwd; drain pays only bwd. For M % S == 0 the
+    total is (MV + S - 1) fwd-slot costs + (MV + S - 1) bwd-slot costs —
+    a bubble of (S-1) chunk-ticks each way, V times smaller than the
+    uniform-tick V=1 schedule's (S-1) full-stage-ticks. This is optimal
+    for the one-fwd+one-bwd-slot lockstep class: no backward exists
+    before tick Q-1 and the last backward cannot land before
+    maxF + Q - 1.
+
+    Returns (tables, tB0, tC0, T, K): ``tables`` is a dict of numpy
+    arrays indexed [tick, device] (head entries [tick]), phase bounds
+    [0,tB0) / [tB0,tC0) / [tC0,T).
+    """
+    Q = S * V
+
+    def sig(m, v):
+        return (m % S) + v * S + (m // S) * S * V
+
+    def sigb(m, v):
+        return (m % S) + (V - 1 - v) * S + (m // S) * S * V
+
+    off = Q - 1
+    T = off + (S - 1) + sigb(M - 1, 0) + 1      # last bwd: (M-1, v=0, s=0)
+    zi = lambda: np.zeros((T, S), np.int32)
+    zb = lambda: np.zeros((T, S), bool)
+    tb = {"fm": zi(), "fv": zi(), "fvalid": zb(), "fslot": zi(),
+          "bm": zi(), "bv": zi(), "bvalid": zb(), "bslot": zi(),
+          "bseed": zb(), "hm": np.zeros(T, np.int32),
+          "hvalid": np.zeros(T, bool)}
+    K = 0
+    for s in range(S):
+        events = []
+        for m in range(M):
+            for v in range(V):
+                F = s + sig(m, v)
+                B = off + (S - 1 - s) + sigb(m, v)
+                assert F <= B < T and not tb["fvalid"][F, s] \
+                    and not tb["bvalid"][B, s]
+                tb["fm"][F, s], tb["fv"][F, s] = m, v
+                tb["fvalid"][F, s] = True
+                tb["bm"][B, s], tb["bv"][B, s] = m, v
+                tb["bvalid"][B, s] = True
+                if s == S - 1 and v == V - 1:
+                    assert F == B and not tb["hvalid"][F]
+                    tb["hm"][F], tb["hvalid"][F] = m, True
+                    tb["bseed"][B, s] = True
+                events.append((F, B))
+        # linear-scan stash allocation; a slot frees the tick AFTER its
+        # last read (the in-tick write precedes the read)
+        events.sort()
+        free_at: list = []
+        for F, B in events:
+            for k, fa in enumerate(free_at):
+                if fa <= F:
+                    break
+            else:
+                k = len(free_at)
+                free_at.append(0)
+            free_at[k] = B + 1
+            tb["fslot"][F, s] = k
+            tb["bslot"][B, s] = k
+        K = max(K, len(free_at))
+
+    # ring-tightness self-check: every valid message is consumed by the
+    # neighbor exactly one tick later (or provably ignored at the wrap)
+    for t in range(T):
+        for s in range(S):
+            if tb["fvalid"][t, s] and t + 1 < T:
+                m, v = tb["fm"][t, s], tb["fv"][t, s]
+                nxt = (s + 1) % S
+                if s < S - 1:
+                    assert tb["fvalid"][t + 1, nxt] and \
+                        (tb["fm"][t + 1, nxt], tb["fv"][t + 1, nxt]) == (m, v)
+                elif v < V - 1:
+                    assert tb["fvalid"][t + 1, 0] and \
+                        (tb["fm"][t + 1, 0], tb["fv"][t + 1, 0]) == (m, v + 1)
+                else:       # consumed in-tick by the head; the ppermuted
+                    # copy must not be read as an activation downstream
+                    assert not tb["fvalid"][t + 1, 0] or tb["fv"][t + 1, 0] == 0
+            if tb["bvalid"][t, s] and t + 1 < T:
+                m, v = tb["bm"][t, s], tb["bv"][t, s]
+                prv = (s - 1) % S
+                if s > 0:
+                    assert tb["bvalid"][t + 1, prv] and \
+                        (tb["bm"][t + 1, prv], tb["bv"][t + 1, prv]) == (m, v)
+                elif v > 0:
+                    assert tb["bvalid"][t + 1, S - 1] and \
+                        (tb["bm"][t + 1, S - 1],
+                         tb["bv"][t + 1, S - 1]) == (m, v - 1)
+                else:       # grad w.r.t. the pipeline input: leaves the ring
+                    assert not tb["bvalid"][t + 1, S - 1] \
+                        or tb["bseed"][t + 1, S - 1]
+
+    tB0 = off                                       # first head/backward
+    tC0 = int(np.max(np.nonzero(tb["fvalid"].any(axis=1))[0])) + 1
+    assert not tb["bvalid"][:tB0].any() and not tb["hvalid"][:tB0].any()
+    assert not tb["fvalid"][tC0:].any() and not tb["hvalid"][tC0:].any()
+    return tb, tB0, tC0, T, K
+
+
 def _1f1b_body(layers, adapters, x, cos, sin, mask_bias, head_params,
                head_aux, *, layer_fn: Callable, head_fn: Callable,
-               n_micro: int, axis_name: str, grad_layers: bool = True,
-               grad_head: bool = True, grad_x: bool = True,
-               head_has_aux: bool = False):
-    """shard_map body for the hand-scheduled 1F1B pipeline (see
-    ``pipelined_grads_1f1b``). One ``lax.scan`` over global ticks; each
-    tick holds one forward slot and one backward slot per stage:
+               n_micro: int, n_virtual: int, axis_name: str,
+               grad_layers: bool = True, grad_head: bool = True,
+               grad_x: bool = True, head_has_aux: bool = False):
+    """shard_map body for the hand-scheduled (interleaved) 1F1B pipeline
+    (see ``pipelined_grads_1f1b`` / ``pipelined_grads_interleaved``).
+    Three ``lax.scan``s over the phases of the static schedule
+    (``_interleaved_schedule``); each steady-state tick holds one chunk
+    forward, one head slot, and one chunk backward per device, with slot
+    assignments gathered from the schedule tables.
 
-      fwd  of microbatch m at stage s on tick  t = m + s        (as GPipe)
-      head loss + its vjp for m at the LAST stage on the same tick its
-        forward completes (t = m + S - 1), seeding the backward
-      bwd  of microbatch m at stage s on tick  t = m + 2(S-1) - s
-
-    Total ticks M + 2S - 2. Stage inputs are stashed in a ring of
-    K = min(M, 2S-1) slots — a microbatch's stash lives 2(S-1-s) ticks
-    (stashed at m+s, consumed at m+2(S-1)-s), so slot ``m % K`` is always
-    free again before microbatch m+K re-uses it. That K is the whole
-    cross-tick activation footprint: the backward slot recomputes the
-    stage forward from the stashed input under ``jax.vjp`` (full remat,
+    The cross-tick activation footprint is the stash of K chunk inputs
+    (exact interval-colored peak): the backward slot recomputes the chunk
+    forward from the stashed input under ``jax.vjp`` (full remat,
     matching this codebase's measured-optimal policy), and gradients are
-    accumulated by hand, so nothing else survives a tick. GPipe-by-autodiff
-    instead linearizes the tick scan and stashes every tick's carry —
-    M + S - 1 microbatch activations per stage (scripts/
-    pp_memory_accounting.py measures both).
+    accumulated by hand, so nothing else survives a tick.
+    GPipe-by-autodiff instead linearizes the tick scan and stashes every
+    tick's carry — M + S - 1 microbatch activations per stage
+    (scripts/pp_memory_accounting.py measures both).
+
+    ``layers``/``adapters`` arrive interleave-permuted (device s's local
+    [V*Lc, ...] slice is its V chunks in v order — see
+    ``_interleave_layer_perm``); gradients return in the same layout.
     """
     S = jax.lax.axis_size(axis_name)
     stage = jax.lax.axis_index(axis_name)
     B, T, D = x.shape
     M = n_micro
+    V = n_virtual
     mb = B // M
-    K = min(M, 2 * S - 1)
     has_ad = adapters is not None
+    tabs, tB0, tC0, n_ticks, K = _interleaved_schedule(S, V, M)
+    tabs = {k: jnp.asarray(v) for k, v in tabs.items()}
+
+    # local [V*Lc, ...] slice -> [V, Lc, ...] chunk stacks
+    chunked = lambda t: jax.tree.map(
+        lambda a: a.reshape((V, a.shape[0] // V) + a.shape[1:]), t)
+    layers_c = chunked(layers)
+    adapters_c = chunked(adapters) if has_ad else None
 
     def split(a):
         return None if a is None else a.reshape((M, mb) + a.shape[1:])
@@ -185,7 +329,7 @@ def _1f1b_body(layers, adapters, x, cos, sin, mask_bias, head_params,
             jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
                 a, idx, 0, keepdims=False), stack)
 
-    def stage_fwd(lp, la, h, idx):
+    def chunk_fwd(lp, la, h, idx):
         c = cos if cos_m is None else pick(cos_m, idx)
         s_ = sin if sin_m is None else pick(sin_m, idx)
         m_ = pick(mask_m, idx)
@@ -216,111 +360,160 @@ def _1f1b_body(layers, adapters, x, cos, sin, mask_bias, head_params,
             lambda: head_fn(jnp.zeros((mb, T, D), x.dtype), head_params,
                             pick(aux_m, jnp.zeros((), jnp.int32)))[1])
 
-    def tick(carry, t):
-        (fwd_msg, bwd_msg, stash, g_layers, g_adapters, g_head, g_x,
-         loss, aux_acc) = carry
+    def make_tick(do_fwd: bool, do_head: bool, do_bwd: bool):
+        def tick(carry, row):
+            (fwd_msg, bwd_msg, stash, g_layers, g_adapters, g_head, g_x,
+             loss, aux_acc) = carry
 
-        # ---- forward slot -------------------------------------------
-        m_f = t - stage
-        valid_f = jnp.logical_and(m_f >= 0, m_f < M)
-        i_f = jnp.clip(m_f, 0, M - 1)
-        h_in = jnp.where(stage == 0, pick(xm, i_f), fwd_msg)
-        slot = i_f % K
-        old = jax.lax.dynamic_index_in_dim(stash, slot, 0, keepdims=False)
-        stash = jax.lax.dynamic_update_index_in_dim(
-            stash, jnp.where(valid_f, h_in, old), slot, 0)
-        h_out = stage_fwd(layers, adapters, h_in, i_f)
+            # ---- forward slot ---------------------------------------
+            if do_fwd:
+                valid_f = row["fvalid"][stage]
+                i_f = row["fm"][stage]
+                v_f = row["fv"][stage]
+                sl_f = row["fslot"][stage]
+                # chunk v=0 on device 0 reads the pipeline input; every
+                # other (v, s) reads the fwd ring (the S-1 -> 0 wrap is
+                # the chunk hop v -> v+1)
+                h_in = jnp.where(
+                    jnp.logical_and(stage == 0, v_f == 0),
+                    pick(xm, i_f), fwd_msg)
+                old = jax.lax.dynamic_index_in_dim(
+                    stash, sl_f, 0, keepdims=False)
+                stash = jax.lax.dynamic_update_index_in_dim(
+                    stash, jnp.where(valid_f, h_in, old), sl_f, 0)
+                h_out = chunk_fwd(pick(layers_c, v_f),
+                                  pick(adapters_c, v_f), h_in, i_f)
 
-        # ---- head slot (real only on the last stage) ----------------
-        # SPMD lockstep: every stage evaluates the head on its own h_out
-        # and masks the result; only stage S-1's is real.
-        m_h = t - (S - 1)
-        valid_h = jnp.logical_and(stage == S - 1,
-                                  jnp.logical_and(m_h >= 0, m_h < M))
-        i_h = jnp.clip(m_h, 0, M - 1)
-        aux_h = pick(aux_m, i_h)
-        if grad_head:
-            vjp_out = jax.vjp(lambda h, hp: head_fn(h, hp, aux_h),
-                              h_out, head_params_v, has_aux=head_has_aux)
-        else:
-            # head params stay closed over: no cotangent is requested for
-            # them, so the unvarying-primal psum trap does not apply
-            vjp_out = jax.vjp(lambda h: head_fn(h, head_params, aux_h),
-                              h_out, has_aux=head_has_aux)
-        loss_mb, head_vjp = vjp_out[0], vjp_out[1]
-        aux_mb = vjp_out[2] if head_has_aux else None
-        cots = head_vjp(vary(jnp.ones((), loss_mb.dtype)))
-        g_seed = cots[0]
-        mask_h = lambda acc, g: acc + jnp.where(valid_h,
-                                                g.astype(jnp.float32), 0.0)
-        if grad_head:
-            g_head = jax.tree.map(mask_h, g_head, cots[1])
-        loss = loss + jnp.where(valid_h, loss_mb.astype(jnp.float32), 0.0)
-        if head_has_aux:
-            aux_acc = jax.tree.map(mask_h, aux_acc, aux_mb)
+            # ---- head slot (real only on the last stage) ------------
+            # SPMD lockstep: every stage evaluates the head on its own
+            # h_out and masks the result; only stage S-1's is real, on
+            # the tick its (m, V-1) forward completes.
+            if do_head:
+                valid_h = jnp.logical_and(stage == S - 1, row["hvalid"])
+                aux_h = pick(aux_m, row["hm"])
+                if grad_head:
+                    vjp_out = jax.vjp(lambda h, hp: head_fn(h, hp, aux_h),
+                                      h_out, head_params_v,
+                                      has_aux=head_has_aux)
+                else:
+                    # head params stay closed over: no cotangent is
+                    # requested for them, so the unvarying-primal psum
+                    # trap does not apply
+                    vjp_out = jax.vjp(lambda h: head_fn(h, head_params,
+                                                        aux_h),
+                                      h_out, has_aux=head_has_aux)
+                loss_mb, head_vjp = vjp_out[0], vjp_out[1]
+                aux_mb = vjp_out[2] if head_has_aux else None
+                cots = head_vjp(vary(jnp.ones((), loss_mb.dtype)))
+                g_seed = cots[0]
+                mask_h = lambda acc, g: acc + jnp.where(
+                    valid_h, g.astype(jnp.float32), 0.0)
+                if grad_head:
+                    g_head = jax.tree.map(mask_h, g_head, cots[1])
+                loss = loss + jnp.where(valid_h,
+                                        loss_mb.astype(jnp.float32), 0.0)
+                if head_has_aux:
+                    aux_acc = jax.tree.map(mask_h, aux_acc, aux_mb)
 
-        # ---- backward slot ------------------------------------------
-        m_b = t - 2 * (S - 1) + stage
-        valid_b = jnp.logical_and(m_b >= 0, m_b < M)
-        i_b = jnp.clip(m_b, 0, M - 1)
-        g_in = jnp.where(stage == S - 1, g_seed.astype(bwd_msg.dtype),
-                         bwd_msg)
-        h_saved = jax.lax.dynamic_index_in_dim(
-            stash, i_b % K, 0, keepdims=False)
-        # differentiate only w.r.t. what the caller wants gradients for —
-        # frozen layer stacks (unmerged LoRA) skip the full-stack f32
-        # accumulator entirely. layers/adapters are pp-sharded (varying),
-        # so closing over them when un-differentiated is psum-safe.
-        gl = ga = None
-        if grad_layers and has_ad:
-            _, vjp_fn = jax.vjp(
-                lambda lp, la, h: stage_fwd(lp, la, h, i_b),
-                layers, adapters, h_saved)
-            gl, ga, gh = vjp_fn(g_in)
-        elif grad_layers:
-            _, vjp_fn = jax.vjp(
-                lambda lp, h: stage_fwd(lp, None, h, i_b),
-                layers, h_saved)
-            gl, gh = vjp_fn(g_in)
-        elif has_ad:
-            _, vjp_fn = jax.vjp(
-                lambda la, h: stage_fwd(layers, la, h, i_b),
-                adapters, h_saved)
-            ga, gh = vjp_fn(g_in)
-        else:
-            _, vjp_fn = jax.vjp(lambda h: stage_fwd(layers, None, h, i_b),
-                                h_saved)
-            (gh,) = vjp_fn(g_in)
-        acc = lambda a, g: a + jnp.where(valid_b, g.astype(jnp.float32), 0.0)
-        if grad_layers:
-            g_layers = jax.tree.map(acc, g_layers, gl)
-        if has_ad:
-            g_adapters = jax.tree.map(acc, g_adapters, ga)
-        if grad_x:
-            write_x = jnp.logical_and(stage == 0, valid_b)
-            cur = jax.lax.dynamic_index_in_dim(g_x, i_b, 0, keepdims=False)
-            g_x = jax.lax.dynamic_update_index_in_dim(
-                g_x, jnp.where(write_x, gh.astype(g_x.dtype), cur), i_b, 0)
+            # ---- backward slot --------------------------------------
+            if do_bwd:
+                valid_b = row["bvalid"][stage]
+                i_b = row["bm"][stage]
+                v_b = row["bv"][stage]
+                g_in = bwd_msg
+                if do_head:
+                    # first backward of m ((v=V-1, s=S-1)) seeds from the
+                    # head vjp of the same tick; all seed ticks carry a
+                    # head slot by construction
+                    g_in = jnp.where(row["bseed"][stage],
+                                     g_seed.astype(bwd_msg.dtype), g_in)
+                h_saved = jax.lax.dynamic_index_in_dim(
+                    stash, row["bslot"][stage], 0, keepdims=False)
+                cp = pick(layers_c, v_b)
+                ca = pick(adapters_c, v_b)
+                # differentiate only w.r.t. what the caller wants
+                # gradients for — frozen layer stacks (unmerged LoRA)
+                # skip the full-stack f32 accumulator entirely.
+                # layers/adapters are pp-sharded (varying), so closing
+                # over them when un-differentiated is psum-safe.
+                gl = ga = None
+                if grad_layers and has_ad:
+                    _, vjp_fn = jax.vjp(
+                        lambda lp, la, h: chunk_fwd(lp, la, h, i_b),
+                        cp, ca, h_saved)
+                    gl, ga, gh = vjp_fn(g_in)
+                elif grad_layers:
+                    _, vjp_fn = jax.vjp(
+                        lambda lp, h: chunk_fwd(lp, None, h, i_b),
+                        cp, h_saved)
+                    gl, gh = vjp_fn(g_in)
+                elif has_ad:
+                    _, vjp_fn = jax.vjp(
+                        lambda la, h: chunk_fwd(cp, la, h, i_b),
+                        ca, h_saved)
+                    ga, gh = vjp_fn(g_in)
+                else:
+                    _, vjp_fn = jax.vjp(
+                        lambda h: chunk_fwd(cp, None, h, i_b), h_saved)
+                    (gh,) = vjp_fn(g_in)
 
-        fwd_msg = jax.lax.ppermute(h_out, axis_name, perm_f)
-        bwd_msg = jax.lax.ppermute(gh.astype(bwd_msg.dtype), axis_name,
-                                   perm_b)
-        return (fwd_msg, bwd_msg, stash, g_layers, g_adapters, g_head,
-                g_x, loss, aux_acc), None
+                def acc_chunk(gacc, g):
+                    cur = jax.lax.dynamic_index_in_dim(
+                        gacc, v_b, 0, keepdims=False)
+                    upd = cur + jnp.where(valid_b,
+                                          g.astype(jnp.float32), 0.0)
+                    return jax.lax.dynamic_update_index_in_dim(
+                        gacc, upd, v_b, 0)
 
-    carry0 = vary((
+                if grad_layers:
+                    g_layers = jax.tree.map(acc_chunk, g_layers, gl)
+                if has_ad:
+                    g_adapters = jax.tree.map(acc_chunk, g_adapters, ga)
+                if grad_x:
+                    write_x = jnp.logical_and(
+                        jnp.logical_and(stage == 0, v_b == 0), valid_b)
+                    cur = jax.lax.dynamic_index_in_dim(
+                        g_x, i_b, 0, keepdims=False)
+                    g_x = jax.lax.dynamic_update_index_in_dim(
+                        g_x, jnp.where(write_x, gh.astype(g_x.dtype), cur),
+                        i_b, 0)
+
+            if do_fwd:
+                fwd_msg = jax.lax.ppermute(h_out, axis_name, perm_f)
+            if do_bwd:
+                bwd_msg = jax.lax.ppermute(gh.astype(bwd_msg.dtype),
+                                           axis_name, perm_b)
+            return (fwd_msg, bwd_msg, stash, g_layers, g_adapters, g_head,
+                    g_x, loss, aux_acc), None
+
+        return tick
+
+    carry = vary((
         jnp.zeros((mb, T, D), x.dtype),              # fwd_msg
         jnp.zeros((mb, T, D), x.dtype),              # bwd_msg
-        jnp.zeros((K, mb, T, D), x.dtype),           # stash ring
-        zeros_f32(layers) if grad_layers else None,  # g_layers (local slice)
-        zeros_f32(adapters) if has_ad else None,     # g_adapters
+        jnp.zeros((K, mb, T, D), x.dtype),           # stash (chunk inputs)
+        zeros_f32(layers_c) if grad_layers else None,    # g_layers
+        zeros_f32(adapters_c) if has_ad else None,   # g_adapters
         zeros_f32(head_params) if grad_head else None,   # g_head
         jnp.zeros((M, mb, T, D), jnp.float32) if grad_x else None,  # g_x
         jnp.zeros((), jnp.float32),                  # loss
         zeros_f32(aux_struct) if head_has_aux else None,  # metrics aux
     ))
-    carry, _ = jax.lax.scan(tick, carry0, jnp.arange(M + 2 * S - 2))
+    # three phases: warmup pays only the fwd slot and drain only the bwd
+    # slot — in lockstep SPMD a masked slot still costs its compute, so
+    # splitting the scan (phase bounds are static) is what realizes the
+    # interleaved schedule's V-times-smaller bubble.
+    for lo, hi, slots in ((0, tB0, (True, False, False)),
+                          (tB0, tC0, (True, True, True)),
+                          (tC0, n_ticks, (False, False, True))):
+        if hi > lo:
+            xs = {k: v[lo:hi] for k, v in tabs.items()}
+            carry, _ = jax.lax.scan(make_tick(*slots), carry, xs)
     (_, _, _, g_layers, g_adapters, g_head, g_x, loss, aux_acc) = carry
+    flat = lambda t: jax.tree.map(
+        lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]), t)
+    g_layers = flat(g_layers) if grad_layers else None
+    g_adapters = flat(g_adapters) if has_ad else None
 
     # loss / aux / g_head are real only on the last stage, g_x only on
     # stage 0; broadcast over the pp ring. g_layers/g_adapters stay local
@@ -335,6 +528,76 @@ def _1f1b_body(layers, adapters, x, cos, sin, mask_bias, head_params,
     if grad_x:
         g_x = _f32_psum(jnp.where(stage == 0, g_x, jnp.zeros_like(g_x)),
                         axis_name).reshape(B, T, D)
+    return loss, aux_acc, g_layers, g_adapters, g_x, g_head
+
+
+def _interleave_layer_perm(L: int, S: int, V: int) -> np.ndarray:
+    """Permutation laying the [L]-stacked layer axis out so that pp-shard
+    s's contiguous L/S slice is its V interleaved chunks in v order
+    (chunk q = v*S + s holds global layers [q*Lc, (q+1)*Lc))."""
+    Lc = L // (S * V)
+    return np.concatenate([
+        np.arange((v * S + s) * Lc, (v * S + s + 1) * Lc)
+        for s in range(S) for v in range(V)])
+
+
+def pipelined_grads_interleaved(layer_fn: Callable, layers: Any,
+                                adapters: Any, x: jax.Array, cos, sin,
+                                mask_bias, head_fn: Callable,
+                                head_params: Any, head_aux: Any,
+                                mesh: Mesh, n_micro: int, n_virtual: int,
+                                axis_name: str = "pp", *,
+                                grad_layers: bool = True,
+                                grad_head: bool = True,
+                                grad_x: bool = True,
+                                head_has_aux: bool = False):
+    """Interleaved (virtual-stage) 1F1B: ``pipelined_grads_1f1b`` with
+    each device hosting ``n_virtual`` model chunks of L/(S*V) layers
+    (Megatron-LM's interleaved schedule, re-derived for the lockstep
+    SPMD tick scan — ``_interleaved_schedule`` documents the schedule,
+    its tightness proof, and the bubble accounting: warmup + drain
+    shrink from (S-1) full-stage ticks to (S-1) chunk ticks each way,
+    i.e. the pipeline bubble is V times smaller at the cost of V times
+    more (equal-sized [mb, T, D]) stash entries and V-1 extra ring hops
+    per microbatch. ``n_virtual=1`` IS the plain 1F1B schedule.
+
+    Same contract as ``pipelined_grads_1f1b``; additionally requires
+    L % (S * n_virtual) == 0. The reference has no pipeline story at
+    all (SURVEY §2.5 — its ``device_map="auto"`` is sequential offload).
+    """
+    S = mesh.shape[axis_name]
+    L = jax.tree.leaves(layers)[0].shape[0]
+    B = x.shape[0]
+    if L % (S * n_virtual) != 0:
+        raise ValueError(f"layers {L} not divisible by "
+                         f"pp*interleave={S}*{n_virtual}")
+    if B % n_micro != 0 or n_micro < 1:
+        raise ValueError(f"batch {B} not divisible by n_micro={n_micro}")
+
+    perm = _interleave_layer_perm(L, S, n_virtual)
+    identity = n_virtual == 1
+    if not identity:
+        take = lambda t: jax.tree.map(lambda a: jnp.take(a, perm, 0), t)
+        layers = take(layers)
+        adapters = take(adapters) if adapters is not None else None
+
+    fn = jax.shard_map(
+        partial(_1f1b_body, layer_fn=layer_fn, head_fn=head_fn,
+                n_micro=n_micro, n_virtual=n_virtual, axis_name=axis_name,
+                grad_layers=grad_layers, grad_head=grad_head, grad_x=grad_x,
+                head_has_aux=head_has_aux),
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(axis_name), P(axis_name), P(), P()),
+        axis_names={axis_name})
+    loss, aux_acc, g_layers, g_adapters, g_x, g_head = fn(
+        layers, adapters, x, cos, sin, mask_bias, head_params, head_aux)
+    if not identity:
+        inv = jnp.asarray(np.argsort(perm))
+        untake = lambda t: None if t is None else \
+            jax.tree.map(lambda a: jnp.take(a, inv, 0), t)
+        g_layers = untake(g_layers)
+        g_adapters = untake(g_adapters)
     return loss, aux_acc, g_layers, g_adapters, g_x, g_head
 
 
@@ -374,26 +637,16 @@ def pipelined_grads_1f1b(layer_fn: Callable, layers: Any, adapters: Any,
     min(M, 2S-1) microbatch activations per stage vs GPipe-by-autodiff's
     M + S - 1 — O(depth) vs O(microbatches); measured by
     scripts/pp_memory_accounting.py --schedule both.
-    """
-    S = mesh.shape[axis_name]
-    L = jax.tree.leaves(layers)[0].shape[0]
-    B = x.shape[0]
-    if L % S != 0:
-        raise ValueError(f"layers {L} not divisible by pp={S}")
-    if B % n_micro != 0 or n_micro < 1:
-        raise ValueError(f"batch {B} not divisible by n_micro={n_micro}")
 
-    fn = jax.shard_map(
-        partial(_1f1b_body, layer_fn=layer_fn, head_fn=head_fn,
-                n_micro=n_micro, axis_name=axis_name,
-                grad_layers=grad_layers, grad_head=grad_head, grad_x=grad_x,
-                head_has_aux=head_has_aux),
-        mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(axis_name), P(axis_name), P(), P()),
-        axis_names={axis_name})
-    return fn(layers, adapters, x, cos, sin, mask_bias, head_params,
-              head_aux)
+    This is ``pipelined_grads_interleaved`` at ``n_virtual=1`` (the
+    schedule tables reduce exactly to fwd t = m + s / bwd
+    t = m + 2(S-1) - s).
+    """
+    return pipelined_grads_interleaved(
+        layer_fn, layers, adapters, x, cos, sin, mask_bias, head_fn,
+        head_params, head_aux, mesh, n_micro, 1, axis_name,
+        grad_layers=grad_layers, grad_head=grad_head, grad_x=grad_x,
+        head_has_aux=head_has_aux)
 
 
 def pipelined_layers(layer_fn: Callable, layers: Any, adapters: Any,

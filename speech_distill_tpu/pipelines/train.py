@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of microbatch count; precomputed-KD "
                         "student step only — the teacher side, if any, "
                         "stays gpipe)")
+    p.add_argument("--pp_interleave", type=int, default=1,
+                   help="virtual pipeline stages per device (Megatron-"
+                        "style interleaved 1F1B; requires --pp_schedule "
+                        "1f1b and num layers divisible by "
+                        "pp*pp_interleave). Shrinks the pipeline bubble "
+                        "by this factor at the cost of as many more "
+                        "stashed chunk inputs and ring hops")
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard optimizer moments additionally "
                         "over dp (GSPMD reduce-scatters grads into the "
@@ -200,8 +207,12 @@ def train(config) -> None:
         s_cfg = dataclasses.replace(
             s_cfg,
             attn_impl="ring_zigzag" if config.sp_zigzag else "ring")
+    pp_inter = max(getattr(config, "pp_interleave", 1), 1)
+    if pp_inter > 1 and getattr(config, "pp_schedule", "gpipe") != "1f1b":
+        raise ValueError("--pp_interleave > 1 requires --pp_schedule 1f1b")
     if pp > 1:
-        s_cfg = dataclasses.replace(s_cfg, pp_microbatches=pp_micro)
+        s_cfg = dataclasses.replace(s_cfg, pp_microbatches=pp_micro,
+                                    pp_interleave=pp_inter)
     mode = "precomputed" if has_topk else (
         "online_dense" if dcfg.use_dense else "online_sparse")
     n_tdev = getattr(config, "teacher_devices", 0)

@@ -318,6 +318,169 @@ def test_kd_step_1f1b_matches_single_device():
                                    err_msg=jax.tree_util.keystr(ka))
 
 
+def test_interleaved_schedule_tables():
+    """The static interleaved-1F1B schedule: the generator self-asserts
+    ring tightness (every message consumed exactly one tick later); here
+    we additionally pin down slot counts, tick totals, and the V=1
+    reduction to the plain 1F1B schedule."""
+    from speech_distill_tpu.parallel.pipeline import _interleaved_schedule
+
+    for S, V, M in [(2, 1, 4), (4, 1, 8), (2, 2, 4), (4, 2, 8),
+                    (2, 4, 8), (4, 2, 6), (3, 2, 4), (4, 4, 16),
+                    (2, 2, 1), (4, 2, 3)]:
+        tb, tB0, tC0, T, K = _interleaved_schedule(S, V, M)
+        assert tb["fvalid"].sum() == M * V * S
+        assert tb["bvalid"].sum() == M * V * S
+        assert tb["hvalid"].sum() == M
+        assert tB0 == S * V - 1
+        if V == 1:
+            # plain 1F1B: fwd t = m + s, bwd t = m + 2(S-1) - s
+            assert T == M + 2 * S - 2
+            assert K == min(M, 2 * S - 1)
+            for s in range(S):
+                for m in range(M):
+                    assert tb["fvalid"][m + s, s]
+                    assert tb["fm"][m + s, s] == m
+                    assert tb["bvalid"][m + 2 * (S - 1) - s, s]
+        if M % S == 0:
+            # full-group totals: MV + S - 1 fwd ticks, same bwd ticks
+            assert tC0 == M * V + S - 1
+            assert T == M * V + S * V + S - 2
+
+
+def test_interleaved_grads_match_unpipelined_and_plain_1f1b():
+    """Interleaved 1F1B (pp2, V=2 virtual chunks of 1 layer each, 4 then
+    3 microbatches) is gradient-exact vs the unpipelined stack and vs the
+    plain 1F1B schedule — including an M not divisible by S (partial
+    Megatron group -> masked schedule holes)."""
+    from speech_distill_tpu.parallel.pipeline import (
+        pipelined_grads_1f1b, pipelined_grads_interleaved)
+
+    cfg = _cfg(layers=4)
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    layers = params["layers"]
+    D = cfg.hidden_size
+    B, T, V = 12, 16, 32
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (B, T, D)).astype(np.float32))
+    W = jnp.asarray(rng.normal(0, 0.05, (D, V)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, V, (B, T)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    cos, sin = qwen3.rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+    bias = qwen3._causal_bias(jnp.ones((B, T), jnp.int32), B, T)
+
+    def layer_fn(lp, h, la, c, s_, m_):
+        return qwen3._layer(lp, h, c, s_, m_, cfg, la=la)[0]
+
+    def head_fn(h, hp, aux):
+        logp = jax.nn.log_softmax((h @ hp).astype(jnp.float32))
+        nll = -jnp.take_along_axis(logp, aux["labels"][..., None], -1)
+        return nll.mean()
+
+    def ref_loss(lyrs, x_, hp, M):
+        def body(carry, lp):
+            return layer_fn(lp, carry, None, cos, sin, bias), None
+        h, _ = jax.lax.scan(body, x_, lyrs)
+        hm = h.reshape(M, B // M, T, D)
+        lm = labels.reshape(M, B // M, T)
+        return sum(head_fn(hm[i], hp, {"labels": lm[i]}) for i in range(M))
+
+    mesh = meshlib.make_mesh(MeshConfig(dp=2, pp=2, tp=2))
+    for M in (4, 3):                      # 3: M % S != 0
+        ref_l, (g_lyr_ref, g_x_ref, g_w_ref) = jax.value_and_grad(
+            ref_loss, argnums=(0, 1, 2))(layers, x, W, M)
+        with meshlib.active_mesh(mesh):
+            run = jax.jit(lambda lyrs, x_, hp, lab: pipelined_grads_interleaved(
+                layer_fn, lyrs, None, x_, cos, sin, bias, head_fn, hp,
+                {"labels": lab}, mesh, M, 2))
+            loss, metrics, g_lyr, g_ad, g_x, g_w = run(layers, x, W, labels)
+            plain = jax.jit(lambda lyrs, x_, hp, lab: pipelined_grads_1f1b(
+                layer_fn, lyrs, None, x_, cos, sin, bias, head_fn, hp,
+                {"labels": lab}, mesh, M))
+            pl_l, _, g_lyr_pl, _, g_x_pl, g_w_pl = plain(layers, x, W, labels)
+        assert metrics is None and g_ad is None
+        np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+        np.testing.assert_allclose(float(loss), float(pl_l), rtol=1e-5)
+        for name, got, want in [("x", g_x, g_x_ref), ("w", g_w, g_w_ref),
+                                ("x_pl", g_x, g_x_pl), ("w_pl", g_w, g_w_pl)]:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-4, rtol=2e-3, err_msg=name)
+        for got, want, got_pl in zip(jax.tree.leaves(g_lyr),
+                                     jax.tree.leaves(g_lyr_ref),
+                                     jax.tree.leaves(g_lyr_pl)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-4, rtol=2e-3)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(got_pl),
+                                       atol=2e-4, rtol=2e-3)
+
+
+def test_kd_step_1f1b_interleaved_matches_single_device():
+    """Precomputed sparse-KD step under pp_schedule='1f1b' with
+    pp_interleave=2 (dp2 x pp2 x tp2, 4 microbatches, 4 layers -> 2
+    one-layer virtual chunks per pp rank) equals the single-device
+    unfused step — the --pp_interleave CLI semantics end to end."""
+    from speech_distill_tpu.distill import train_step
+    from speech_distill_tpu.distill.lora import init_lora
+
+    cfg = _cfg(layers=4)
+    cfg = type(cfg)(**{**cfg.__dict__, "remat": True})
+    cfg_pp = type(cfg)(**{**cfg.__dict__, "pp_microbatches": 4,
+                          "pp_interleave": 2})
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg)
+    dcfg = DistillConfig(top_k=8,
+                         lora=LoraConfig(r=4, alpha=8,
+                                         init_weights="gaussian"))
+    lora, base = init_lora(jax.random.PRNGKey(2), params, cfg, dcfg.lora)
+    opt = train_step.make_optimizer(1e-3, 1, 20)
+
+    rng = np.random.default_rng(0)
+    B, T, K = 8, 16, 8
+    labels = rng.integers(0, 128, (1, B, T))
+    labels[0, 1, :4] = -100
+    mask = np.ones((1, B, T), np.int32)
+    mask[0, 3, 12:] = 0
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 128, (1, B, T)), jnp.int32),
+        "attention_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(labels, jnp.int32),
+        "teacher_top_k_v": jnp.asarray(
+            rng.normal(-2, 1, (1, B, T, K)).astype(np.float32)),
+        "teacher_top_k_i": jnp.asarray(
+            rng.integers(0, 128, (1, B, T, K)), jnp.int32),
+    }
+
+    step = train_step.make_kd_step(cfg, dcfg, opt, mode="precomputed",
+                                   donate=False, head_loss="unfused")
+    s0 = train_step.init_state(lora, opt)
+    s0_after, m0 = step(s0, base, None, batch)
+
+    mesh = meshlib.make_mesh(MeshConfig(dp=2, pp=2, tp=2))
+    with meshlib.active_mesh(mesh):
+        step_p = train_step.make_kd_step(cfg_pp, dcfg, opt,
+                                         mode="precomputed", donate=False,
+                                         pp_schedule="1f1b")
+        base_s = sharding.shard_params(mesh, base, cfg)
+        lora_s = sharding.shard_lora(mesh, lora)
+        st = train_step.init_state(lora_s, opt)
+        st = train_step.TrainState(
+            lora_s,
+            sharding.shard_opt_state(
+                mesh, st.opt_state, sharding.lora_pspecs(lora, pp=True)),
+            jax.device_put(st.step, meshlib.replicated(mesh)))
+        batch_s = sharding.shard_batch(mesh, batch)
+        st_after, m1 = step_p(st, base_s, None, batch_s)
+
+    for k in ("loss", "student_loss", "distill_loss", "teacher_loss"):
+        np.testing.assert_allclose(float(m0[k]), float(m1[k]), rtol=1e-5,
+                                   err_msg=k)
+    for (ka, a), (kb, b) in zip(
+            jax.tree.leaves_with_path(s0_after.trainable),
+            jax.tree.leaves_with_path(st_after.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+
 def test_kd_step_1f1b_full_finetune_matches_single_device():
     """use_lora=False under pp_schedule='1f1b': the full-finetune branch
     (grad_layers on, final_ln/embed/head grads assembled from
