@@ -95,11 +95,19 @@ def main():
                         "(continuous vs static) or 'compare' (all three) "
                         "via subprocesses")
     p.add_argument("--serve_admission", default="fifo",
-                   choices=["fifo", "shortest_job", "shortest_prompt"],
+                   choices=["fifo", "shortest_job", "shortest_prompt",
+                            "deadline"],
                    help="paged serve: admission order under contention "
                         "(shortest_job = ascending declared generation "
                         "budget, cuts TTFT percentiles under sustained "
-                        "load)")
+                        "load; deadline = earliest-TTFT-deadline first, "
+                        "pair with --serve_ttft_deadline)")
+    p.add_argument("--serve_ttft_deadline", type=float, default=0.0,
+                   help="paged serve: per-request TTFT deadline in "
+                        "seconds (0 = off). Queued requests past their "
+                        "deadline before any token are SHED; percentiles "
+                        "are then over served requests, with shed count "
+                        "and goodput reported alongside")
     p.add_argument("--paged_pool_frac", type=float, default=1.0,
                    help="paged serve: KV pool size as a fraction of "
                         "slots*max_len (paged attention reads resident "
@@ -473,6 +481,19 @@ def bench_all(only=None):
                                  "--paged_pool_frac", "0.5",
                                  "--serve_request_factor", "10",
                                  "--serve_admission", "shortest_job"]),
+        # deadline admission + load shedding at the same sustained load:
+        # p95 TTFT there is admission-capacity-bound (~24 s structural
+        # floor, docs/ROUND4.md), so the remaining latency lever is
+        # shedding work that already missed its deadline — quote goodput
+        # (served tok/s) + shed rate + percentiles over served
+        ("serve_sustained_deadline", ["--mode", "serve",
+                                      "--serve_phase", "paged",
+                                      "--quant", "int8_embed",
+                                      "--decode_streams", "64",
+                                      "--paged_pool_frac", "0.5",
+                                      "--serve_request_factor", "10",
+                                      "--serve_admission", "deadline",
+                                      "--serve_ttft_deadline", "12"]),
         # long distinct contexts at equal pool HBM: bf16 vs int8 KV pool
         ("serve_long_bf16", ["--mode", "serve", "--serve_phase", "paged",
                              "--quant", "int8_embed",
@@ -706,10 +727,14 @@ def bench_serve(args):
                            admission_policy=args.serve_admission)
         peng.serve(prompts[:S], max_new=8)    # warmup/compile
         t0 = time.perf_counter()
-        outs = peng.serve(prompts, max_new_per_request=caps)
+        outs = peng.serve(prompts, max_new_per_request=caps,
+                          ttft_deadline_s=(args.serve_ttft_deadline
+                                           or None))
         dt = time.perf_counter() - t0
         n_tok = sum(len(o) for o in outs)
-        lat = [m for m in peng.request_metrics if m is not None]
+        # percentiles over SERVED requests; shed ones are reported by count
+        lat = [m for m in peng.request_metrics
+               if m is not None and not m.get("shed")]
         pct = {}
         if lat:
             tt = np.sort([m["ttft_s"] for m in lat])
@@ -724,6 +749,9 @@ def bench_serve(args):
                           "seconds": round(dt, 2),
                           "tokens_per_sec": round(n_tok / dt, 1),
                           **pct,
+                          "served": len(lat),
+                          "shed": peng.shed_requests,
+                          "ttft_deadline_s": args.serve_ttft_deadline,
                           "preemptions": peng.preemptions,
                           "prefix_hits": peng.prefix_hits,
                           "prefix_hit_tokens": peng.prefix_hit_tokens,

@@ -337,9 +337,12 @@ class _AdmissionQueue:
         self._items = deque()
         self._seq = 0
 
-    def _key(self, r) -> int:
+    def _key(self, r):
         if self.policy == "shortest_job":
             return r["cap"] - len(r["gen"])
+        if self.policy == "deadline":
+            dl = r.get("dl")
+            return dl if dl is not None else float("inf")
         return len(r["ids"])
 
     def append(self, r) -> None:
@@ -364,6 +367,19 @@ class _AdmissionQueue:
 
     def popleft(self):
         return self._items.popleft()
+
+    def shed_expired(self, t_now: float):
+        """Remove and return queued requests whose TTFT deadline passed
+        before they produced ANY token (load shedding under overload).
+        Requests already holding generated tokens (preempted residents)
+        met their first-token deadline and are never shed."""
+        def past_due(r):
+            return (r.get("dl") is not None and t_now > r["dl"]
+                    and not r["gen"] and "t_first" not in r)
+        expired = [r for r in self._items if past_due(r)]
+        if expired:
+            self._items = deque(r for r in self._items if not past_due(r))
+        return expired
 
     def __getitem__(self, i):
         return self._items[i]
@@ -543,11 +559,17 @@ class PagedEngine:
         #                  device throughput
         #   shortest_prompt ascending prompt length (prefill-cost proxy
         #                  when caps are uniform/unknown)
+        #   deadline       earliest TTFT deadline first (EDF) — pairs with
+        #                  serve(ttft_deadline_s=...); requests without a
+        #                  deadline sort last. Under overload, combine
+        #                  with shedding (deadline-expired unstarted
+        #                  requests are dropped, see serve()) so capacity
+        #                  goes to requests that can still meet theirs.
         # Preempted requests re-queue by the same key (their shrunken
         # remaining budget under shortest_job), never behind fresh work of
         # equal key (stable seq tiebreak).
         if admission_policy not in ("fifo", "shortest_job",
-                                    "shortest_prompt"):
+                                    "shortest_prompt", "deadline"):
             raise ValueError(f"unknown admission_policy "
                              f"{admission_policy!r}")
         self.admission_policy = admission_policy
@@ -1001,6 +1023,9 @@ class PagedEngine:
               on_logprobs=None,
               on_chunk=None,
               sampling_per_request: Optional[Sequence[Optional[dict]]]
+              = None,
+              ttft_deadline_s: Optional[float] = None,
+              deadline_per_request: Optional[Sequence[Optional[float]]]
               = None) -> List[List[int]]:
         """Run every prompt to completion through the slot pool; returns
         generated token ids per prompt (order-preserving).
@@ -1037,7 +1062,19 @@ class PagedEngine:
         downstream tick (e.g. batched flow+vocoder synthesis across all
         dirty TTS sessions, infer/tts_serve.py) instead of per-request
         work inside ``on_tokens``. Host time spent inside is recorded in
-        ``phase_seconds['downstream']``."""
+        ``phase_seconds['downstream']``.
+
+        ``ttft_deadline_s`` / ``deadline_per_request``: TTFT deadlines
+        (seconds from enqueue) enabling LOAD SHEDDING under overload — a
+        queued request whose deadline passes before it produced any
+        token is dropped (``outputs[rid] == []``,
+        ``request_metrics[rid]['shed'] is True``, ``on_tokens(rid, [],
+        True)`` closes its stream) so pool+slot capacity goes to
+        requests that can still meet theirs. A request that reached its
+        first token is never shed (the client is already consuming it).
+        Pair with ``admission_policy='deadline'`` (earliest-deadline-
+        first) to also ORDER admission by urgency; shedding itself works
+        under any policy. ``self.shed_requests`` counts drops."""
         cap_default = max_new or self.sp.max_tokens
         if on_logprobs is not None and not self.return_logprobs:
             raise ValueError("on_logprobs needs "
@@ -1065,19 +1102,28 @@ class PagedEngine:
                     raise ValueError(f"unknown sampling overrides: "
                                      f"{sorted(o)} (top_k/RAS are "
                                      f"engine-global)")
+            dl = (deadline_per_request[rid]
+                  if deadline_per_request is not None else ttft_deadline_s)
             queue.append({"rid": rid, "ids": list(p), "plen0": len(p),
                           "cap": (max_new_per_request[rid]
                                   if max_new_per_request is not None
                                   else cap_default),
                           "samp": samp,
                           "gen": [], "lps": [], "n_emitted": 0,
-                          "t_enq": t_serve0})
+                          "t_enq": t_serve0,
+                          "dl": (t_serve0 + dl if dl is not None
+                                 else None)})
         outputs: List[Optional[List[int]]] = [None] * len(prompts)
         # per-token logprobs, parallel to outputs (return_logprobs only)
         self.request_logprobs = [None] * len(prompts)
         self.preemptions = 0               # serve-level metrics
+        self.shed_requests = 0
         self.prefix_hits = 0
         self.prefix_hit_tokens = 0
+        any_deadlines = (ttft_deadline_s is not None
+                         or (deadline_per_request is not None
+                             and any(d is not None
+                                     for d in deadline_per_request)))
         # wall-time anatomy of the scheduler loop (decode_sync includes the
         # device chunk; everything else is host/dispatch time the device
         # spends idle or pipelined)
@@ -1205,6 +1251,26 @@ class PagedEngine:
             t_now = time.perf_counter()
             self.phase_seconds["grow"] += t_now - t_phase
             t_phase = t_now
+
+            # 1b. load shedding: drop queued requests whose TTFT deadline
+            # passed before any token was produced — BEFORE prefill so no
+            # compute is spent on doomed work; their chunked-prefill pages
+            # (if any) return to the pool
+            if any_deadlines:
+                for r in queue.shed_expired(t_now):
+                    if r.get("pf"):
+                        pool.free(r.pop("pf"))
+                    self.shed_requests += 1
+                    outputs[r["rid"]] = []
+                    if self.return_logprobs:
+                        self.request_logprobs[r["rid"]] = []
+                    self.request_metrics[r["rid"]] = {
+                        "shed": True, "wait_s": t_now - r["t_enq"],
+                        "n_prompt": r["plen0"], "n_gen": 0}
+                    if on_tokens is not None:
+                        on_tokens(r["rid"], [], True)
+                        if on_logprobs is not None:
+                            on_logprobs(r["rid"], [], True)
 
             # 2a. chunked prefill: advance the head-of-queue request by at
             # most ONE prefill_chunk of page-aligned prompt tokens per

@@ -791,3 +791,107 @@ def test_admission_policy_shortest_prompt():
                     if rid not in first_seen and new else None)
     assert got == ref
     assert first_seen == [1, 3, 2, 0]    # ascending prompt length
+
+
+def test_admission_policy_deadline_edf():
+    """deadline admission is earliest-deadline-first: with one slot, the
+    tightest TTFT deadline gets it first (outputs stay oracle-exact —
+    policies only reorder WHO is seated, never what a stream computes)."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup()
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 6).tolist()
+               for _ in range(4)]
+    ref = _ref_outputs(params, cfg, sp, prompts, 6)
+    first_seen = []
+    eng = PagedEngine(params, cfg, sp, slots=1, max_len=64, page_size=8,
+                      chunk_steps=2, cache_dtype=jnp.float32,
+                      attn_impl="xla", admission_policy="deadline")
+    # deadlines generous enough that nothing sheds; order is pure EDF
+    got = eng.serve(prompts, max_new=6,
+                    deadline_per_request=[1000.0, 10.0, 100.0, 50.0],
+                    on_tokens=lambda rid, new, done:
+                    first_seen.append(rid)
+                    if rid not in first_seen and new else None)
+    assert got == ref
+    assert eng.shed_requests == 0
+    assert first_seen == [1, 3, 2, 0]    # ascending deadline
+
+
+def test_deadline_load_shedding():
+    """Requests whose TTFT deadline expires before any token are SHED:
+    empty output, shed-marked metrics, done-callback fired, pages
+    reclaimed; served requests still match the oracle."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=6)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 6).tolist()
+               for _ in range(4)]
+    ref = _ref_outputs(params, cfg, sp, prompts, 6)
+
+    done_rids = []
+
+    def on_tokens(rid, new, done):
+        if done:
+            done_rids.append(rid)
+
+    eng = PagedEngine(params, cfg, sp, slots=2, max_len=64, page_size=8,
+                      chunk_steps=2, cache_dtype=jnp.float32,
+                      attn_impl="xla", prefix_sharing=False)
+    # rids 2 and 3 carry an already-expired deadline (0.0 s): the first
+    # scheduler pass sheds them before any prefill; 0 and 1 fill the two
+    # slots and run to completion untouched
+    got = eng.serve(prompts,
+                    max_new=6,
+                    deadline_per_request=[None, 1000.0, 0.0, 0.0],
+                    on_tokens=on_tokens)
+    assert got[0] == ref[0] and got[1] == ref[1]
+    assert got[2] == [] and got[3] == []
+    assert eng.shed_requests == 2
+    for rid in (2, 3):
+        m = eng.request_metrics[rid]
+        assert m["shed"] is True and m["n_gen"] == 0 and m["wait_s"] >= 0
+    for rid in (0, 1):
+        assert not eng.request_metrics[rid].get("shed")
+        assert eng.request_metrics[rid]["n_gen"] == 6
+    # every rid closed its stream exactly once (shed included)
+    assert sorted(done_rids) == [0, 1, 2, 3]
+    # no page leak: all pages return to the pool after serve
+    assert eng._pool.free_pages == eng.num_pages
+
+
+def test_deadline_shed_mid_prefill_frees_pages():
+    """A queued request shed while mid-way through chunked prefill
+    returns its accrued prefill pages to the pool (no leak), and the
+    resident stream is unaffected."""
+    import time as _time
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=8, max_tokens=40)
+    rng = np.random.default_rng(4)
+    short = rng.integers(1, cfg.vocab_size - 2, 6).tolist()
+    long_prompt = rng.integers(1, cfg.vocab_size - 2, 30).tolist()
+    ref = _ref_outputs(params, cfg, sp, [short], 40)
+
+    eng = PagedEngine(params, cfg, sp, slots=1, max_len=64, page_size=8,
+                      num_pages=16, chunk_steps=2,
+                      cache_dtype=jnp.float32, attn_impl="xla",
+                      prefill_chunk=8, prefix_sharing=False)
+    eng.serve([short], max_new=2)          # compile programs (cached)
+    # rid 0 holds the single slot for 20 chunks; rid 1 (30-token prompt,
+    # 8-token prefill chunks) accrues prefill pages while queued, then its
+    # 0.22 s deadline expires (each pass sleeps 0.05 s via on_chunk) and
+    # it sheds mid-prefill
+    got = eng.serve([short, long_prompt],
+                    max_new_per_request=[40, 4],
+                    deadline_per_request=[None, 0.22],
+                    on_chunk=lambda: _time.sleep(0.05))
+    assert got[0] == ref[0][:40]
+    assert got[1] == [] and eng.shed_requests == 1
+    assert eng.request_metrics[1]["shed"] is True
+    # chunked prefill ran at least one piece for the shed request
+    assert eng.n_prefill_chunks >= 1
+    # and its pages (plus everything else) are back in the pool
+    assert eng._pool.free_pages == eng.num_pages
