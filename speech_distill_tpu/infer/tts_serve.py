@@ -72,7 +72,9 @@ class MultiSessionTTS:
                  token_bucket: int = 64,
                  mel_pad_to: Optional[int] = None,
                  chunk_tokens: Optional[int] = None,
-                 max_tokens: int = 4096):
+                 max_tokens: int = 4096,
+                 confidence_gate: Optional[float] = None,
+                 gate_max_defer: int = 2):
         self.engine = engine
         self.fp, self.fc = flow_params, flow_cfg
         self.hp, self.hc = hift_params, hift_cfg
@@ -82,6 +84,21 @@ class MultiSessionTTS:
         self.mel_pad_to = mel_pad_to
         self.chunk_tokens = chunk_tokens
         self.max_tokens = max_tokens
+        # confidence-gated synthesis (consumer of the engine's streamed
+        # per-token logprobs): when a tick's fresh tokens have mean
+        # logprob below this threshold (nats; e.g. -3.0), DEFER the
+        # session's flow/vocode tick so the uncertain run accumulates
+        # right-context before being committed to audio — the
+        # chunk-causal flow conditions a token's mel on everything up to
+        # its chunk boundary, so merging ticks strictly grows the
+        # context an uncertain token is vocoded with. ``gate_max_defer``
+        # bounds consecutive deferrals (latency stays bounded); the
+        # final tick always synthesizes. Requires the engine to stream
+        # logprobs (PagedEngine(return_logprobs=True)). Off by default —
+        # on the axon relay, merged ticks add (W, mel) shape-group
+        # compile diversity.
+        self.confidence_gate = confidence_gate
+        self.gate_max_defer = int(gate_max_defer)
 
     # -- batched executors ----------------------------------------------------
 
@@ -135,8 +152,10 @@ class MultiSessionTTS:
               on_wav=None) -> List[dict]:
         """Run every session's turn to completion; returns per session
         {"wav": [T] float32, "tokens": generated llm ids, "ttfa_s": ...,
-        "n_chunks": ...}. ``on_wav(sid, wav_chunk)`` optionally streams
-        chunks as they are synthesized.
+        "n_chunks": ..., "gate_deferrals": ...}. ``on_wav(sid,
+        wav_chunk)`` optionally streams chunks as they are synthesized.
+        With ``confidence_gate`` set, low-confidence ticks are deferred
+        (see __init__) and the engine must stream logprobs.
 
         TTFA here is serve-entry -> first wav chunk of the session, i.e.
         it includes the time the request waits for an LLM slot — the
@@ -153,8 +172,9 @@ class MultiSessionTTS:
             chunk_tokens=self.chunk_tokens, token_bucket=self.token_bucket,
             max_tokens=self.max_tokens, programs=self.programs,
             mel_pad_to=mel_pad_to) for s in sessions]
-        st: List[Dict] = [{"gen": [], "dirty": False, "done": False,
-                           "finalized": False, "wavs": [],
+        st: List[Dict] = [{"gen": [], "lps": [], "dirty": False,
+                           "done": False, "finalized": False, "wavs": [],
+                           "n_seen": 0, "defers": 0, "total_defers": 0,
                            "t_first": None} for _ in sessions]
         t0 = time.perf_counter()
 
@@ -164,6 +184,9 @@ class MultiSessionTTS:
             r["dirty"] = True
             r["done"] = r["done"] or done
 
+        def on_logprobs(rid, new, done):
+            st[rid]["lps"].extend(new)
+
         def on_chunk():
             # 1. plan + run flow, grouped by (W, mel-frame) shape
             flow_groups = defaultdict(list)
@@ -171,14 +194,27 @@ class MultiSessionTTS:
             for sid, r in enumerate(st):
                 if not r["dirty"] or r["finalized"]:
                     continue
-                r["dirty"] = False
                 final = r["done"]
-                if final:
-                    r["finalized"] = True
                 # the trailing generated token is withheld until final:
                 # it may be the EOS the reference grammar drops before
                 # flow (soulxpodcast.py:390-393)
                 toks = [t - self.offset for t in r["gen"][:-1]]
+                if self.confidence_gate is not None and not final:
+                    # confidence gate: defer this tick (stay dirty) when
+                    # the fresh tokens are low-confidence, so they reach
+                    # the vocoder with more right-context
+                    fresh = r["lps"][r["n_seen"]:len(toks)]
+                    if (fresh and sum(fresh) / len(fresh)
+                            < self.confidence_gate
+                            and r["defers"] < self.gate_max_defer):
+                        r["defers"] += 1
+                        r["total_defers"] += 1
+                        continue
+                r["defers"] = 0
+                r["n_seen"] = len(toks)
+                r["dirty"] = False
+                if final:
+                    r["finalized"] = True
                 job = synths[sid].flow_job(toks, final=final)
                 ticked.append(sid)
                 if job is not None:
@@ -208,9 +244,11 @@ class MultiSessionTTS:
                 if on_wav is not None:
                     on_wav(sid, wav)
 
+        kw = ({"on_logprobs": on_logprobs}
+              if self.confidence_gate is not None else {})
         outputs = self.engine.serve([s.llm_ids for s in sessions],
                                     max_new=max_new, on_tokens=on_tokens,
-                                    on_chunk=on_chunk)
+                                    on_chunk=on_chunk, **kw)
         # engines without on_chunk pipelining (or zero-chunk tails) still
         # need the final flush
         for sid, r in enumerate(st):
@@ -224,6 +262,7 @@ class MultiSessionTTS:
                     else np.zeros((0,), np.float32)),
             "tokens": r["gen"],
             "n_chunks": len(r["wavs"]),
+            "gate_deferrals": r["total_defers"],
             "ttfa_s": (None if r["t_first"] is None
                        else r["t_first"] - t0),
         } for r in st]

@@ -24,24 +24,32 @@ from tests.test_streaming_tts import _tiny_flow, _tiny_hift
 
 class FakeEngine:
     """Delivers predefined token streams with the PagedEngine serve
-    contract: per-chunk on_tokens(rid, new, done) for every live request,
-    then ONE on_chunk() per scheduler pass."""
+    contract: per-chunk on_tokens(rid, new, done) for every live request
+    (plus aligned on_logprobs when ``lps`` streams are given), then ONE
+    on_chunk() per scheduler pass."""
 
-    def __init__(self, streams, chunk=3):
+    def __init__(self, streams, chunk=3, lps=None):
         self.streams = [list(s) for s in streams]
         self.chunk = chunk
+        self.lps = None if lps is None else [list(l) for l in lps]
 
-    def serve(self, prompts, max_new=None, on_tokens=None, on_chunk=None):
+    def serve(self, prompts, max_new=None, on_tokens=None, on_chunk=None,
+              on_logprobs=None):
         assert len(prompts) == len(self.streams)
         pos = [0] * len(self.streams)
         while any(p < len(s) for p, s in zip(pos, self.streams)):
             for rid, s in enumerate(self.streams):
                 if pos[rid] >= len(s):
                     continue
-                new = s[pos[rid]:pos[rid] + self.chunk]
+                p0 = pos[rid]
+                new = s[p0:p0 + self.chunk]
                 pos[rid] += len(new)
+                done = pos[rid] >= len(s)
                 if on_tokens is not None:
-                    on_tokens(rid, new, pos[rid] >= len(s))
+                    on_tokens(rid, new, done)
+                if on_logprobs is not None and self.lps is not None:
+                    on_logprobs(rid, self.lps[rid][p0:p0 + len(new)],
+                                done)
             if on_chunk is not None:
                 on_chunk()
         return [list(s) for s in self.streams]
@@ -199,3 +207,92 @@ def test_multisession_over_paged_engine():
         assert wav.shape[0] == (2 * n_tok - pml) * hc.upsample_scale
         assert r["ttfa_s"] is not None
     assert len(set(streamed)) == 4       # all sessions streamed chunks
+
+
+def _gated_setup(seed=3, n_tokens=12):
+    """Deterministic single-session fixture for the confidence gate."""
+    fp, fc = _tiny_flow()
+    hp, hc = _tiny_hift()
+    programs = make_stream_programs(fc, hc)
+    inputs, _ = _session_inputs(1, seed)
+    rng = np.random.default_rng(seed)
+    stream = rng.integers(0, fc.vocab_size - 1,
+                          n_tokens - 1).tolist() + [fc.vocab_size - 1]
+    mel_pad_to = max(-(-inputs[0]["prompt_mel"].shape[0] // 16) * 16, 16)
+    return fp, fc, hp, hc, programs, inputs[0], stream, mel_pad_to
+
+
+def _ref_cadence(inp, pushes, fp, fc, hp, hc, programs, mel_pad_to):
+    """Single-session synthesis at an explicit push cadence
+    [(tokens, final), ...]."""
+    synth = StreamingTokenToWav(
+        fp, fc, hp, hc, inp["flow_prompt_tokens"], inp["prompt_mel"],
+        inp["prompt_mel_len"], inp["spk_emb"], inp["rng"],
+        token_bucket=64, max_tokens=4096, programs=programs,
+        mel_pad_to=mel_pad_to)
+    chunks = []
+    for toks, final in pushes:
+        chunks += synth.push(toks, final=final)
+    return np.concatenate(chunks) if chunks else np.zeros((0,), np.float32)
+
+
+def test_confidence_gate_passthrough_when_confident():
+    """A gate threshold nothing falls below never defers: wav bit-equal
+    to the ungated coordinator (N=1: single-row groups, same programs)."""
+    fp, fc, hp, hc, programs, inp, stream, mel_pad_to = _gated_setup()
+    lps = [-0.1] * len(stream)
+
+    def run(gate):
+        eng = FakeEngine([stream], chunk=3, lps=[lps])
+        coord = MultiSessionTTS(eng, fp, fc, hp, hc,
+                                speech_token_offset=0, programs=programs,
+                                confidence_gate=gate)
+        return coord.serve([TTSSession(llm_ids=[1, 2, 3], **inp)])[0]
+
+    gated, ungated = run(-1e9), run(None)
+    assert gated["gate_deferrals"] == 0
+    assert ungated["gate_deferrals"] == 0
+    np.testing.assert_array_equal(gated["wav"], ungated["wav"])
+
+
+def test_confidence_gate_defers_low_confidence_run():
+    """A low-confidence mid-stream tick is deferred exactly once and the
+    merged-tick synthesis bit-matches the single-session run at the
+    merged cadence (deferral only moves chunk boundaries)."""
+    fp, fc, hp, hc, programs, inp, stream, mel_pad_to = _gated_setup()
+    # ticks deliver 3 tokens each (gen lengths 3, 6, 9, 12); the flow
+    # sees gen[:-1]. Fresh spans per tick: [0:2], [2:5], then (after the
+    # deferral) [2:8], then final. lps[2:5] are low (-10); with
+    # threshold -6 the tick-2 mean (-10) defers, the tick-3 mean over
+    # [2:8] is (3*-10 + 3*-0.1)/6 = -5.05 > -6 and synthesis resumes.
+    lps = [-0.1] * len(stream)
+    lps[2:5] = [-10.0] * 3
+    eng = FakeEngine([stream], chunk=3, lps=[lps])
+    coord = MultiSessionTTS(eng, fp, fc, hp, hc, speech_token_offset=0,
+                            programs=programs, confidence_gate=-6.0,
+                            gate_max_defer=2)
+    res = coord.serve([TTSSession(llm_ids=[1, 2, 3], **inp)])[0]
+    assert res["gate_deferrals"] == 1
+    ref = _ref_cadence(inp, [(stream[:2], False), (stream[:8], False),
+                             (stream[:11], True)],
+                       fp, fc, hp, hc, programs, mel_pad_to)
+    assert res["wav"].shape == ref.shape
+    np.testing.assert_array_equal(res["wav"], ref)
+
+
+def test_confidence_gate_deferral_is_bounded():
+    """With uniformly low confidence, gate_max_defer bounds consecutive
+    deferrals: synthesis still completes at the forced cadence."""
+    fp, fc, hp, hc, programs, inp, stream, mel_pad_to = _gated_setup()
+    lps = [-10.0] * len(stream)
+    eng = FakeEngine([stream], chunk=3, lps=[lps])
+    coord = MultiSessionTTS(eng, fp, fc, hp, hc, speech_token_offset=0,
+                            programs=programs, confidence_gate=-3.0,
+                            gate_max_defer=1)
+    res = coord.serve([TTSSession(llm_ids=[1, 2, 3], **inp)])[0]
+    # tick1 defers, tick2 forced (toks=5), tick3 defers, tick4 final
+    assert res["gate_deferrals"] == 2
+    ref = _ref_cadence(inp, [(stream[:5], False), (stream[:11], True)],
+                       fp, fc, hp, hc, programs, mel_pad_to)
+    assert res["wav"].shape == ref.shape
+    np.testing.assert_array_equal(res["wav"], ref)
