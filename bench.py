@@ -108,6 +108,12 @@ def main():
                         "deadline before any token are SHED; percentiles "
                         "are then over served requests, with shed count "
                         "and goodput reported alongside")
+    p.add_argument("--serve_arrival_rate", type=float, default=0.0,
+                   help="paged serve: open-loop Poisson arrival rate in "
+                        "requests/s (0 = all requests arrive at t0 — the "
+                        "saturated-batch default). TTFT/e2e clocks start "
+                        "at each request's arrival, so percentiles are "
+                        "production-shaped latency under offered load")
     p.add_argument("--paged_pool_frac", type=float, default=1.0,
                    help="paged serve: KV pool size as a fraction of "
                         "slots*max_len (paged attention reads resident "
@@ -481,6 +487,17 @@ def bench_all(only=None):
                                  "--paged_pool_frac", "0.5",
                                  "--serve_request_factor", "10",
                                  "--serve_admission", "shortest_job"]),
+        # open-loop Poisson arrivals at ~80% of measured capacity
+        # (capacity ~3.8k tok/s / ~160 tok mean gen = ~24 req/s): TTFT
+        # percentiles from ARRIVAL are the production-shaped latency
+        # number (the all-at-t0 phases above measure saturated batch
+        # throughput, where TTFT is queue-position-dominated)
+        ("serve_poisson", ["--mode", "serve", "--serve_phase", "paged",
+                           "--quant", "int8_embed",
+                           "--decode_streams", "64",
+                           "--paged_pool_frac", "0.5",
+                           "--serve_request_factor", "10",
+                           "--serve_arrival_rate", "20"]),
         # deadline admission + load shedding at the same sustained load:
         # p95 TTFT there is admission-capacity-bound (~24 s structural
         # floor, docs/ROUND4.md), so the remaining latency lever is
@@ -726,10 +743,17 @@ def bench_serve(args):
                                             or None),
                            admission_policy=args.serve_admission)
         peng.serve(prompts[:S], max_new=8)    # warmup/compile
+        arrivals = None
+        if args.serve_arrival_rate > 0:
+            # seeded Poisson process: exponential inter-arrival gaps
+            gaps = np.random.default_rng(11).exponential(
+                1.0 / args.serve_arrival_rate, len(prompts))
+            arrivals = np.cumsum(gaps).tolist()
         t0 = time.perf_counter()
         outs = peng.serve(prompts, max_new_per_request=caps,
                           ttft_deadline_s=(args.serve_ttft_deadline
-                                           or None))
+                                           or None),
+                          arrival_per_request=arrivals)
         dt = time.perf_counter() - t0
         n_tok = sum(len(o) for o in outs)
         # percentiles over SERVED requests; shed ones are reported by count
@@ -752,6 +776,7 @@ def bench_serve(args):
                           "served": len(lat),
                           "shed": peng.shed_requests,
                           "ttft_deadline_s": args.serve_ttft_deadline,
+                          "arrival_rate": args.serve_arrival_rate,
                           "preemptions": peng.preemptions,
                           "prefix_hits": peng.prefix_hits,
                           "prefix_hit_tokens": peng.prefix_hit_tokens,

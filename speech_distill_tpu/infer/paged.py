@@ -1026,7 +1026,9 @@ class PagedEngine:
               = None,
               ttft_deadline_s: Optional[float] = None,
               deadline_per_request: Optional[Sequence[Optional[float]]]
-              = None) -> List[List[int]]:
+              = None,
+              arrival_per_request: Optional[Sequence[float]] = None
+              ) -> List[List[int]]:
         """Run every prompt to completion through the slot pool; returns
         generated token ids per prompt (order-preserving).
 
@@ -1074,7 +1076,18 @@ class PagedEngine:
         first token is never shed (the client is already consuming it).
         Pair with ``admission_policy='deadline'`` (earliest-deadline-
         first) to also ORDER admission by urgency; shedding itself works
-        under any policy. ``self.shed_requests`` counts drops."""
+        under any policy. ``self.shed_requests`` counts drops.
+
+        ``arrival_per_request``: open-loop arrival process — seconds
+        from serve start at which each request becomes visible to the
+        scheduler (0/None = immediately). A request joins the admission
+        queue only once arrived; its TTFT/e2e clocks and TTFT deadline
+        start at ARRIVAL (the latency a client actually sees). With no
+        queued work and no live slots the scheduler sleeps until the
+        next arrival instead of spinning empty decode chunks. This is
+        the load-generator interface for production-shaped benchmarks
+        (Poisson arrivals) — the all-at-t0 default measures saturated
+        batch throughput instead."""
         cap_default = max_new or self.sp.max_tokens
         if on_logprobs is not None and not self.return_logprobs:
             raise ValueError("on_logprobs needs "
@@ -1088,6 +1101,7 @@ class PagedEngine:
                              "PagedEngine(per_request_sampling=True)")
         t_serve0 = time.perf_counter()
         queue = _AdmissionQueue(self.admission_policy)
+        pending_arrivals: List[dict] = []      # future arrivals, by t_arr
         for rid, p in enumerate(prompts):
             samp = None
             if sampling_per_request is not None \
@@ -1104,15 +1118,22 @@ class PagedEngine:
                                      f"engine-global)")
             dl = (deadline_per_request[rid]
                   if deadline_per_request is not None else ttft_deadline_s)
-            queue.append({"rid": rid, "ids": list(p), "plen0": len(p),
-                          "cap": (max_new_per_request[rid]
-                                  if max_new_per_request is not None
-                                  else cap_default),
-                          "samp": samp,
-                          "gen": [], "lps": [], "n_emitted": 0,
-                          "t_enq": t_serve0,
-                          "dl": (t_serve0 + dl if dl is not None
-                                 else None)})
+            arr = (float(arrival_per_request[rid] or 0.0)
+                   if arrival_per_request is not None else 0.0)
+            t_arr = t_serve0 + arr
+            r = {"rid": rid, "ids": list(p), "plen0": len(p),
+                 "cap": (max_new_per_request[rid]
+                         if max_new_per_request is not None
+                         else cap_default),
+                 "samp": samp,
+                 "gen": [], "lps": [], "n_emitted": 0,
+                 "t_enq": t_arr, "t_arr": t_arr,
+                 "dl": (t_arr + dl if dl is not None else None)}
+            if arr <= 0.0:
+                queue.append(r)
+            else:
+                pending_arrivals.append(r)
+        pending_arrivals.sort(key=lambda r: (r["t_arr"], r["rid"]))
         outputs: List[Optional[List[int]]] = [None] * len(prompts)
         # per-token logprobs, parallel to outputs (return_logprobs only)
         self.request_logprobs = [None] * len(prompts)
@@ -1212,8 +1233,20 @@ class PagedEngine:
             release(b)
             return self._finish_slot(state, jnp.asarray(b, jnp.int32))
 
-        while queue or any(m is not None for m in meta):
+        while queue or pending_arrivals or any(m is not None for m in meta):
             t_phase = time.perf_counter()
+            # 0. open-loop arrivals: requests whose arrival time passed
+            # join the admission queue; with nothing queued and nothing
+            # resident, sleep to the next arrival instead of spinning
+            # empty decode chunks
+            if pending_arrivals:
+                if (not queue and all(m is None for m in meta)
+                        and pending_arrivals[0]["t_arr"] > t_phase):
+                    time.sleep(pending_arrivals[0]["t_arr"] - t_phase)
+                    t_phase = time.perf_counter()
+                while (pending_arrivals
+                       and pending_arrivals[0]["t_arr"] <= t_phase):
+                    queue.append(pending_arrivals.pop(0))
             # 1. grow live slots (oldest joins first — they keep latency)
             order = sorted((b for b in range(self.slots)
                             if meta[b] is not None),

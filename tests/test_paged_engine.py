@@ -895,3 +895,60 @@ def test_deadline_shed_mid_prefill_frees_pages():
     assert eng.n_prefill_chunks >= 1
     # and its pages (plus everything else) are back in the pool
     assert eng._pool.free_pages == eng.num_pages
+
+
+def test_arrival_process_open_loop():
+    """Open-loop arrivals: a request is invisible to the scheduler until
+    its arrival time; early requests are seated first regardless of rid
+    order, outputs stay oracle-exact, and TTFT clocks start at arrival."""
+    import time as _time
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=9)
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(1, cfg.vocab_size - 2, 6).tolist()
+               for _ in range(4)]
+    ref = _ref_outputs(params, cfg, sp, prompts, 6)
+
+    eng = PagedEngine(params, cfg, sp, slots=2, max_len=64, page_size=8,
+                      chunk_steps=2, cache_dtype=jnp.float32,
+                      attn_impl="xla")
+    eng.serve(prompts[:2], max_new=2)     # compile
+    first_seen = []
+    # rids 2,3 arrive immediately; rids 0,1 arrive much later (after the
+    # first two finish — each pass sleeps 0.05 s so 0.8 s >> 3 chunks)
+    got = eng.serve(prompts, max_new=6,
+                    arrival_per_request=[0.8, 0.8, 0.0, 0.0],
+                    on_tokens=lambda rid, new, done:
+                    first_seen.append(rid)
+                    if rid not in first_seen and new else None,
+                    on_chunk=lambda: _time.sleep(0.05))
+    assert got == ref
+    assert set(first_seen[:2]) == {2, 3}
+    # TTFT is measured from ARRIVAL, not serve start: the late arrivals
+    # found free slots, so their TTFT is far below their 0.8 s arrival
+    for rid in (0, 1):
+        assert eng.request_metrics[rid]["ttft_s"] < 0.6
+
+
+def test_arrival_idle_sleeps_not_spins():
+    """With nothing resident and nothing queued, the scheduler sleeps to
+    the next arrival instead of dispatching empty decode chunks."""
+    from speech_distill_tpu.infer.paged import PagedEngine
+
+    cfg, params, sp = _setup(seed=9)
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(1, cfg.vocab_size - 2, 6).tolist()
+    ref = _ref_outputs(params, cfg, sp, [prompt], 6)
+
+    eng = PagedEngine(params, cfg, sp, slots=2, max_len=64, page_size=8,
+                      chunk_steps=2, cache_dtype=jnp.float32,
+                      attn_impl="xla")
+    eng.serve([prompt], max_new=2)        # compile
+    t0 = __import__("time").perf_counter()
+    got = eng.serve([prompt], max_new=6, arrival_per_request=[0.5])
+    dt = __import__("time").perf_counter() - t0
+    assert got == ref
+    assert dt >= 0.5                      # waited for the arrival
+    # 6 tokens / 2-step chunks = 3 decode chunks; no pre-arrival spinning
+    assert eng.n_chunks <= 4
