@@ -743,6 +743,14 @@ def bench_serve(args):
                                             or None),
                            admission_policy=args.serve_admission)
         peng.serve(prompts[:S], max_new=8)    # warmup/compile
+        if not args.no_prefix_sharing:
+            # Second warmup pass: the first pass registered prompts[:S]'s
+            # prefix pages, so the timed phase admits those prompts down
+            # the PREFIX-HIT path, whose (cached-pages, width) admit
+            # buckets are distinct programs. Without this pass they
+            # compile mid-run (round-4 serve_sustained_sjf: 9.4 s of
+            # admit vs 1.8 s warm — CLAUDE.md "serve-bench hygiene").
+            peng.serve(prompts[:S], max_new=8)
         arrivals = None
         if args.serve_arrival_rate > 0:
             # seeded Poisson process: exponential inter-arrival gaps
